@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes fully via the no-op sink (measures scan→compute→
+materialize without driver collect overhead). Session is the engine
+factory on local[$SPARK_GRAFT_CPUS] with AQE on — the same plan shapes
+a cluster run would get.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dateng_data_lakes_apache_spark_spark.registry import get_queries
+from dateng_data_lakes_apache_spark_spark.session import get_spark
+
+# The headline set: one per operator family (scan/filter, join ladder,
+# agg, window, sort, set-op, text, dedup, vector, streaming, pipeline).
+HEADLINE = [
+    "q_scan_project",
+    "q_filter_range",
+    "q_agg_groupby",
+    "q_agg_distinct",
+    "q_join_inner_2key",
+    "q_join_left",
+    "q_join_broadcast",
+    "q_join_theta_range",
+    "q_window_topk_per_group",
+    "q_window_running",
+    "q_sort_limit",
+    "q_explode_wordcount",
+    "q_text_quality",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_doc_fingerprint",
+    "q_vector_norm",
+    "q_similarity_topk",
+    "q_star_etl",
+    "q_stream_tumbling",
+]
+
+
+def execute_fully(df) -> None:
+    """Run the whole plan through the no-op sink (no driver materialize)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = get_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        execute_fully(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

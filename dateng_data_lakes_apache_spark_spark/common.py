@@ -1,0 +1,57 @@
+"""Cross-engine determinism helpers shared by all query builders.
+
+Floating-point aggregation order differs between Spark (partition-order
+dependent) and any oracle engine, so double SUM/AVG are computed by
+accumulating DECIMAL(18,4) — exact, associative, engine-independent —
+then cast back to double. Timestamps are emitted as formatted strings
+so the value-hash never sees engine-specific timestamp encodings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Scale 8: the data's derived doubles have ≤6 true decimal digits (prices ×
+# discounts × taxes are 2-decimal factors), so an 8-decimal cast is EXACT —
+# no rounding ever happens, hence no HALF_UP (Spark) vs HALF_EVEN (DuckDB)
+# tie-breaking divergence. A 4-decimal cast hit those ties ~1/1000 rows.
+DEC = "decimal(30,8)"
+
+
+def dsum(col: Column) -> Column:
+    """Deterministic double sum: exact decimal accumulation → double."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def davg(col: Column) -> Column:
+    """Deterministic double avg: exact decimal sum / count → double."""
+    return F.sum(col.cast(DEC)).cast("double") / F.count(col)
+
+
+def o_dsum(expr: str) -> str:
+    """DuckDB twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+
+
+def o_davg(expr: str) -> str:
+    """DuckDB twin of :func:`davg`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) / COUNT({expr})"
+
+
+def ts_str(col: Column) -> Column:
+    """Timestamp → canonical string (UTC session tz is pinned)."""
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def o_ts_str(expr: str) -> str:
+    """DuckDB twin of :func:`ts_str`."""
+    return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+
+
+def date_str(col: Column) -> Column:
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+def o_date_str(expr: str) -> str:
+    return f"strftime({expr}, '%Y-%m-%d')"

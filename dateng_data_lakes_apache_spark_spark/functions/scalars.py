@@ -1,0 +1,192 @@
+"""Scalar function packs: string, date, math, JSON, array.
+
+All JVM built-ins (pyspark.sql.functions) — whole-stage-codegen'd, no
+Python in the row path. Extends the reference's tiny scalar surface
+(D1-D3: from_unixtime, date parts, division — etl.py:156,180-186).
+
+Cross-engine notes baked into the oracles:
+- day-of-week: Spark ``weekday()`` (Mon=0) + 1 == DuckDB ``isodow`` (Mon=1);
+- ``ceil``/``floor`` return LONG in Spark, DOUBLE in DuckDB → cast both;
+- transcendentals (ln/pow/sqrt) rounded to 4 dp — libm vs JVM can differ
+  in the last ulp;
+- JSON extraction: ``get_json_object`` vs ``json_extract_string``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..common import o_ts_str, ts_str
+from ..registry import query
+
+
+@query(
+    "q_string_funcs",
+    oracle=r"""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substring(p_name, 1, 4) AS name_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(length(p_name) AS INT) AS name_len,
+           trim(p_name) AS name_trim,
+           regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+           replace(p_type, 'ANDARD', '*') AS type_repl,
+           lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar pack over part."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.trim("p_name").alias("name_trim"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+        F.replace(F.col("p_type"), F.lit("ANDARD"), F.lit("*")).alias("type_repl"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle=f"""
+    SELECT event_id,
+           {o_ts_str('ts')} AS ts_str,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS d,
+           CAST(hour(ts) AS INT) AS h,
+           CAST(isodow(ts) AS INT) AS iso_dow,
+           CAST(weekofyear(ts) AS INT) AS woy,
+           {o_ts_str("date_trunc('day', ts)")} AS day_start,
+           {o_ts_str("date_trunc('hour', ts)")} AS hour_start,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+             AS days_since_epoch_start
+    FROM events
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar pack over events (mirrors reference D1/D2,
+    etl.py:156,180-186, with the to_timestamp fix of SURVEY §4.3-Q2)."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        ts_str(F.col("ts")).alias("ts_str"),
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        F.hour("ts").cast("int").alias("h"),
+        (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+        F.weekofyear("ts").cast("int").alias("woy"),
+        ts_str(F.date_trunc("day", F.col("ts"))).alias("day_start"),
+        ts_str(F.date_trunc("hour", F.col("ts"))).alias("hour_start"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT event_id,
+           value,
+           round(value / 3.0, 4) AS value_div3,
+           abs(value - 100) AS dist_from_100,
+           CAST(ceil(value) AS BIGINT) AS value_ceil,
+           CAST(floor(value) AS BIGINT) AS value_floor,
+           round(sqrt(value), 4) AS value_sqrt,
+           round(ln(value + 1), 4) AS value_ln,
+           round(pow(value, 2), 4) AS value_sq,
+           CAST(user_id % 7 AS BIGINT) AS user_mod7,
+           CAST(greatest(value, 100.0) AS DOUBLE) AS val_hi,
+           CAST(least(value, 100.0) AS DOUBLE) AS val_lo
+    FROM events
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar pack over events.value."""
+    e = table(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        v.alias("value"),
+        F.round(v / 3.0, 4).alias("value_div3"),
+        F.abs(v - 100).alias("dist_from_100"),
+        F.ceil(v).cast("bigint").alias("value_ceil"),
+        F.floor(v).cast("bigint").alias("value_floor"),
+        F.round(F.sqrt(v), 4).alias("value_sqrt"),
+        F.round(F.log(v + 1), 4).alias("value_ln"),
+        F.round(F.pow(v, 2), 4).alias("value_sq"),
+        (F.col("user_id") % 7).cast("bigint").alias("user_mod7"),
+        F.greatest(v, F.lit(100.0)).cast("double").alias("val_hi"),
+        F.least(v, F.lit(100.0)).cast("double").alias("val_lo"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props JSON-string column.
+
+    At scale, repeated get_json_object on the same column should become
+    a single from_json(schema) parse — both forms stay JVM-side.
+    """
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        F.when(k.cast("int") >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+                 + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE), 4)
+             AS head4_sum,
+           CAST(embedding[1] > 0 AS BOOLEAN) AS first_positive
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar pack over embeddings.embedding (array<float>).
+
+    Element access + arithmetic stays JVM-side; float→double casts are
+    exact so the explicit 4-term sum is engine-identical.
+    """
+    em = table(spark, sf_dir, "embeddings")
+
+    def el(i: int):
+        return F.element_at("embedding", i).cast("double")
+
+    return em.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(el(1), 4).alias("first_val"),
+        F.round(el(1) + el(2) + el(3) + el(4), 4).alias("head4_sum"),
+        (F.element_at("embedding", 1) > 0).alias("first_positive"),
+    )

@@ -1,0 +1,88 @@
+"""UDF surface: vectorized scalar pandas_udf and grouped applyInPandas.
+
+The reference has no UDFs (SURVEY §2.2). Rules of the engine:
+- scalar Python logic → ``pandas_udf`` (Arrow batches, numpy kernels);
+- grouped custom logic → ``applyInPandas`` (one pandas frame per group);
+- never row-at-a-time ``F.udf`` in a hot path (10-100× slower).
+Both registered queries use deterministic kernels so the driver's
+rows-only checks are stable across runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import table
+from ..registry import query
+
+
+@pandas_udf(DoubleType())
+def sigmoid_scaled(v: pd.Series) -> pd.Series:
+    """Vectorized numpy kernel: sigmoid of a z-score-ish rescale."""
+    x = (v.to_numpy(dtype="float64") - 250.0) / 100.0
+    return pd.Series(np.round(1.0 / (1.0 + np.exp(-x)), 6))
+
+
+@query("q_udf_scalar")  # rows-only: Python-defined function, no SQL twin
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf over events.value (Arrow-batched, numpy inside)."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "value",
+        sigmoid_scaled(F.col("value")).alias("value_sigmoid"),
+    ).orderBy("event_id")
+
+
+_GROUP_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("median_value", DoubleType()),
+        StructField("p90_value", DoubleType()),
+        StructField("mad_value", DoubleType()),
+    ]
+)
+
+
+def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Robust stats (median / p90 / MAD) — not built into Spark SQL's
+    exact aggregate set, the canonical applyInPandas use case."""
+    v = np.sort(pdf["value"].to_numpy(dtype="float64"))
+    med = float(np.median(v))
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n": [len(v)],
+            "median_value": [round(med, 6)],
+            "p90_value": [round(float(np.percentile(v, 90)), 6)],
+            "mad_value": [round(float(np.median(np.abs(v - med))), 6)],
+        }
+    )
+
+
+@query("q_udaf_grouped")  # rows-only: Python-defined aggregation
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregation via applyInPandas, one shuffle on the
+    group key. Groups here are event types (5) — each group's frame fits
+    a worker; for high-cardinality keys this pattern holds because state
+    is per-group, not per-partition."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(_group_stats, schema=_GROUP_SCHEMA)
+        .orderBy("event_type")
+    )

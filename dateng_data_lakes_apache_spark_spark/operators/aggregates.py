@@ -1,0 +1,213 @@
+"""Aggregation operators: global / grouped / distinct / approx / rollup / cube / having.
+
+The reference has NO aggregation at all (SURVEY §2.2) — this module is
+pure extension surface. Every double aggregate uses decimal accumulation
+(common.dsum/davg) so Spark and the DuckDB oracle agree bit-for-bit
+regardless of partition summation order.
+
+Scale posture: all of these are hash aggregations with map-side partial
+aggregation (Spark's HashAggregate pairs), so the shuffle carries one
+row per (partition, group), not per input row. Group cardinalities here
+(returnflag×linestatus=6, custkey=1.5k·SF) keep reducer state tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..common import davg, dsum, o_davg, o_dsum
+from ..registry import query
+
+
+@query(
+    "q_agg_global",
+    oracle=f"""
+    SELECT {o_dsum('l_quantity')} AS sum_qty,
+           {o_davg('l_extendedprice')} AS avg_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS n_qty
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregation: SUM/AVG/MIN/MAX/COUNT in one pass."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+    )
+
+
+@query(
+    "q_agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base_price,
+           {o_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {o_davg('l_quantity')} AS avg_qty,
+           {o_davg('l_extendedprice')} AS avg_price,
+           {o_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation (the engine's flagship query).
+
+    6 groups regardless of scale → partial aggregation collapses the
+    shuffle to ~6 rows per map task; the scan (with shipdate pushdown)
+    dominates, which is exactly the profile you want at 100 TB.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_returnflag) AS n_flags,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts. Spark expands multiple COUNT(DISTINCT x)
+    into a single Expand + two-phase aggregate — one shuffle, not three."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — THE cardinality tool at 100 TB
+    (fixed-size sketch vs a shuffle of every distinct key). Deterministic
+    for a given dataset+rsd but engine-specific, hence rows-only; the
+    exact-vs-approx error bound is asserted in tests/test_aggregates.py."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
+        F.approx_count_distinct("o_orderkey", rsd=0.02).alias("approx_orderkeys"),
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per-nation, per-region subtotal, grand total."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "q_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over status × priority."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+@query(
+    "q_having",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) > 4000000
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING): big-spender customers."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_spend"),
+        )
+        .where(F.col("total_spend") > 4000000)
+    )
+
+
+@query(
+    "q_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: ORDER BY + LIMIT with a deterministic tiebreak.
+
+    Spark plans this as TakeOrderedAndProject — each task keeps a k-row
+    heap and the driver merges; no global sort ever materializes. That is
+    the only acceptable top-k at 100 TB.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

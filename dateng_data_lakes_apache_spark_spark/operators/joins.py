@@ -1,0 +1,189 @@
+"""Join operators: inner/outer/semi/anti, broadcast, and a scale-safe range join.
+
+The reference's only join is J1, a 2-key inner equi-join
+(etl.py:199-200: title=song AND artist_name=artist). The engine
+generalizes to the full join family. Scale notes per query docstring;
+the range join deliberately avoids the O(n·m) nested-loop plan Spark
+picks for pure inequality conditions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "q_join_inner_2key",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, s.s_suppkey, s.s_name
+    FROM customer c
+    JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey
+     AND (c.c_acctbal > 5000) = (s.s_acctbal > 5000)
+    """,
+)
+def q_join_inner_2key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join on two keys (mirrors reference J1, etl.py:199-200).
+
+    Second key is a derived boolean so both keys participate in the hash —
+    same shape as the reference's (title, artist_name) composite. The
+    supplier side is far under the broadcast threshold → BroadcastHashJoin,
+    no shuffle of the large side.
+    """
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    c2 = c.withColumn("rich", F.col("c_acctbal") > 5000)
+    s2 = s.withColumn("rich", F.col("s_acctbal") > 5000)
+    return (
+        c2.join(s2, [c2.c_nationkey == s2.s_nationkey, c2.rich == s2.rich], "inner")
+        .select("c_custkey", "c_name", "s_suppkey", "s_name")
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — unmatched customers keep NULL order columns."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having a big order. Semi joins only ship
+    the join key of the probe side — no row multiplication, and the build
+    side deduplicates keys before the hash table."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders at all."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicit broadcast hints on both dims.
+
+    nation (25 rows) and region (5 rows) stay tiny at every scale factor,
+    so broadcasting removes both shuffles: the plan is a single scan of
+    customer with two in-memory hash probes. This is the canonical 100 TB
+    star-join shape (dynamic partition pruning kicks in when the fact side
+    is partitioned by the dim key).
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+# Range-join bucket width. 5 minutes in seconds.
+_BUCKET_S = 300
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_seconds
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 5 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: click events within 5 minutes before each purchase.
+
+    A naive inequality join compiles to BroadcastNestedLoopJoin — O(n·m),
+    dead at scale. Instead we bucket time into 5-minute epochs, explode the
+    purchase side over the two buckets its window can overlap, and run an
+    *equi*-join on (user_id, bucket) followed by the exact range filter.
+    Each click has exactly one bucket, so no duplicate pairs are produced.
+    This is the standard distributed band-join: shuffle is hash(user,
+    bucket) — fully parallel, no nested loop, survives 100×.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+        (F.unix_timestamp("ts") / _BUCKET_S).cast("long").alias("bucket"),
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            (F.unix_timestamp("ts") / _BUCKET_S).cast("long").alias("p_bucket"),
+        )
+        # a 5-minute look-back window spans at most 2 adjacent buckets
+        .withColumn("bucket", F.explode(F.array(F.col("p_bucket") - 1, F.col("p_bucket"))))
+        .drop("p_bucket")
+    )
+    joined = purchases.join(clicks, ["user_id", "bucket"], "inner").where(
+        (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_BUCKET_S} SECOND"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_seconds"),
+    )

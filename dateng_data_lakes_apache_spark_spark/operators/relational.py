@@ -1,0 +1,148 @@
+"""Scan / filter / projection / conditional operators.
+
+Mirrors the reference's S1-S5 scans, P1/P2 projections, F1 filter and
+D1-D3 derivations (SURVEY §2.1; etl.py:106,116,149,153,156,166-172)
+over the engine catalog tables. All scans are parquet + Catalyst, so
+predicate pushdown and column pruning reach the file scan for free —
+verified in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + column projection (reference P1, etl.py:116).
+
+    Column pruning: the parquet ReadSchema carries only these 4 of
+    lineitem's 11 columns — at 100 TB that is the difference between
+    reading ~36% and 100% of the table bytes.
+    """
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "q_filter_eq",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter (reference F1: page='NextSong', etl.py:153).
+
+    The predicate is pushed to the parquet scan (PushedFilters:
+    EqualTo(event_type,purchase)) → row-group dictionary pruning.
+    """
+    return (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@query(
+    "q_filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.08
+    """,
+)
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + conjunctive filter; min/max row-group pruning on l_shipdate."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.08)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@query(
+    "q_filter_in_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#7', 'Brand#13')
+      AND p_type LIKE '%AND%'
+      AND p_name IS NOT NULL
+    """,
+)
+def q_filter_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + LIKE + null predicate in one conjunction."""
+    p = table(spark, sf_dir, "part")
+    return p.where(
+        F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#13")
+        & F.col("p_type").like("%AND%")
+        & F.col("p_name").isNotNull()
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+@query(
+    "q_project_rename_cast",
+    oracle="""
+    SELECT l_orderkey AS order_id,
+           l_linenumber AS line_no,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           CAST(l_extendedprice AS VARCHAR) AS price_str,
+           CAST(CAST(l_tax AS DECIMAL(10,2)) AS DOUBLE) AS tax_round_trip
+    FROM lineitem
+    """,
+)
+def q_project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + alias renames + casts (reference P2, etl.py:166-172
+    camelCase→snake_case renames)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.col("l_extendedprice").cast("string").alias("price_str"),
+        # decimal cast exercised, then back to double: engines' client layers
+        # disagree on decimal value rendering, doubles compare exactly
+        F.col("l_tax").cast("decimal(10,2)").cast("double").alias("tax_round_trip"),
+    )
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice,
+           CASE WHEN o_totalprice >= 400000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS price_band,
+           CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_open
+    FROM orders
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions (CASE WHEN / multi-branch)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_totalprice") >= 400000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("is_open"),
+    )

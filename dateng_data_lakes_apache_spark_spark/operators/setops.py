@@ -1,0 +1,66 @@
+"""Set operators: UNION ALL / INTERSECT / EXCEPT ALL (absent from reference)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT c_custkey AS entity_id, c_name AS entity_name, 'customer' AS kind
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_id, s_name AS entity_name, 'supplier' AS kind
+    FROM supplier
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL via unionByName — no shuffle, just concatenated partitions."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("kind"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): nations having both customers and
+    suppliers. Planned as an aggregate + semi-join under the hood."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey AS custkey FROM customer
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference): order rows minus one occurrence
+    per existing customer key — preserves duplicates, unlike EXCEPT."""
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.exceptAll(c)

@@ -1,0 +1,206 @@
+"""Vector similarity operators over the embeddings table (array<float>).
+
+All vector math uses JVM higher-order functions (zip_with/aggregate) —
+strict left-fold summation, so results are bit-identical across engines
+and runs. No Python in the distance computation.
+
+Scale ladder (the ANN story for 100 TB):
+1. q_vector_norm / q_similarity_topk — exact brute force, O(n) per query;
+   the correctness baseline and fine for one-off queries.
+2. q_ann_lsh — random-hyperplane LSH: probe only matching sign-buckets.
+3. q_ann_ivf — inverted-file index: probe only the nearest coarse cells.
+Both prune the candidate set by orders of magnitude and keep the probe
+an equi-join on bucket/cell id — hash-partitionable, no cross-product.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_QUERY_VEC_ID = 0  # deterministic query point for the registered queries
+_DIM = 64
+
+
+def _dot(a, b) -> Column:
+    """Exact dot product: strict in-order fold, floats cast to double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+@query(
+    "q_vector_norm",
+    oracle="""
+    SELECT vec_id,
+           label,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 / len(embedding), 4) AS mean_val
+    FROM embeddings
+    """,
+)
+def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm and mean — the basic vector-math kernel."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    mean = _dot(emb, F.transform(emb, lambda x: F.lit(1.0))) / F.size(emb)
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(_norm(emb), 4).alias("l2_norm"),
+        F.round(mean, 4).alias("mean_val"),
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_df: DataFrame, k: int = 10, round_to: int = 4
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the 1-row query vector, compute
+    cosine JVM-side, TakeOrderedAndProject for the top k. The generic
+    building block behind the registered queries."""
+    joined = embeddings.crossJoin(F.broadcast(query_df))
+    cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
+    )
+    return (
+        joined.select("vec_id", "label", F.round(cos, round_to).alias("cosine"))
+        .where(F.col("vec_id") != _QUERY_VEC_ID)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+@query("q_similarity_topk")  # rows-only: DuckDB's list_cosine_similarity sums in
+# float32, so cross-engine value equality is not guaranteed; exactness is
+# instead unit-tested against numpy in tests/test_similarity.py.
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0 (brute-force baseline)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return cosine_topk(e, q, k=10)
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (public LSH recipe:
+    Charikar 2002 random-projection hashing)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def _sign_bucket(emb_col, planes: list[list[float]]) -> Column:
+    """LSH bucket id = integer of sign bits of <plane_i, v>."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(emb_col, plane_arr) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+@query("q_ann_lsh")  # rows-only: 8×64 hyperplane constants are impractical as SQL text
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH (8 planes → 256 buckets).
+
+    Candidates = vectors in the query's bucket (equi-join on bucket id),
+    then exact cosine within the bucket only. At 100 TB the bucket column
+    is computed once at ingest and the table is hash-partitioned by it,
+    making each query a single-partition probe. Deterministic: planes are
+    seeded; recall vs brute force is asserted in tests/test_similarity.py.
+    """
+    planes = _hyperplanes(8, _DIM)
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket(F.col("embedding"), planes)
+    )
+    q = e.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+    )
+    cands = e.join(F.broadcast(q), e.bucket == F.col("q_bucket"))
+    cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
+    )
+    return (
+        cands.select("vec_id", "label", "bucket", F.round(cos, 4).alias("cosine"))
+        .where(F.col("vec_id") != _QUERY_VEC_ID)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@query("q_ann_ivf")  # rows-only: centroid assignment join is not plain-SQL friendly
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign vectors to coarse cells, probe nearest cells.
+
+    Coarse "centroids" are a deterministic sample (vec_id < 8 — a stand-in
+    for k-means trained offline). Assignment = argmin cell distance via a
+    broadcast join + min-struct trick (no window, no cross-product kept).
+    Query probes its 2 nearest cells, exact cosine inside ~2/8 of the data.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
+    )
+    # cell assignment: min (distance, cell_id) struct per vector
+    dist2 = _dot(
+        F.zip_with("embedding", "cent", lambda x, y: x.cast("double") - y.cast("double")),
+        F.zip_with("embedding", "cent", lambda x, y: x.cast("double") - y.cast("double")),
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(dist2.alias("d"), F.col("cell_id"))).alias("best"),
+            F.first("embedding").alias("embedding"),
+            F.first("label").alias("label"),
+        )
+        .select("vec_id", "label", "embedding", F.col("best.cell_id").alias("cell_id"))
+    )
+    q = assigned.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    # probe cells: the query's 2 nearest centroids
+    q_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell_id",
+            _dot(
+                F.zip_with("cent", "q_embedding", lambda x, y: x.cast("double") - y.cast("double")),
+                F.zip_with("cent", "q_embedding", lambda x, y: x.cast("double") - y.cast("double")),
+            ).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col("cell_id").asc())
+        .limit(2)
+        .select("cell_id")
+    )
+    cands = assigned.join(F.broadcast(q_cells), "cell_id").crossJoin(F.broadcast(q))
+    cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
+    )
+    return (
+        cands.select("vec_id", "label", "cell_id", F.round(cos, 4).alias("cosine"))
+        .where(F.col("vec_id") != _QUERY_VEC_ID)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -1,0 +1,249 @@
+"""Text-analysis operators for training-data pipelines.
+
+Word-count / token stats / quality scoring / language-ID heuristic /
+content fingerprinting over the ``documents`` table. Everything is
+built from JVM-side built-ins (split/explode/transform/aggregate/md5)
+— no Python UDF in any hot path, so the operators whole-stage-codegen
+and scale linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..common import davg, o_davg
+from ..registry import query
+
+# Tiny English stopword list used by the quality scorer (public knowledge).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+@query(
+    "q_explode_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic explode→group wordcount (array explode + hash agg).
+
+    Map-side partial aggregation collapses each task's words before the
+    shuffle, so shuffle volume is O(distinct words per task), not O(tokens).
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {o_davg("len(list_filter(string_split(text, ' '), w -> w <> ''))")} AS avg_tokens,
+           {o_davg('length(text)')} AS avg_chars,
+           CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+           CAST(MAX(length(text)) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (token/char distributions)."""
+    d = table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda w: w != "")
+    return (
+        d.select("lang", F.size(tokens).alias("n_tokens"), F.length("text").alias("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg(F.col("n_tokens")).alias("avg_tokens"),
+            davg(F.col("n_chars")).alias("avg_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "q_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+             AS bpe_ish_tokens,
+           CAST(length(text) AS INT) AS n_chars
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    tokenizer (letter runs / digit runs / single punctuation) — the
+    standard pre-tokenizer shape used before byte-pair merging."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    return d.select(
+        "doc_id",
+        ws.cast("int").alias("ws_tokens"),
+        bpe.cast("int").alias("bpe_ish_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ntok AS INT) AS n_tokens,
+           round(CAST(length(text) AS DOUBLE) / ntok, 4) AS avg_token_len,
+           round(CAST(nstop AS DOUBLE) / ntok, 4) AS stopword_ratio,
+           round(CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS alpha_ratio,
+           CASE WHEN ntok >= 5 AND CAST(nstop AS DOUBLE) / ntok BETWEEN 0.01 AND 0.9
+                THEN 1 ELSE 0 END AS quality_keep
+    FROM (
+      SELECT doc_id, text,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS ntok,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({list(STOPWORDS)!r}, w))) AS nstop
+      FROM documents
+    )
+    WHERE ntok > 0
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring (Gopher/C4-style filters):
+    token count, mean token length, stopword ratio, alphabetic ratio,
+    and a keep/drop decision — all as vectorized column expressions."""
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = d.select(
+        "doc_id",
+        "text",
+        F.size(words).alias("ntok"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).alias("nstop"),
+    ).where(F.col("ntok") > 0)
+    ntok_d = F.col("ntok").cast("double")
+    stop_ratio = F.col("nstop").cast("double") / ntok_d
+    return base.select(
+        "doc_id",
+        F.col("ntok").cast("int").alias("n_tokens"),
+        F.round(F.length("text").cast("double") / ntok_d, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("alpha_ratio"),
+        F.when((F.col("ntok") >= 5) & stop_ratio.between(0.01, 0.9), 1)
+        .otherwise(0)
+        .alias("quality_keep"),
+    )
+
+
+# Marker words per language for the n-gram/keyword language-ID heuristic.
+# The synthetic corpus is English-vocabulary for every `lang` value, so the
+# heuristic's PREDICTION quality is moot — what is exercised is the operator
+# shape: per-language scoring + argmax entirely in column expressions.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "value", "table"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "que", "los", "una"),
+}
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_true,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS lang_pred,
+           CAST(s_en AS INT) AS score_en
+    FROM (
+      SELECT doc_id, lang,
+             {', '.join(
+                 f"len(list_filter(string_split(text, ' '), w -> list_contains({list(m)!r}, w))) AS s_{k}"
+                 for k, m in LANG_MARKERS.items()
+             )}
+      FROM documents
+    )
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification with deterministic argmax
+    (ties break in fixed en>de>fr>es priority order)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def marker_score(markers: tuple[str, ...]):
+        # closure-bound (not lambda-default) so the HOF lambda stays 1-arg
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    scores = {k: marker_score(m) for k, m in LANG_MARKERS.items()}
+    base = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        *[v.alias(f"s_{k}") for k, v in scores.items()],
+    )
+    s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    return base.select(
+        "doc_id",
+        "lang_true",
+        pred.alias("lang_pred"),
+        F.col("s_en").cast("int").alias("score_en"),
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_md5,
+           list_min(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+             i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))
+           )) AS min_shingle_md5
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content hash + min-hash over rolling
+    5-word shingles (the winnowing primitive). md5 is byte-identical across
+    engines, so even the shingle minimum oracle-compares exactly."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_sh = F.greatest(F.size(words) - 4, F.lit(1))
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 5))),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
+        F.array_min(shingle_hashes).alias("min_shingle_md5"),
+    )

@@ -1,0 +1,116 @@
+"""Window-function operators: ranking, top-k per group, running frames.
+
+Absent from the reference (SURVEY §2.2); also the fix for its Q3 bug
+(users_table dedup = top-1 per user by ts — see pipelines/star_schema.py).
+
+Scale posture: one shuffle on the partition key, then a per-partition
+sort. Partition keys here (nationkey, custkey) have bounded per-key row
+counts, so no single window partition can blow an executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..common import o_ts_str, ts_str
+from ..registry import query
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank over a deterministic total order."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+
+@query(
+    "q_window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the row_number()<=k idiom.
+
+    Spark ≥3.5 rewrites rank<=k filters into WindowGroupLimit — each map
+    task pre-prunes to k rows per key before the shuffle, so the shuffle
+    volume is O(k·groups) not O(rows). Verified in tests/test_plans.py.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "q_window_running",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {o_ts_str('o_orderdate')} AS order_date,
+           o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame + lag/lead analytics.
+
+    The running decimal sum is order-deterministic (unique (date, key)
+    ordering) so it oracle-compares exactly.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        ts_str(F.col("o_orderdate")).alias("order_date"),
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).over(wf).cast("double").alias(
+            "running_spend"
+        ),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )

@@ -1,0 +1,73 @@
+"""Schema-applied lake readers (generalize reference S1-S5).
+
+The reference hard-codes four read shapes (schema'd JSON song/log scans,
+parquet read-back, CSV smoke read — etl.py:106,149,195; Test_S3_Access.py:53).
+Here each format is one function with the engine's defaults: explicit
+schema for row formats (skips Spark's inference pass — one full data
+scan saved per read), self-described parquet, and path-list support
+(the reference's S3-listing multi-path read, ETL_from_Notebook.py:131-142).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_json(
+    spark: SparkSession,
+    path: str | Sequence[str],
+    schema: StructType,
+    multi_line: bool = False,
+) -> DataFrame:
+    """NDJSON/JSON reader. ``multi_line=False`` is the NDJSON default —
+    the reference inverted it and silently dropped data (SURVEY §4.3-Q1)."""
+    paths = [path] if isinstance(path, str) else list(path)
+    return spark.read.schema(schema).option("multiLine", multi_line).json(paths)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | Sequence[str],
+    schema: StructType | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV reader (reference S5 / the commented-out K3 sink's format)."""
+    paths = [path] if isinstance(path, str) else list(path)
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(paths)
+
+
+def read_parquet(spark: SparkSession, path: str | Sequence[str]) -> DataFrame:
+    """Parquet reader — self-describing, never schema-forced (§4.3-Q8)."""
+    paths = [path] if isinstance(path, str) else list(path)
+    return spark.read.parquet(*paths)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = 1_000_000,
+) -> None:
+    """Partitioned parquet sink (reference K1/K2) with small-file control:
+    maxRecordsPerFile caps file size so dynamic partition writes don't
+    emit thousands of tiny files per task at high parallelism."""
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, sep: str = ",", header: bool = True, mode: str = "overwrite") -> None:
+    """CSV sink (reference K3, ETL_from_Notebook.py:120-122 — commented
+    out there, first-class here)."""
+    df.write.mode(mode).option("header", header).option("sep", sep).csv(path)

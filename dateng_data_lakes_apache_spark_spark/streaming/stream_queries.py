@@ -1,0 +1,149 @@
+"""Structured Streaming operators over the events table as a file stream.
+
+Each query reads the parquet events table with ``readStream`` (file
+source), applies a watermark + stateful operator, and runs with
+``trigger(availableNow=True)`` into an in-memory sink so it terminates
+deterministically and returns a plain DataFrame — directly comparable
+to a batch twin (used as the tumbling query's DuckDB oracle).
+
+State posture at scale: watermarks bound state (late data beyond 10
+minutes is dropped); tumbling/session aggregation state is per
+(window,key) in the state store; dedup state is per event_id within the
+watermark horizon. All three run identically against kafka/file sources
+on a cluster — only the source/sink lines change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import normalize_nanos_ts, table_path
+from ..common import o_dsum, o_ts_str, ts_str
+from ..registry import query
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def _stage_events_dir(sf_dir: str) -> str:
+    """Spark's file-stream source lists a *directory*; the catalog stores
+    events as a single parquet file. Stage (hard-link/copy) it into a
+    scratch dir once per scale factor — on a cluster the source would be
+    the landing directory itself and this step disappears."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stage_dir = os.path.join(_SCRATCH, "stream_src", tag)
+    staged = os.path.join(stage_dir, "events-000.parquet")
+    if not os.path.exists(staged):
+        os.makedirs(stage_dir, exist_ok=True)
+        try:
+            os.link(table_path(sf_dir, "events"), staged)
+        except OSError:
+            shutil.copyfile(table_path(sf_dir, "events"), staged)
+    return stage_dir
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table as a bounded file stream (schema from the batch read,
+    nanos ts normalized to TimestampType exactly as in the batch catalog)."""
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = spark.readStream.schema(schema).parquet(_stage_events_dir(sf_dir))
+    return normalize_nanos_ts(stream)
+
+
+def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Execute a streaming DF to completion into a memory sink; return the
+    materialized result as a batch DataFrame."""
+    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(_SCRATCH, "checkpoints", sink)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(sink)
+
+
+@query(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT {o_ts_str("date_trunc('hour', ts)")} AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {o_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation with a 10-minute watermark.
+
+    availableNow processes the whole bounded input, so the streaming
+    result equals the batch date_trunc twin — which is exactly the
+    oracle: the driver hash-compares stream output vs batch SQL.
+    Output mode is "complete": with a single availableNow batch the
+    watermark never passes the last windows, so "append" would withhold
+    them; complete emits every window of the bounded input.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("sum_value_dec"),
+        )
+    )
+    result = _run_to_memory(agg, "tumbling", "complete")
+    return result.select(
+        ts_str(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )
+
+
+@query("q_stream_session")  # rows-only: session-window semantics have no SQL twin here
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — the
+    Structured Streaming native sessionization operator. Deterministic
+    on bounded input; gap-and-island batch twin is unit-tested."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    result = _run_to_memory(agg, "sessions", "complete")
+    return result.select(
+        "user_id",
+        ts_str(F.col("w.start")).alias("session_start"),
+        ts_str(F.col("w.end")).alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark horizon,
+    then a per-type count. event_id is unique in the source, so the
+    batch DISTINCT ON twin is an exact oracle."""
+    ev = _events_stream(spark, sf_dir)
+    dedup = ev.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    agg = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    result = _run_to_memory(agg, "dedup", "complete")
+    return result
