@@ -1,0 +1,114 @@
+"""Physical-plan shape assertions — the 100 TB posture, enforced.
+
+Correct results with the wrong plan do not survive a 1000× scale-up;
+these tests pin the plan properties SURVEY §4.2/§4.4 relies on.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dateng_data_lakes_apache_spark_spark.catalog import table
+from dateng_data_lakes_apache_spark_spark.plans.explain import (
+    formatted_plan,
+    scan_read_schema,
+)
+from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+QS = get_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = formatted_plan(QS["q_filter_eq"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "event_type" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning_scan_project(spark, sf_dir):
+    cols = scan_read_schema(QS["q_scan_project"](spark, sf_dir))
+    # 4 of lineitem's 11 columns — pruning reached the parquet reader
+    assert set(cols) == {"l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"}
+
+
+def test_range_filter_pushdown(spark, sf_dir):
+    plan = formatted_plan(QS["q_filter_range"](spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed and "LessThan(l_shipdate" in pushed
+
+
+def _nodes(plan: str, op: str) -> int:
+    """Count physical operators in a formatted plan's details section
+    (each node appears once as '(N) Op' — the tree echo would double-count)."""
+    return len(re.findall(rf"^\(\d+\) {op}", plan, re.M))
+
+
+def test_broadcast_join_for_dims(spark, sf_dir):
+    plan = formatted_plan(QS["q_join_broadcast"](spark, sf_dir))
+    assert _nodes(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_etl_no_fact_shuffle(spark, sf_dir):
+    # the fact (events) side must stream through broadcast probes only
+    plan = formatted_plan(QS["q_star_etl"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    # ORDER BY + LIMIT must never globally sort (TakeOrderedAndProject)
+    plan = formatted_plan(QS["q_sort_limit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_topk_group_limit(spark, sf_dir):
+    # rank<=k filters should pre-prune per map task (WindowGroupLimit)
+    plan = formatted_plan(QS["q_window_topk_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the bucketed band join must plan as a hash equi-join, never O(n*m)
+    plan = formatted_plan(QS["q_join_theta_range"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_join_plans(spark, sf_dir):
+    semi = formatted_plan(QS["q_join_semi"](spark, sf_dir))
+    anti = formatted_plan(QS["q_join_anti"](spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_agg_has_partial_aggregation(spark, sf_dir):
+    # two HashAggregate ops (partial + final) around one exchange
+    plan = formatted_plan(QS["q_agg_groupby"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE hides codegen spans until execution — check with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = formatted_plan(QS["q_agg_groupby"](spark, sf_dir))
+        # formatted mode marks codegen'd operators with "[codegen id : N]"
+        assert "[codegen id :" in plan
+        # the agg→project→filter→scan pipeline must share one codegen stage
+        assert "[codegen id : 1]" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_explicit_broadcast_hint_respected(spark, sf_dir):
+    # even under a tiny autoBroadcast threshold, F.broadcast() must win
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        c = table(spark, sf_dir, "customer")
+        n = table(spark, sf_dir, "nation")
+        plan = formatted_plan(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
