@@ -1,0 +1,165 @@
+"""As-of join, pivot, and the SQL surface (reference Q1 generalized).
+
+The as-of join is the canonical "operator Spark lacks" (SURVEY task
+brief): implemented as a composition of union + window — one shuffle,
+no range explosion — rather than any per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table, register_views
+from ..common import o_ts_str, ts_str
+from ..registry import query
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Distributed strategy: tag and union both inputs, then one window
+    (partition by key, order by time) carries the most recent right-side
+    values forward via last(ignorenulls) — a single hash shuffle on the
+    key, linear state, no time-range self-join. This is the standard
+    scale-out as-of algorithm (a sort-merge within key partitions);
+    at 100 TB the shuffle is the same one any per-key sessionization pays.
+    """
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt = right.withColumn("_side", F.lit(0)).withColumn("_ts", F.col(right_ts))
+    cols = set(lt.columns) | set(rt.columns)
+    for c in cols:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    unioned = lt.select(*sorted(cols)).unionByName(rt.select(*sorted(cols)))
+    # right rows sort before left rows at equal timestamps → "<=" semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.where(F.col("_side") == 1).select(
+        *left.columns, *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols]
+    )
+    return out
+
+
+@query(
+    "q_join_asof",
+    oracle=f"""
+    SELECT p.event_id,
+           p.user_id,
+           {o_ts_str('p.ts')} AS purchase_ts,
+           c.event_id AS asof_click_id,
+           {o_ts_str('c.ts')} AS asof_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click
+    at-or-before it (DuckDB's native ASOF JOIN is the oracle)."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        right_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("ts")).alias("purchase_ts"),
+        F.col("asof_click_id").alias("asof_click_id"),
+        ts_str(F.col("asof_click_ts")).alias("asof_click_ts"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS seg_automobile,
+           COUNT(*) FILTER (c_mktsegment = 'BUILDING')   AS seg_building,
+           COUNT(*) FILTER (c_mktsegment = 'FURNITURE')  AS seg_furniture,
+           COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD')  AS seg_household,
+           COUNT(*) FILTER (c_mktsegment = 'MACHINERY')  AS seg_machinery
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): customer counts per nation × market segment.
+
+    Explicit pivot values keep it one pass (no extra distinct-values job)
+    — mandatory at scale where the values scan would be a full pass.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    pivoted = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .count()
+    )
+    out = pivoted.select(
+        "n_name", *[F.coalesce(F.col(s), F.lit(0)).alias(f"seg_{s.lower()}") for s in segs]
+    )
+    return out
+
+
+@query(
+    "q_sql_surface",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry surface (reference Q1, ETL_from_Notebook.py:255-278):
+    temp views + spark.sql produce the same Catalyst plan space as the
+    DataFrame API — this query IS the proof, oracle-checked."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        """
+    )

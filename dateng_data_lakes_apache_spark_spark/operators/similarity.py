@@ -120,30 +120,66 @@ def _sign_bucket(emb_col, planes: list[list[float]]) -> Column:
     return bucket
 
 
-@query("q_ann_lsh")  # rows-only: 8×64 hyperplane constants are impractical as SQL text
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH (8 planes → 256 buckets).
+# Multi-table LSH configuration: collision prob for cosine≈0.5 neighbors is
+# (1-θ/π)^K per table ≈ 0.2, and 1-(1-0.2)^L ≈ 0.83 across L tables — the
+# standard K/L recall-vs-candidates dial (Charikar 2002; Indyk-Motwani 1998).
+_LSH_TABLES = 8
+_LSH_PLANES_PER_TABLE = 4
 
-    Candidates = vectors in the query's bucket (equi-join on bucket id),
-    then exact cosine within the bucket only. At 100 TB the bucket column
-    is computed once at ingest and the table is hash-partitioned by it,
-    making each query a single-partition probe. Deterministic: planes are
-    seeded; recall vs brute force is asserted in tests/test_similarity.py.
+
+def lsh_bucket_table(embeddings: DataFrame, n_tables: int = _LSH_TABLES,
+                     k: int = _LSH_PLANES_PER_TABLE, dim: int = _DIM) -> DataFrame:
+    """(vec_id, label, embedding, table_id, bucket) — one row per LSH table.
+
+    At 100 TB this is the ingest-time index: persisted bucketed/partitioned
+    by (table_id, bucket) so a query probes L partitions, never the corpus.
     """
-    planes = _hyperplanes(8, _DIM)
-    e = table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _sign_bucket(F.col("embedding"), planes)
+    planes = _hyperplanes(n_tables * k, dim)
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _sign_bucket(F.col("embedding"), planes[t * k : (t + 1) * k]).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
     )
-    q = e.where(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+    return embeddings.select(
+        "vec_id", "label", "embedding", F.explode(buckets).alias("tb")
+    ).select("vec_id", "label", "embedding", "tb.table_id", "tb.bucket")
+
+
+@query("q_ann_lsh")  # rows-only: 32×64 hyperplane constants are impractical as SQL text
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    Candidates = union over L tables of the query's bucket occupants — an
+    equi-join on (table_id, bucket), hash-partitionable, never a
+    cross-product — then exact cosine over the (deduplicated) candidates.
+    Deterministic (seeded planes); recall vs brute force is asserted in
+    tests/test_similarity.py.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    bucketed = lsh_bucket_table(e)
+    q = bucketed.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding"),
+        F.col("table_id").alias("q_table_id"),
+        F.col("bucket").alias("q_bucket"),
     )
-    cands = e.join(F.broadcast(q), e.bucket == F.col("q_bucket"))
+    cands = (
+        bucketed.join(
+            F.broadcast(q),
+            (bucketed.table_id == F.col("q_table_id"))
+            & (bucketed.bucket == F.col("q_bucket")),
+        )
+        .where(F.col("vec_id") != _QUERY_VEC_ID)
+        .dropDuplicates(["vec_id"])
+    )
     cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
         _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
     )
     return (
-        cands.select("vec_id", "label", "bucket", F.round(cos, 4).alias("cosine"))
-        .where(F.col("vec_id") != _QUERY_VEC_ID)
+        cands.select("vec_id", "label", F.round(cos, 4).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )

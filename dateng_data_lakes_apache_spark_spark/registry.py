@@ -63,6 +63,7 @@ def load_all() -> None:
         return
     from .operators import (  # noqa: F401
         aggregates,
+        asof_pivot_sql,
         dedup,
         joins,
         relational,

@@ -1,0 +1,106 @@
+"""Semantic tests for the dedup family using planted duplicates —
+the property the driver's rows-only check can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dateng_data_lakes_apache_spark_spark.operators.dedup import (
+    _word_shingles,
+    minhash_signature,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    near = base.replace("lazy", "sleepy")  # one-word near-duplicate
+    far = (
+        "completely different content about distributed query engines and "
+        "columnar storage formats with vectorized execution pipelines"
+    )
+    return spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+
+
+def test_minhash_identical_docs_full_signature_match(planted):
+    sigs = planted.select(
+        "doc_id", minhash_signature(_word_shingles(F.col("text"))).alias("sig")
+    ).collect()
+    by_id = {r.doc_id: r.sig for r in sigs}
+    assert by_id[0] == by_id[1]  # identical text → identical signature
+    # near-dup shares most of the signature
+    overlap_near = sum(a == b for a, b in zip(by_id[0], by_id[2])) / len(by_id[0])
+    overlap_far = sum(a == b for a, b in zip(by_id[0], by_id[3])) / len(by_id[0])
+    assert overlap_near >= 0.5
+    assert overlap_far == 0.0
+
+
+def test_minhash_estimate_tracks_true_jaccard(planted):
+    rows = planted.select(
+        "doc_id", _word_shingles(F.col("text")).alias("sh"),
+        minhash_signature(_word_shingles(F.col("text"))).alias("sig"),
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    a, b = by_id[0], by_id[2]
+    true_j = len(set(a.sh) & set(b.sh)) / len(set(a.sh) | set(b.sh))
+    est_j = sum(x == y for x, y in zip(a.sig, b.sig)) / len(a.sig)
+    assert abs(true_j - est_j) < 0.35  # 16 permutations → coarse but unbiased
+
+
+def test_exact_dedup_groups_identical_texts(spark, planted):
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    # run the registered query's logic shape directly on planted data
+    grouped = (
+        planted.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_keeper = {r.keeper: r.n for r in grouped}
+    assert by_keeper[0] == 2  # docs 0 and 1 collapse, keeper is min(doc_id)
+    assert by_keeper[2] == 1 and by_keeper[3] == 1
+
+
+def test_ngram_jaccard_bounds(spark, planted):
+    sh = planted.select("doc_id", _word_shingles(F.col("text"), k=3).alias("s"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            (inter / union).alias("j"),
+        )
+        .collect()
+    )
+    jac = {(r.da, r.db): r.j for r in pairs}
+    assert jac[(0, 1)] == 1.0  # identical
+    assert 0.5 < jac[(0, 2)] < 1.0  # near-dup
+    assert jac[(0, 3)] == 0.0  # unrelated
+
+
+def test_simhash_hamming_separation(spark, planted, sf_dir, monkeypatch):
+    # identical docs → identical simhash; near-dup → small Hamming distance
+    from dateng_data_lakes_apache_spark_spark.operators import dedup as dd
+
+    monkeypatch.setattr(
+        dd, "table", lambda _s, _d, _n: planted.withColumn("dummy", F.lit(1))
+    )
+    rows = dd.q_dedup_simhash.__wrapped__(spark, sf_dir).collect()
+    by_id = {r.doc_id: r.simhash for r in rows}
+    assert by_id[0] == by_id[1]
+
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(by_id[0], by_id[2]) <= 12
+    assert hamming(by_id[0], by_id[3]) >= 20

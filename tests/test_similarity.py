@@ -1,0 +1,67 @@
+"""Vector-operator ground truth vs numpy + ANN recall bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+QS = get_queries()
+
+
+@pytest.fixture(scope="module")
+def np_embeddings(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vec_ids = np.array(t["vec_id"].to_pylist())
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return vec_ids, mat
+
+
+def test_vector_norm_matches_numpy(spark, sf_dir, np_embeddings):
+    vec_ids, mat = np_embeddings
+    expected = {int(v): float(np.linalg.norm(m)) for v, m in zip(vec_ids, mat)}
+    rows = QS["q_vector_norm"](spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r.l2_norm - round(expected[r.vec_id], 4)) < 1e-9
+
+
+def test_similarity_topk_matches_numpy(spark, sf_dir, np_embeddings):
+    vec_ids, mat = np_embeddings
+    q = mat[vec_ids == 0][0]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        [(round(c, 4), int(v)) for v, c in zip(vec_ids, cos) if v != 0],
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    expected_ids = [v for _, v in order]
+    got = [r.vec_id for r in QS["q_similarity_topk"](spark, sf_dir).collect()]
+    assert got == expected_ids
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    brute = {r.vec_id for r in QS["q_similarity_topk"](spark, sf_dir).collect()}
+    lsh = {r.vec_id for r in QS["q_ann_lsh"](spark, sf_dir).collect()}
+    # 8 tables × 4 planes: expected recall ≈0.8 for cosine≈0.5 neighbors;
+    # require ≥40% overlap with the exact top-10 as a robust lower bound
+    assert len(lsh & brute) >= 4
+
+
+def test_ann_ivf_candidates_are_near(spark, sf_dir):
+    rows = QS["q_ann_ivf"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    brute = {r.vec_id: r.cosine for r in QS["q_similarity_topk"](spark, sf_dir).collect()}
+    # every IVF result that the exact search also ranked must agree on score
+    for r in rows:
+        if r.vec_id in brute:
+            assert abs(r.cosine - brute[r.vec_id]) < 1e-9
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    from dateng_data_lakes_apache_spark_spark.catalog import table
+
+    exact_cust = table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    row = QS["q_agg_approx_distinct"](spark, sf_dir).collect()[0]
+    assert abs(row.approx_custkeys - exact_cust) / exact_cust < 0.06  # 3×rsd
