@@ -60,6 +60,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = get_queries()
 
+    # Warm up the JVM / codegen / file index once so the first measured
+    # query isn't charged session-startup costs.
+    execute_fully(queries["q_scan_project"](spark, sf_dir).limit(1))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

@@ -86,7 +86,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic (hash-only), checked rows-only by the driver; semantics
     are unit-tested with planted near-duplicates in tests/test_dedup.py.
     """
-    d = table(spark, sf_dir, "documents")
+    # The testdata ships one row group per file → a bare scan runs on one
+    # task. Hashing dominates here, so a round-robin repartition (a few MB
+    # of shuffle) buys full-core parallelism for the signature computation.
+    # On a real lake with properly-sized files this line is a no-op cost.
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # Materialize shingles in their own projection: the 16 per-seed min-hash
     # expressions then reference one computed array instead of re-deriving
     # split→filter→shingle→distinct 16× (Catalyst does not CSE inside
@@ -116,6 +122,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+    # Self-join would recompute the whole shingle→signature pipeline for
+    # each side; persist the (small) signature+band table instead. At lake
+    # scale this materialization is a parquet write of the signature index.
+    bands = bands.persist()
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -161,7 +171,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares at least one of the 4 16-bit blocks, so block keys are the
     LSH bucket keys for near-dup search at scale.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism  # single-row-group source, see q_dedup_minhash
+    )
     words = F.filter(F.split("text", " "), lambda w: w != "")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
 

@@ -235,7 +235,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-content hash + min-hash over rolling
     5-word shingles (the winnowing primitive). md5 is byte-identical across
     engines, so even the shingle minimum oracle-compares exactly."""
-    d = table(spark, sf_dir, "documents")
+    # hashing-dominated over a single-row-group source: repartition for
+    # full-core parallelism (see q_dedup_minhash)
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = F.split("text", " ")
     n_sh = F.greatest(F.size(words) - 4, F.lit(1))
     shingle_hashes = F.transform(
