@@ -1,0 +1,76 @@
+"""Generator & sampling operators: posexplode, map functions, TABLESAMPLE.
+
+Extends the explode surface (q_explode_wordcount) with positional
+explode and typed-map access over the JSON props column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, MapType, StringType
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(pos AS INT) AS pos,
+           word
+    FROM (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+      WHERE doc_id < 50
+    )
+    WHERE word <> ''
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: token stream with 1-based positions — the
+    tokenize-with-offsets primitive for sequence-labeling pipelines."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
+        .where(F.col("word") != "")
+        .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "word")
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           CAST(json_keys(props)[1] AS VARCHAR) AS first_key,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+    FROM events
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed map access: props parsed once via from_json into
+    map<string,int>, then map_keys/element_at — the scale-correct
+    alternative to repeated get_json_object parses (one parse per row)."""
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", MapType(StringType(), IntegerType()))
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+    )
+
+
+@query("q_sample")  # rows-only: sampling is engine-specific by construction
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli TABLESAMPLE with a fixed seed — reproducible for a given
+    dataset+partitioning (the corpus-subsampling primitive for training-
+    data ablations). Row count asserted within binomial bounds in tests."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

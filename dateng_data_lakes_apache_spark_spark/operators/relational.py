@@ -123,6 +123,35 @@ def q_project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_null_funcs",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(o.o_totalprice, 0.0) AS price_or_zero,
+           ifnull(o.o_orderpriority, 'NONE') AS priority_or_none,
+           nullif(c.c_mktsegment, 'BUILDING') AS seg_nullified,
+           CAST(o.o_orderkey IS NULL AS BOOLEAN) AS has_no_order,
+           coalesce(o.o_orderstatus, c.c_mktsegment, '?') AS first_non_null
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalars (coalesce/ifnull/nullif/IS NULL) exercised
+    on real nulls produced by an outer join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("price_or_zero"),
+        F.ifnull(F.col("o_orderpriority"), F.lit("NONE")).alias("priority_or_none"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nullified"),
+        F.col("o_orderkey").isNull().alias("has_no_order"),
+        F.coalesce("o_orderstatus", "c_mktsegment", F.lit("?")).alias("first_non_null"),
+    )
+
+
+@query(
     "q_case_when",
     oracle="""
     SELECT o_orderkey,

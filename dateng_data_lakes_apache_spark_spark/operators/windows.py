@@ -77,6 +77,33 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           round(CUME_DIST() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile / percent_rank / cume_dist over a
+    global total order. NOTE: an unpartitioned window funnels all rows
+    through one task — acceptable for dimension-sized inputs only; fact
+    tables must partition (see q_window_rank) or pre-aggregate."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
     "q_window_running",
     oracle=f"""
     SELECT o_custkey, o_orderkey,

@@ -65,10 +65,12 @@ def load_all() -> None:
         aggregates,
         asof_pivot_sql,
         dedup,
+        generators,
         joins,
         relational,
         setops,
         similarity,
+        stats,
         subquery,
         text_analysis,
         windows,

@@ -110,6 +110,136 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_sliding",
+    oracle=f"""
+    SELECT {o_ts_str('ws')} AS window_start,
+           COUNT(*) AS n_events,
+           {o_dsum('value')} AS sum_value
+    FROM (
+      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS ws, value FROM events
+      UNION ALL
+      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS ws, value FROM events
+    )
+    GROUP BY ws
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes — each event lands in
+    exactly two windows. The batch oracle reproduces the assignment by
+    unioning the two epoch-aligned bucketings (Spark windows align to
+    epoch 0, as does floor(epoch/slide)*slide)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("sum_value_dec"),
+        )
+    )
+    result = _run_to_memory(agg, "sliding", "complete")
+    return result.select(
+        ts_str(F.col("w.start")).alias("window_start"),
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_purchases
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY n.n_name
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against static dim
+    tables (broadcast hash probes per micro-batch — no stream state at
+    all), then aggregated. The canonical streaming-ETL enrichment shape."""
+    from ..catalog import table
+
+    ev = _events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    enriched = ev.join(F.broadcast(c), ev.user_id == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    agg = enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    result = _run_to_memory(agg, "stream_static", "complete")
+    return result
+
+
+@query("q_stream_custom_state")  # rows-only: Python-defined stateful operator
+def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals (event count, value sum, max value) carried
+    in explicit state. This is the escape hatch for operators Structured
+    Streaming lacks natively; state is per-key and Arrow-batched, so it
+    scales like any keyed aggregation. Bounded input (availableNow) makes
+    the final state deterministic."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("m", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            m = max(m, float(pdf["value"].max()))
+        state.update((n, round(s, 2), m))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)], "max_value": [m]}
+        )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    result_stream = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    result = _run_to_memory(result_stream, "custom_state", "update")
+    # update-mode sink may hold one row per state update; keep the final
+    # per-user row (max n_events) deterministically
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        result.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
+
+
 @query("q_stream_session")  # rows-only: session-window semantics have no SQL twin here
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute inactivity gap) per user — the

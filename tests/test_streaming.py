@@ -61,3 +61,33 @@ def test_stream_dedup_counts_match_batch(spark, sf_dir):
         .collect()
     }
     assert stream == batch
+
+
+def test_custom_state_matches_batch_aggregation(spark, sf_dir):
+    stream = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in QS["q_stream_custom_state"](spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    batch = {
+        (r.user_id, r.n, round(r.s, 2))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+        )
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_sample_within_binomial_bounds(spark, sf_dir):
+    n_total = table(spark, sf_dir, "lineitem").count()
+    n_sample = QS["q_sample"](spark, sf_dir).count()
+    # Bernoulli(0.1): mean n/10, sd ~ sqrt(n*0.09); allow 5 sd
+    import math
+
+    mean, sd = n_total * 0.1, math.sqrt(n_total * 0.1 * 0.9)
+    assert abs(n_sample - mean) < 5 * sd
+    # seeded sample is reproducible on identical input partitioning
+    assert QS["q_sample"](spark, sf_dir).count() == n_sample
