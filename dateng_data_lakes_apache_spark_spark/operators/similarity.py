@@ -84,9 +84,28 @@ def cosine_topk(
     )
 
 
-@query("q_similarity_topk")  # rows-only: DuckDB's list_cosine_similarity sums in
-# float32, so cross-engine value equality is not guaranteed; exactness is
-# instead unit-tested against numpy in tests/test_similarity.py.
+@query(
+    "q_similarity_topk",
+    # DuckDB's list_cosine_similarity sums in float32, but casting both
+    # lists to DOUBLE[] first makes list_dot_product a strict double
+    # left-fold — the same summation as the Spark-side F.aggregate —
+    # so the rounded values match exactly (verified against a Python
+    # double fold in tests/test_similarity.py).
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, label,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qe, qe))), 4) AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0 (brute-force baseline)."""
     e = table(spark, sf_dir, "embeddings")
@@ -182,6 +201,104 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.select("vec_id", "label", F.round(cos, 4).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    # Same double-cast list_dot_product trick as q_similarity_topk: both
+    # engines compute the identical strict double fold, so rounded values
+    # hash-match.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, blocked by `label`.
+
+    The verification kernel of embedding dedup: exact pairwise cosine
+    within a blocking key (here `label`, standing in for any cheap
+    partitioner — cluster id, language, shard). Blocking turns the
+    O(n²) corpus self-join into Σ O(block²) with an equi-join on the
+    block key — hash-partitioned shuffle, no cross-product. At 100 TB
+    the blocking key comes from q_dedup_embedding_lsh's bucket index
+    instead of a label column; the verify stage is identical.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+
+
+@query("q_dedup_embedding_lsh")  # rows-only: hyperplane constants impractical as SQL
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: LSH-bucketed candidate pairs + exact
+    cosine verification — no blocking column required.
+
+    Candidate generation: two vectors are candidates iff they share a
+    (table_id, bucket) cell in the multi-table random-hyperplane index
+    (lsh_bucket_table). The pair join is an equi-join on the cell key,
+    so shuffle cost is Σ bucket² — bounded by collision probability,
+    independent of corpus size. Verification: exact double-fold cosine
+    ≥ 0.35 on the (deduplicated) candidates only. Deterministic (seeded
+    planes); recall vs the exact pair set is asserted in
+    tests/test_similarity.py.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    bucketed = lsh_bucket_table(e).select("vec_id", "embedding", "table_id", "bucket")
+    # The bucket index is reused by both sides of the pair join — persist
+    # it (at lake scale: a parquet write at ingest time, the ANN index).
+    bucketed = bucketed.persist()
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return (
+        pairs.where(cos >= 0.35)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
     )
 
 

@@ -59,6 +59,52 @@ def test_ann_ivf_candidates_are_near(spark, sf_dir):
             assert abs(r.cosine - brute[r.vec_id]) < 1e-9
 
 
+def test_dedup_embedding_matches_numpy(spark, sf_dir, np_embeddings):
+    import pyarrow.parquet as pq
+
+    vec_ids, mat = np_embeddings
+    labels = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet")["label"].to_pylist()
+    )
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = normed @ normed.T
+    expected = set()
+    for i in range(len(vec_ids)):
+        for j in range(len(vec_ids)):
+            if (
+                labels[i] == labels[j]
+                and vec_ids[i] < vec_ids[j]
+                and cos[i, j] >= 0.35
+            ):
+                expected.add((int(vec_ids[i]), int(vec_ids[j])))
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in QS["q_dedup_embedding"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_dedup_embedding_lsh_recall(spark, sf_dir, np_embeddings):
+    vec_ids, mat = np_embeddings
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = normed @ normed.T
+    iu = np.triu_indices(len(vec_ids), k=1)
+    hits = [
+        (int(min(vec_ids[i], vec_ids[j])), int(max(vec_ids[i], vec_ids[j])))
+        for i, j in zip(*iu)
+        if cos[i, j] >= 0.35
+    ]
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in QS["q_dedup_embedding_lsh"](spark, sf_dir).collect()
+    }
+    # no false positives: every reported pair is a true >=0.35 pair
+    assert got <= set(hits)
+    # recall: 8-table/4-plane LSH should recover well over half the
+    # true pairs at these (modest) similarity levels
+    assert len(got) >= len(hits) * 0.5
+
+
 def test_approx_count_distinct_error_bound(spark, sf_dir):
     from dateng_data_lakes_apache_spark_spark.catalog import table
 
