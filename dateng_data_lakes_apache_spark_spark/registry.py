@@ -30,7 +30,76 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: The SURVEY §2.3 engine contract, in contract order, followed by the
+#: highest-signal extras.  The correctness driver processes queries in
+#: dict-insertion order and caps its report at 50 entries, so
+#: ``get_queries()`` emits this order first and everything else after —
+#: guaranteeing every contract operator gets a driver verdict each round.
+PRIORITY_ORDER: tuple[str, ...] = (
+    # -- §2.3 contract (44) --------------------------------------------
+    "q_scan_project",
+    "q_filter_eq",
+    "q_filter_range",
+    "q_filter_in_like",
+    "q_project_rename_cast",
+    "q_case_when",
+    "q_join_inner_2key",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_theta_range",
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_distinct",
+    "q_agg_approx_distinct",
+    "q_rollup",
+    "q_cube",
+    "q_having",
+    "q_sort_limit",
+    "q_window_rank",
+    "q_window_topk_per_group",
+    "q_window_running",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_json_funcs",
+    "q_array_funcs",
+    "q_explode_wordcount",
+    "q_subquery_in",
+    "q_star_etl",
+    "q_dedup_exact",
+    "q_dedup_minhash",  # SURVEY's q_dedup_near
+    "q_text_stats",
+    "q_vector_norm",
+    "q_similarity_topk",
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_udf_scalar",
+    "q_udaf_grouped",
+    # -- curated extras: slots 45-50 of the driver's 50-row window -----
+    "q_dedup_ngram_jaccard",
+    "q_doc_fingerprint",
+    "q_dedup_resolve",
+    "q_ntile_global",
+    "q_multimodal_decode",
+    "q_dedup_embedding",
+)
+
 _LOADED = False
+
+
+def _priority_sorted(d: dict[str, "object"]) -> dict:
+    """Return ``d`` reordered: PRIORITY_ORDER names first, rest unchanged."""
+    rank = {name: i for i, name in enumerate(PRIORITY_ORDER)}
+    tail = len(PRIORITY_ORDER)
+    # sorted() is stable: unranked names keep their registration order.
+    names = sorted(d, key=lambda n: rank.get(n, tail))
+    return {n: d[n] for n in names}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -84,9 +153,9 @@ def load_all() -> None:
 
 def get_queries() -> dict[str, QueryFn]:
     load_all()
-    return dict(QUERIES)
+    return _priority_sorted(QUERIES)
 
 
 def get_oracles() -> dict[str, str]:
     load_all()
-    return dict(ORACLES)
+    return _priority_sorted(ORACLES)
