@@ -39,6 +39,24 @@ def o_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) / COUNT({expr})"
 
 
+def spread(df, spark):
+    """Round-robin repartition ONLY when the scan under-parallelizes.
+
+    The local testdata ships one row group per file, so a bare parquet scan
+    plans a single task; compute-heavy column pipelines (minhash, simhash,
+    fingerprints) then run on one core. On a real lake with properly-sized
+    files the scan already matches cluster parallelism and an unconditional
+    ``repartition()`` would be a pure-cost extra full shuffle — so gate it
+    on the planned partition count instead of applying it blindly.
+    """
+    target = spark.sparkContext.defaultParallelism
+    # Serious under-parallelism only: a scan already within 2× of core count
+    # keeps its partitioning (the shuffle would cost more than it buys).
+    if df.rdd.getNumPartitions() >= max(1, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def ts_str(col: Column) -> Column:
     """Timestamp → canonical string (UTC session tz is pinned)."""
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")

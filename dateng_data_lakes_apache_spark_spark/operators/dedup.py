@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..common import spread
 from ..registry import query
 
 # MinHash configuration: 16 permutations → 4 bands × 4 rows.
@@ -73,26 +74,16 @@ def minhash_signature(shingles_col, n_hashes: int = _N_HASHES):
     return F.array(*[_min_hash_for_seed(shingles_col, s) for s in range(n_hashes)])
 
 
-@query("q_dedup_minhash")  # rows-only: banded-LSH pipeline is not DuckDB-SQL-expressible
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pairs(d: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Near-dup candidate pairs via MinHash + banded LSH, then exact
-    signature-similarity verification.
+    signature-similarity verification: (doc_a, doc_b, est_jaccard).
 
     Pipeline: 3-word shingles → 16-perm MinHash signature → 4 bands of 4
     rows → explode to (band_id, band_hash) keys → self-join *on the band
-    key only* → verify estimated Jaccard ≥ 0.5. The corpus is never
+    key only* → verify estimated Jaccard ≥ threshold. The corpus is never
     cross-joined: candidate generation cost is O(Σ bucket²) and bucket
     sizes are bounded by collision probability, not corpus size.
-    Deterministic (hash-only), checked rows-only by the driver; semantics
-    are unit-tested with planted near-duplicates in tests/test_dedup.py.
     """
-    # The testdata ships one row group per file → a bare scan runs on one
-    # task. Hashing dominates here, so a round-robin repartition (a few MB
-    # of shuffle) buys full-core parallelism for the signature computation.
-    # On a real lake with properly-sized files this line is a no-op cost.
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
     # Materialize shingles in their own projection: the 16 per-seed min-hash
     # expressions then reference one computed array instead of re-deriving
     # split→filter→shingle→distinct 16× (Catalyst does not CSE inside
@@ -152,11 +143,107 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / _N_HASHES
     )
-    return (
-        pairs.select("doc_a", "doc_b", F.round(est_jaccard, 4).alias("est_jaccard"))
-        .where(F.col("est_jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
+    # No final orderBy: the consumer (driver check / cluster resolution) is
+    # order-insensitive, and a global sort is a range-partition shuffle that
+    # grows linearly with the pair count at scale.
+    return pairs.select(
+        "doc_a", "doc_b", F.round(est_jaccard, 4).alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= threshold)
+
+
+@query("q_dedup_minhash")  # rows-only: banded-LSH pipeline is not DuckDB-SQL-expressible
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs over documents (see
+    :func:`minhash_pairs` for the pipeline and scale rationale).
+    Deterministic (hash-only), checked rows-only by the driver; semantics
+    are unit-tested with planted near-duplicates in tests/test_dedup.py.
+    """
+    # Hashing dominates; spread() buys full-core parallelism when (and only
+    # when) the scan under-parallelizes — see common.spread for the gating.
+    d = spread(table(spark, sf_dir, "documents"), spark)
+    return minhash_pairs(d)
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_rounds: int = 12
+) -> DataFrame:
+    """Connected components over candidate pairs by min-label propagation:
+    returns (node, label) where label = min node id in the component.
+
+    Each round every node adopts the minimum label among itself and its
+    neighbors; convergence takes O(graph diameter) rounds. Near-dup
+    graphs are unions of small dense clusters (diameter ≤ ~3), so 2-3
+    rounds settle real workloads; ``max_rounds`` bounds adversarial
+    chains. Per-round cost is one equi-join edges⋈labels plus a groupBy
+    min — all hash-partitioned on node id, no cross-product, no
+    collect: the same shape GraphX/GraphFrames uses, expressed in plain
+    DataFrame ops. The driver-side loop runs one tiny `limit(1).count()`
+    action per round purely as the convergence test.
+    """
+    # Undirected: materialize both directions once; reused every round.
+    fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = fwd.union(
+        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).persist()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
     )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.u == labels.node)
+            .select(F.col("v").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            # localCheckpoint truncates the per-round lineage growth so the
+            # plan (and task closure) stays O(1) across iterations.
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@query("q_dedup_resolve")  # rows-only: iterative algorithm, not SQL-expressible
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *deliverable*: per-document keeper assignment + drop flag.
+
+    Near-dup pipelines emit candidate pairs; a real training-data run
+    needs "which docs do I delete". This resolves MinHash+LSH pairs into
+    clusters via :func:`connected_components`, keeps min(doc_id) per
+    cluster, and left-joins back to the corpus so untouched docs keep
+    themselves: (doc_id, keeper_doc_id, is_dup). Deterministic end to
+    end (hash-only candidates, min-label components, min-id keeper).
+    """
+    d = spread(table(spark, sf_dir, "documents"), spark)
+    pairs = minhash_pairs(d).persist()
+    comp = connected_components(pairs)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    out = (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).cast("bigint").alias("keeper_doc_id"),
+            (F.coalesce(F.col("label"), F.col("doc_id")) != F.col("doc_id")).alias("is_dup"),
+        )
+    )
+    pairs.unpersist()
+    return out
 
 
 @query("q_dedup_simhash")  # rows-only: bit-twiddling pipeline not cleanly SQL-expressible
@@ -165,41 +252,57 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor candidate generation (Charikar 2002 / Manku et al. 2007).
 
     simhash bit b = sign of Σ_words (±1 by bit b of xxhash64(word)).
-    Computed entirely with aggregate/transform over the word array —
-    one pass, no explode, no shuffle until the (tiny) projection.
+    Computed as ONE aggregate fold carrying a 64-element balance array
+    (zip_with per word), not 64 per-bit folds: Catalyst does not CSE
+    inside higher-order functions, so the per-bit form re-evaluated the
+    word-hash pipeline 64× per row — this is a single pass over the
+    words, no explode, no shuffle until the (tiny) projection.
     By the pigeonhole principle, any pair within Hamming distance 3
     shares at least one of the 4 16-bit blocks, so block keys are the
     LSH bucket keys for near-dup search at scale.
+
+    SQL-expr form: pyspark's ``F.shiftright`` only takes a literal shift
+    amount, but SQL ``shiftright(h, b)`` accepts a column — which lets
+    the bit index come from ``sequence(0, 63)`` inside the lambda.
     """
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism  # single-row-group source, see q_dedup_minhash
-    )
-    words = F.filter(F.split("text", " "), lambda w: w != "")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-
-    # For each bit, balance = Σ (bit set ? 1 : -1); simhash bit = balance > 0.
-    # Bit positions are Python ints (shiftright needs a literal shift), bound
-    # via closure — see _min_hash_for_seed for why not lambda defaults.
-    def bit_balance(b: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    d = spread(table(spark, sf_dir, "documents"), spark)
+    balances = F.expr(
+        """
+        aggregate(
+          transform(filter(split(text, ' '), w -> w != ''), w -> xxhash64(w)),
+          array_repeat(cast(0 as bigint), 64),
+          (acc, h) -> zip_with(
+            acc,
+            transform(sequence(0, 63),
+                      b -> if((shiftright(h, b) & 1) = 1,
+                              cast(1 as bigint), cast(-1 as bigint))),
+            (a, x) -> a + x)
         )
-
-    # Compose the 64-bit fingerprint MSB-first: acc*2 + bit (the *2 is the
-    # shift; bit 63 lands in the sign position by two's-complement wraparound).
-    simhash = F.lit(0).cast("long")
-    for b in range(63, -1, -1):
-        simhash = simhash * F.lit(2).cast("long") + F.when(bit_balance(b) > 0, 1).otherwise(0)
-    out = d.select("doc_id", simhash.alias("simhash"))
+        """
+    )
+    # Fingerprint: bit b set iff balance[b] > 0; shiftleft(1L, 63) wraps to
+    # the sign position by two's complement, matching the per-bit layout.
+    simhash = F.expr(
+        """
+        aggregate(
+          sequence(0, 63),
+          cast(0 as bigint),
+          (acc, b) -> acc + if(element_at(balances, b + 1) > 0,
+                               shiftleft(cast(1 as bigint), b),
+                               cast(0 as bigint))
+        )
+        """
+    )
+    out = d.select("doc_id", balances.alias("balances")).select(
+        "doc_id", simhash.alias("simhash")
+    )
     for i in range(4):
         out = out.withColumn(
             f"block{i}",
             F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).cast("int"),
         )
-    return out.orderBy("doc_id")
+    # No final orderBy — consumers are order-insensitive (see q_dedup_minhash).
+    return out
 
 
 @query(
@@ -212,7 +315,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> array_to_string(list_filter(string_split(text,' '), w -> w <> '')[i:i+2], ' ')
              )) AS shingles
       FROM documents
-      WHERE doc_id < 60
+      WHERE doc_id < 1000
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -225,11 +328,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard similarity on a bounded doc subset.
 
-    The exact pairwise form is intentionally restricted (doc_id < 60 →
-    ≤ 1.8k pairs) — it is the *verification* stage of near-dup pipelines;
+    The exact pairwise form is intentionally restricted (doc_id < 1000 →
+    ≤ 500k pairs) — it is the *verification* stage of near-dup pipelines;
     candidate *generation* at scale is q_dedup_minhash's banded LSH.
+    The window is sized so the testdata's planted near-duplicates fall
+    inside it at every SF: the driver's green row checks real pairs, not
+    an empty ≡ empty result.
     """
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
     sh = d.select("doc_id", _word_shingles(F.col("text"), k=3).alias("shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

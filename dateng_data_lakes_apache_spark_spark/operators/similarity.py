@@ -295,10 +295,10 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
         _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
     )
-    return (
-        pairs.where(cos >= 0.35)
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
-        .orderBy("vec_a", "vec_b")
+    # No final orderBy — consumers (driver check, cluster resolution) are
+    # order-insensitive; a global sort on the pair list is wasted shuffle.
+    return pairs.where(cos >= 0.35).select(
+        "vec_a", "vec_b", F.round(cos, 4).alias("cosine")
     )
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..common import davg, o_davg
+from ..common import davg, o_davg, spread
 from ..registry import query
 
 # Tiny English stopword list used by the quality scorer (public knowledge).
@@ -235,11 +235,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-content hash + min-hash over rolling
     5-word shingles (the winnowing primitive). md5 is byte-identical across
     engines, so even the shingle minimum oracle-compares exactly."""
-    # hashing-dominated over a single-row-group source: repartition for
-    # full-core parallelism (see q_dedup_minhash)
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # hashing-dominated: spread() buys full-core parallelism only when the
+    # scan under-parallelizes (see common.spread)
+    d = spread(table(spark, sf_dir, "documents"), spark)
     words = F.split("text", " ")
     n_sh = F.greatest(F.size(words) - 4, F.lit(1))
     shingle_hashes = F.transform(

@@ -88,6 +88,50 @@ def test_ngram_jaccard_bounds(spark, planted):
     assert jac[(0, 3)] == 0.0  # unrelated
 
 
+def test_connected_components_chain_and_islands(spark):
+    from dateng_data_lakes_apache_spark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3 (no direct 1-3 edge: transitivity must propagate),
+    # island pair 10-11, and a second chain 20-21-22-23 (diameter 3).
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20), (21, 22), (22, 23)],
+        ["doc_a", "doc_b"],
+    )
+    labels = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert labels == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+
+
+def test_dedup_resolve_planted_cluster(spark, sf_dir, monkeypatch):
+    from dateng_data_lakes_apache_spark_spark.operators import dedup as dd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                             # exact dup of 0
+            (2, base.replace("lazy", "sleepy")),   # near-dup of 0/1
+            (3, "unrelated text about columnar storage engines and arrow"),
+        ],
+        ["doc_id", "text"],
+    )
+    monkeypatch.setattr(dd, "table", lambda _s, _d, _n: docs)
+    rows = dd.q_dedup_resolve.__wrapped__(spark, sf_dir).collect()
+    by_id = {r.doc_id: (r.keeper_doc_id, r.is_dup) for r in rows}
+    assert by_id[0] == (0, False)   # cluster keeper keeps itself
+    assert by_id[1] == (0, True)    # exact dup dropped to keeper 0
+    assert by_id[2] == (0, True)    # near-dup joins the same cluster
+    assert by_id[3] == (3, False)   # untouched doc keeps itself
+
+
 def test_simhash_hamming_separation(spark, planted, sf_dir, monkeypatch):
     # identical docs → identical simhash; near-dup → small Hamming distance
     from dateng_data_lakes_apache_spark_spark.operators import dedup as dd
