@@ -3,14 +3,24 @@
 Pattern for image/audio/video at 100 TB: store the raw bytes as a
 ``binary`` column next to typed metadata (mime, width, …); run decode /
 feature-extraction as Arrow-batched ``mapInPandas`` so each Python
-worker processes whole record batches. The container has no image/audio
-codecs, so the decode kernel is a clearly-marked deterministic stub —
-the Spark-side plumbing (schema, batching, partitioning) is real and
-is what these queries exercise.
+worker processes whole record batches and the JVM↔Python boundary is
+crossed per batch, never per record.
+
+The container has no codec libraries, but image *container* formats are
+public byte layouts — so the decode path is REAL: payloads are staged as
+fully valid PNG / GIF89a / BMP files built with stdlib ``struct``+``zlib``
+(:func:`png_bytes` / :func:`gif_bytes` / :func:`bmp_bytes`), and
+:func:`decode_image` parses format + dimensions back out of the actual
+header bytes (PNG IHDR big-endian, GIF logical-screen little-endian,
+BMP BITMAPINFOHEADER little-endian, JPEG SOFn segment scan). A real
+deployment swaps the kernel body for PIL/ffmpeg; every Spark-side piece
+(schema, binary column, Arrow batching, partitioning) stays identical.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -39,56 +49,183 @@ MEDIA_SCHEMA = StructType(
 )
 
 
-def attach_fake_payload(documents: DataFrame) -> DataFrame:
-    """Stage a documents DF as a multimodal table: the UTF-8 bytes of
-    ``text`` stand in for an image payload (deterministic fake)."""
-    return documents.select(
-        "doc_id",
-        F.lit("image/fake").alias("mime"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("payload_len"),
+# --------------------------------------------------------------------------
+# Pure-Python encoders: minimal but VALID image files (used to stage the
+# binary column; at 100 TB these bytes come from the lake, not a generator).
+# --------------------------------------------------------------------------
+
+
+def png_bytes(w: int, h: int) -> bytes:
+    """Valid 8-bit grayscale PNG of zero pixels (spec: RFC 2083)."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(w) for _ in range(h))  # filter-0 scanlines
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
     )
 
 
-def decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB decode kernel. A real deployment would do e.g.
-    ``PIL.Image.open(io.BytesIO(payload)).size`` here; codecs are not in
-    this container, so derive deterministic fake (width, height) from the
-    payload bytes. Raises on None to mimic decoder strictness."""
-    if payload is None:
-        raise NotImplementedError("no payload — real decoder would fail here")
-    return (64 + payload[0] % 64, 64 + payload[-1] % 64) if payload else (64, 64)
+def gif_bytes(w: int, h: int) -> bytes:
+    """Valid GIF89a of zero-index pixels.
+
+    LZW trick: emit a Clear code before every pixel code so the code
+    table never grows and every code stays at the initial width — a
+    spec-legal (if inefficient) stream that avoids implementing the
+    full LZW dictionary.
+    """
+    header = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80, 0, 0])
+    gct = bytes(6)  # 2-entry global color table, both black
+    img_desc = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    # min LZW code size 2 → initial code width 3; clear=4, eoi=5, pixel=0
+    bits: list[int] = []
+    for _ in range(w * h):
+        bits.append(4)  # clear
+        bits.append(0)  # pixel index 0
+    bits.append(5)  # end-of-information
+    # pack 3-bit codes LSB-first into bytes
+    acc = n = 0
+    out = bytearray()
+    for code in bits:
+        acc |= code << n
+        n += 3
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    data = bytes(out)
+    # sub-blocks of ≤255 bytes, zero-length terminator
+    blocks = b"".join(
+        bytes([len(data[i : i + 255])]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    )
+    return header + gct + img_desc + b"\x02" + blocks + b"\x00" + b"\x3B"
+
+
+def bmp_bytes(w: int, h: int) -> bytes:
+    """Valid 24-bpp BMP (BITMAPINFOHEADER) of zero pixels."""
+    row = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    pix = row * h
+    file_header = b"BM" + struct.pack("<IHHI", 14 + 40 + pix, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, pix, 2835, 2835, 0, 0)
+    return file_header + info + bytes(pix)
+
+
+# --------------------------------------------------------------------------
+# Pure-Python decoder: real header parsing, format dispatch on magic bytes.
+# --------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes) -> tuple[str, int, int]:
+    """(format, width, height) parsed from actual container header bytes.
+
+    Dispatches on magic numbers, not trusted metadata. Raises ValueError
+    on unknown/truncated input — decoder strictness, so corrupt payloads
+    surface instead of flowing through as zeros.
+    """
+    if payload is None or len(payload) < 16:
+        raise ValueError("payload missing or shorter than any image header")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] != b"IHDR":
+            raise ValueError("PNG without leading IHDR chunk")
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("png", w, h)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        return ("bmp", w, abs(h))  # negative height = top-down rows
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to the SOFn frame
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seglen
+        raise ValueError("JPEG without SOF frame header")
+    raise ValueError("unrecognized image magic bytes")
+
+
+# Deterministic per-doc staging parameters: dims/format derive from doc_id
+# alone, so an independent SQL oracle can predict what the decoder must
+# recover from the bytes — a true end-to-end check of encode→decode.
+_FMT_BY_MOD = {0: "png", 1: "gif", 2: "bmp"}
+_ENCODER = {"png": png_bytes, "gif": gif_bytes, "bmp": bmp_bytes}
+
+
+def _dims_for(doc_id: int) -> tuple[int, int]:
+    return 16 + doc_id % 48, 16 + (doc_id * 7) % 48
+
+
+def attach_image_payload(documents: DataFrame) -> DataFrame:
+    """Stage a real multimodal table: one valid image file per doc, format
+    round-robined over PNG/GIF/BMP, dims a deterministic function of
+    doc_id. Arrow-batched construction (mapInPandas), not per-row UDF."""
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("mime", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                fmt = _FMT_BY_MOD[int(doc_id) % 3]
+                w, h = _dims_for(int(doc_id))
+                rows.append((int(doc_id), f"image/{fmt}", _ENCODER[fmt](w, h)))
+            yield pd.DataFrame(rows, columns=["doc_id", "mime", "payload"])
+
+    return (
+        documents.select("doc_id")
+        .mapInPandas(kernel, schema=out_schema)
+        .withColumn("payload_len", F.octet_length("payload").cast("int"))
+    )
 
 
 _FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("payload_len", IntegerType()),
+        StructField("fmt", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
-        StructField("head_byte", IntegerType()),
+        StructField("payload_len", IntegerType()),
     ]
 )
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column.
-
-    mapInPandas processes whole Arrow batches per Python call — the only
-    acceptable shape for Python media kernels at scale (row-at-a-time UDFs
-    would cross the JVM↔Python boundary per record).
-    """
+    """Arrow-batched decode over the binary column: real header parsing
+    per record batch via :func:`decode_image`."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["payload"].map(decode_image_stub)
+            decoded = pdf["payload"].map(decode_image)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
+                    "fmt": decoded.map(lambda d: d[0]),
+                    "width": decoded.map(lambda d: d[1]).astype("int32"),
+                    "height": decoded.map(lambda d: d[2]).astype("int32"),
                     "payload_len": pdf["payload_len"].astype("int32"),
-                    "width": dims.map(lambda d: d[0]).astype("int32"),
-                    "height": dims.map(lambda d: d[1]).astype("int32"),
-                    "head_byte": pdf["payload"].map(lambda b: b[0] if len(b) else -1).astype("int32"),
                 }
             )
 
@@ -107,27 +244,42 @@ def extract_features(media: DataFrame) -> DataFrame:
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing, JVM side: payload staging, byte length,
-    content hash. Proves binary columns flow through scan→project→hash."""
-    media = attach_fake_payload(table(spark, sf_dir, "documents"))
+    content hash. Proves binary columns flow through scan→project→hash.
+    (Payload here is the text bytes so the md5 oracle is SQL-computable;
+    q_multimodal_decode stages real image files.)"""
+    d = table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.lit("image/fake").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).withColumn("payload_len", F.octet_length("payload").cast("int"))
     return media.select(
         "doc_id",
         "mime",
-        F.col("payload_len").cast("int").alias("payload_len"),
+        "payload_len",
         F.md5(F.col("payload")).alias("payload_md5"),
     )
 
 
-@query("q_multimodal_decode")  # rows-only: the decode kernel is a Python stub
+@query(
+    "q_multimodal_decode",
+    # The oracle predicts what the decoder must parse back out of the real
+    # PNG/GIF/BMP bytes — dims/format are pure functions of doc_id, so any
+    # encode or header-parse bug breaks the hash match.
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS fmt,
+           CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 48 AS INT) AS height
+    FROM documents
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal decode path: binary payload → mapInPandas
-    stub decoder → typed features → aggregate. Deterministic output."""
-    media = attach_fake_payload(table(spark, sf_dir, "documents"))
+    """End-to-end multimodal decode: stage valid image files into a binary
+    column, parse format + dimensions back out of the header bytes with
+    the pure-Python decoder (Arrow-batched mapInPandas), compare against
+    an independent SQL prediction of the dims."""
+    media = attach_image_payload(table(spark, sf_dir, "documents"))
     feats = extract_features(media)
-    return (
-        feats.groupBy("width")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("payload_len").cast("bigint").alias("total_bytes"),
-        )
-        .orderBy("width")
-    )
+    return feats.select("doc_id", "fmt", "width", "height")

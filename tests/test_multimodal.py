@@ -1,0 +1,92 @@
+"""Multimodal codec tests: the encoders emit valid files, the decoder
+parses real header bytes, and the Spark path round-trips end to end."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from dateng_data_lakes_apache_spark_spark.functions.multimodal import (
+    _dims_for,
+    attach_image_payload,
+    bmp_bytes,
+    decode_image,
+    extract_features,
+    gif_bytes,
+    png_bytes,
+)
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (17, 23), (63, 1), (1, 63)])
+def test_codec_round_trip_all_formats(w, h):
+    assert decode_image(png_bytes(w, h)) == ("png", w, h)
+    assert decode_image(gif_bytes(w, h)) == ("gif", w, h)
+    assert decode_image(bmp_bytes(w, h)) == ("bmp", w, h)
+
+
+def test_png_is_internally_valid():
+    # Parse the chunk stream for real: IHDR fields, IDAT inflates to
+    # exactly h filter-prefixed scanlines, CRCs all check out.
+    data = png_bytes(20, 11)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    i, idat = 8, b""
+    seen = []
+    while i < len(data):
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack(">I", data[i + 8 + length : i + 12 + length])
+        assert crc == zlib.crc32(tag + body) & 0xFFFFFFFF
+        seen.append(tag)
+        if tag == b"IDAT":
+            idat += body
+        i += 12 + length
+    assert seen == [b"IHDR", b"IDAT", b"IEND"]
+    assert zlib.decompress(idat) == (b"\x00" + bytes(20)) * 11
+
+
+def test_bmp_layout_and_negative_height():
+    data = bmp_bytes(10, 4)
+    assert data[:2] == b"BM"
+    (size,) = struct.unpack("<I", data[2:6])
+    assert size == len(data)
+    # top-down BMPs store negative height; decoder must return abs value
+    flipped = data[:22] + struct.pack("<i", -4) + data[26:]
+    assert decode_image(flipped) == ("bmp", 10, 4)
+
+
+def test_gif_structure():
+    data = gif_bytes(7, 5)
+    assert data[:6] == b"GIF89a"
+    assert data[-1:] == b"\x3B"  # trailer
+    assert struct.unpack("<HH", data[6:10]) == (7, 5)
+
+
+def test_jpeg_sof_scan():
+    # SOI + APP0 stub + SOF0 (height=33, width=77) — the decoder must walk
+    # past APP0 and read the frame header, not assume a fixed offset.
+    app0 = b"\xff\xe0" + struct.pack(">H", 6) + b"JF\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 33, 77) + b"\x01\x00"
+    assert decode_image(b"\xff\xd8" + app0 + sof0) == ("jpeg", 77, 33)
+
+
+def test_decoder_strictness():
+    with pytest.raises(ValueError):
+        decode_image(None)
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n1234")  # truncated
+    with pytest.raises(ValueError):
+        decode_image(b"not an image format here")
+
+
+def test_spark_stage_and_decode_round_trip(spark):
+    docs = spark.createDataFrame([(i,) for i in range(9)], ["doc_id"])
+    feats = extract_features(attach_image_payload(docs)).collect()
+    assert len(feats) == 9
+    for r in feats:
+        w, h = _dims_for(r.doc_id)
+        assert (r.width, r.height) == (w, h)
+        assert r.fmt == {0: "png", 1: "gif", 2: "bmp"}[r.doc_id % 3]
+        assert r.payload_len > 0
