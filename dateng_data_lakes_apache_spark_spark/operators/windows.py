@@ -104,6 +104,74 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ntile_global",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           round(CUME_DIST() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def q_ntile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe global quantiles: same results as q_window_ntile, but no
+    single-task window over the data.
+
+    The data path is: range-partition on the order key (global order
+    across partitions), local row_number per partition, then add each
+    partition's cumulative row offset — giving exact global row numbers
+    with the data only ever shuffled once, by range. ntile/percent_rank/
+    cume_dist are then closed-form in (global_rn, N) because the order
+    key is a total order (unique tiebreaker). The only unpartitioned
+    window runs over the P per-partition counts — metadata-scale (one
+    row per partition), not data-scale, so a 100× fact table changes
+    nothing. The partition-id→offset map is computed from a persisted
+    projection so the pid assignment is pinned across the two uses.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    n_total = c.count()
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = (
+        c.repartitionByRange(n_parts, F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    # cumulative offsets over per-partition counts: P rows, metadata-scale
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("pid", "offset")
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    rn = (F.row_number().over(w_local) + F.col("offset")).cast("bigint")
+    # NTILE(k): first (N mod k) tiles get ceil(N/k) rows, the rest floor(N/k)
+    k = 4
+    q, r = divmod(n_total, k)
+    if q == 0:  # degenerate tiny input: tile == row number
+        quartile = rn.cast("int")
+    else:
+        big = (q + 1) * r  # rows covered by the larger leading tiles
+        quartile = (
+            F.when(rn <= big, F.floor((rn - 1) / (q + 1)) + 1)
+            .otherwise(r + F.floor((rn - big - 1) / q) + 1)
+            .cast("int")
+        )
+    out = ranged.join(F.broadcast(offsets), "pid").select(
+        "c_custkey",
+        "c_acctbal",
+        quartile.alias("quartile"),
+        F.round((rn - 1) / F.lit(n_total - 1), 6).alias("pct_rank"),
+        F.round(rn / F.lit(n_total), 6).alias("cume"),
+    )
+    return out
+
+
+@query(
     "q_window_running",
     oracle=f"""
     SELECT o_custkey, o_orderkey,

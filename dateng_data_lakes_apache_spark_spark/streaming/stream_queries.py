@@ -33,16 +33,22 @@ def _stage_events_dir(sf_dir: str) -> str:
     """Spark's file-stream source lists a *directory*; the catalog stores
     events as a single parquet file. Stage (hard-link/copy) it into a
     scratch dir once per scale factor — on a cluster the source would be
-    the landing directory itself and this step disappears."""
+    the landing directory itself and this step disappears. Re-stages when
+    the source file changes (different inode or mtime)."""
+    src = table_path(sf_dir, "events")
     tag = os.path.basename(os.path.normpath(sf_dir))
     stage_dir = os.path.join(_SCRATCH, "stream_src", tag)
     staged = os.path.join(stage_dir, "events-000.parquet")
+    if os.path.exists(staged):
+        s_src, s_st = os.stat(src), os.stat(staged)
+        if (s_src.st_ino, s_src.st_mtime_ns) != (s_st.st_ino, s_st.st_mtime_ns):
+            shutil.rmtree(stage_dir, ignore_errors=True)
     if not os.path.exists(staged):
         os.makedirs(stage_dir, exist_ok=True)
         try:
-            os.link(table_path(sf_dir, "events"), staged)
+            os.link(src, staged)
         except OSError:
-            shutil.copyfile(table_path(sf_dir, "events"), staged)
+            shutil.copyfile(src, staged)
     return stage_dir
 
 
@@ -54,9 +60,24 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_nanos_ts(stream)
 
 
-def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str, stop_on_idle: bool = False
+) -> DataFrame:
     """Execute a streaming DF to completion into a memory sink; return the
-    materialized result as a batch DataFrame."""
+    materialized result as a batch DataFrame.
+
+    ``stop_on_idle`` is for stateful operators with processing-time
+    timeouts: availableNow cannot self-terminate there (pending timeouts
+    keep scheduling empty micro-batches), so the runner watches progress
+    and stops once a zero-input batch proves the staged data is drained
+    — availableNow processes all files before any empty batch appears.
+
+    The checkpoint is single-use by construction (fresh uuid per run), so
+    it is deleted after termination — long-lived sessions (bench loops,
+    driver re-runs) would otherwise accumulate unbounded checkpoint dirs.
+    """
+    import time
+
     sink = f"{name}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(_SCRATCH, "checkpoints", sink)
     q = (
@@ -67,7 +88,17 @@ def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFra
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        if stop_on_idle:
+            deadline = time.monotonic() + 300
+            while q.isActive and time.monotonic() < deadline:
+                if any(p["numInputRows"] == 0 for p in q.recentProgress):
+                    q.stop()
+                    break
+                time.sleep(0.2)
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(sink)
 
 
@@ -177,56 +208,68 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-@query("q_stream_custom_state")  # rows-only: Python-defined stateful operator
-def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator via applyInPandasWithState:
-    per-user running totals (event count, value sum, max value) carried
-    in explicit state. This is the escape hatch for operators Structured
-    Streaming lacks natively; state is per-key and Arrow-batched, so it
-    scales like any keyed aggregation. Bounded input (availableNow) makes
-    the final state deterministic."""
+_CUSTOM_STATE_OUT = "user_id bigint, n_events bigint, sum_value double, max_value double"
+_CUSTOM_STATE_STATE = "n bigint, s double, m double"
+
+
+def custom_state_stream(ev: DataFrame, timeout_ms: int) -> DataFrame:
+    """Per-user running totals via applyInPandasWithState, with a
+    processing-time state timeout.
+
+    The timeout is what makes this operator deployable: without one,
+    per-key state lives forever and a real (unbounded-key) stream grows
+    the state store without bound. A key idle past ``timeout_ms`` gets
+    one final ``hasTimedOut`` invocation: its state is dropped and a
+    tombstone row (n_events = -1) is emitted — the "session closed"
+    record downstream consumers key off.
+    """
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    out_schema = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("n_events", LongType()),
-            StructField("sum_value", DoubleType()),
-            StructField("max_value", DoubleType()),
-        ]
-    )
-    state_schema = StructType(
-        [
-            StructField("n", LongType()),
-            StructField("s", DoubleType()),
-            StructField("m", DoubleType()),
-        ]
-    )
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # eviction path: emit the closing tombstone, drop the state
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [-1], "sum_value": [0.0], "max_value": [0.0]}
+            )
+            return
         n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
         for pdf in pdfs:
             n += len(pdf)
             s += float(pdf["value"].sum())
             m = max(m, float(pdf["value"].max()))
         state.update((n, round(s, 2), m))
+        state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)], "max_value": [m]}
         )
 
-    ev = _events_stream(spark, sf_dir).select("user_id", "value")
-    result_stream = ev.groupBy("user_id").applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        _CUSTOM_STATE_OUT,
+        _CUSTOM_STATE_STATE,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
     )
-    result = _run_to_memory(result_stream, "custom_state", "update")
+
+
+@query("q_stream_custom_state")  # rows-only: Python-defined stateful operator
+def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals (event count, value sum, max value) carried
+    in explicit state, bounded by a 30-minute processing-time timeout
+    (see :func:`custom_state_stream`; eviction is exercised with a
+    multi-batch stream in tests/test_streaming.py). This is the escape
+    hatch for operators Structured Streaming lacks natively; state is
+    per-key and Arrow-batched, so it scales like any keyed aggregation.
+    Bounded input (availableNow, one staged file → one batch) makes the
+    final state deterministic: the 30-min timeout cannot fire within a
+    single batch, so no tombstones appear in this registered output."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    result_stream = custom_state_stream(ev, timeout_ms=30 * 60 * 1000)
+    result = _run_to_memory(result_stream, "custom_state", "update", stop_on_idle=True)
     # update-mode sink may hold one row per state update; keep the final
     # per-user row (max n_events) deterministically
     from pyspark.sql import Window as W

@@ -81,6 +81,158 @@ def test_custom_state_matches_batch_aggregation(spark, sf_dir):
     assert stream == batch
 
 
+def _stage_batch_file(spark, tmp_path, stream_dir, i, rows):
+    """Write one parquet file per micro-batch with strictly increasing
+    mtime — the file source orders by modification time, so this pins
+    the batch sequence deterministically."""
+    import glob
+    import os
+    import shutil
+
+    tmp = str(tmp_path / f"tmp{i}")
+    (
+        spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    part = glob.glob(tmp + "/part-*.parquet")[0]
+    dst = str(stream_dir / f"f{i:03d}.parquet")
+    shutil.copyfile(part, dst)
+    os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+
+
+def _run_stream(df, tmp_path, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_multi_batch_watermark_drops_late_events(spark, tmp_path):
+    """The stateful path for real: three micro-batches
+    (maxFilesPerTrigger=1), watermark advances between them, a planted
+    late event is dropped, and append mode only emits finalized windows."""
+    from datetime import datetime as dt
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    t = dt.fromisoformat
+    # batch 0: two on-time events in the 10:00 window
+    _stage_batch_file(spark, tmp_path, src, 0,
+                      [(1, t("2026-01-01 10:00:00"), 1.0),
+                       (2, t("2026-01-01 10:30:00"), 2.0)])
+    # batch 1: 12:00 event → watermark advances to 11:50 after this batch
+    _stage_batch_file(spark, tmp_path, src, 1,
+                      [(1, t("2026-01-01 12:00:00"), 3.0)])
+    # batch 2: watermark 11:50 is now in effect; at this batch's END the
+    # 10:00-11:00 window (end 11:00 < 11:50) is evicted and emitted
+    _stage_batch_file(spark, tmp_path, src, 2,
+                      [(1, t("2026-01-01 12:05:00"), 5.0)])
+    # batch 3: a LATE event for the already-finalized window (must be
+    # dropped) + one live event in the still-open 12:00 window (withheld)
+    _stage_batch_file(spark, tmp_path, src, 3,
+                      [(2, t("2026-01-01 10:15:00"), 9.0),
+                       (1, t("2026-01-01 12:30:00"), 4.0)])
+
+    schema = "user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = _run_stream(agg, tmp_path, "wm_evict", "append")
+
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 4
+    emitted = {(r.w.start.strftime("%H:%M"), r.n) for r in spark.table("wm_evict").collect()}
+    # finalized window holds ONLY the two on-time events — the late 10:15
+    # event did not sneak in
+    assert ("10:00", 2) in emitted
+    # the open 12:00 window is withheld by append mode (not yet final)
+    assert not any(s == "12:00" for s, _ in emitted)
+    # the state operator recorded the watermark drop
+    dropped = sum(
+        int(so["numRowsDroppedByWatermark"])
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped >= 1
+
+
+def test_custom_state_timeout_evicts_idle_keys(spark, tmp_path):
+    """Processing-time timeout: a key idle across micro-batches gets its
+    state evicted and a tombstone emitted; active keys keep accumulating."""
+    from datetime import datetime as dt
+
+    from dateng_data_lakes_apache_spark_spark.streaming.stream_queries import (
+        custom_state_stream,
+    )
+
+    src = tmp_path / "cs_src"
+    src.mkdir()
+    t = dt.fromisoformat
+    # user 1 appears only in batch 0; user 2 in all three
+    _stage_batch_file(spark, tmp_path, src, 0,
+                      [(1, t("2026-01-01 10:00:00"), 1.0),
+                       (2, t("2026-01-01 10:00:30"), 2.0)])
+    _stage_batch_file(spark, tmp_path, src, 1,
+                      [(2, t("2026-01-01 10:01:00"), 3.0)])
+    _stage_batch_file(spark, tmp_path, src, 2,
+                      [(2, t("2026-01-01 10:02:00"), 4.0)])
+
+    schema = "user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("user_id", "value")
+    )
+    # 1 ms timeout: user 1 is guaranteed idle-past-timeout by batch 1.
+    # A stream with pending processing-time timeouts never self-terminates
+    # under availableNow (empty batches keep firing timeouts), so poll the
+    # sink for the expected rows and stop the query explicitly.
+    import time
+
+    result = custom_state_stream(stream, timeout_ms=1)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("cs_evict")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        rows = []
+        while time.monotonic() < deadline:
+            rows = spark.table("cs_evict").collect()
+            if any(r.user_id == 1 and r.n_events == -1 for r in rows) and any(
+                r.user_id == 2 and r.n_events == 3 for r in rows
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    assert any(r.user_id == 1 and r.n_events == -1 for r in rows)  # tombstone
+    # active key's totals survived across batches: 2+3+4
+    totals = [r for r in rows if r.user_id == 2 and r.n_events == 3]
+    assert totals and totals[0].sum_value == 9.0
+
+
 def test_sample_within_binomial_bounds(spark, sf_dir):
     n_total = table(spark, sf_dir, "lineitem").count()
     n_sample = QS["q_sample"](spark, sf_dir).count()
