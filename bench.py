@@ -22,27 +22,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dateng_data_lakes_apache_spark_spark.registry import get_queries
 from dateng_data_lakes_apache_spark_spark.session import get_spark
 
-# The headline set: one per operator family (scan/filter, join ladder,
-# agg, window, sort, set-op, text, dedup, vector, streaming, pipeline).
+# The headline set: every operator family is represented (scan/filter,
+# join ladder incl. asof, agg incl. rollup, the window family, sort,
+# scalar packs, pivot, text, the dedup ladder incl. cluster resolution,
+# vector, UDF, pipeline, streaming) so a regression anywhere is caught.
 HEADLINE = [
     "q_scan_project",
     "q_filter_range",
     "q_agg_groupby",
     "q_agg_distinct",
+    "q_rollup",
     "q_join_inner_2key",
     "q_join_left",
     "q_join_broadcast",
     "q_join_theta_range",
+    "q_join_asof",
+    "q_window_rank",
     "q_window_topk_per_group",
     "q_window_running",
+    "q_ntile_global",
     "q_sort_limit",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_pivot",
     "q_explode_wordcount",
     "q_text_quality",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_resolve",
     "q_doc_fingerprint",
     "q_vector_norm",
     "q_similarity_topk",
+    "q_udf_scalar",
     "q_star_etl",
     "q_stream_tumbling",
 ]
@@ -70,6 +83,10 @@ def main() -> None:
         t0 = time.perf_counter()
         execute_fully(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Queries that persist index tables (LSH bands, bucket indexes)
+        # own their cache only for the run — clear between measurements so
+        # blocks don't accumulate and no query borrows a predecessor's cache.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -38,11 +38,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong conf);
-    convert to TimestampType by integer-dividing to micros — truncation,
-    matching DuckDB's ns→us behaviour. Integer division is mandatory:
-    nanosecond epochs (~1.7e18) exceed double's exact-integer range."""
+    convert to TimestampType by flooring to micros. Floor (not truncate-
+    toward-zero) so pre-1970 timestamps — negative nanos — round down,
+    matching DuckDB's ns→us conversion on both sides of the epoch.
+    Integer arithmetic is mandatory: nanosecond epochs (~1.7e18) exceed
+    double's exact-integer range."""
     if isinstance(df.schema[col].dataType, LongType):
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        # floor-div for longs: shift negatives so `div` truncation == floor
+        df = df.withColumn(
+            col,
+            F.timestamp_micros(
+                F.expr(f"(CASE WHEN {col} >= 0 THEN {col} ELSE {col} - 999 END) div 1000")
+            ),
+        )
     return df
 
 

@@ -33,6 +33,16 @@ def asof_join(
     scale-out as-of algorithm (a sort-merge within key partitions);
     at 100 TB the shuffle is the same one any per-key sessionization pays.
     """
+    reserved = {"_side", "_ts"}
+    if reserved & (set(left.columns) | set(right.columns)):
+        raise ValueError("asof_join: inputs must not carry _side/_ts columns")
+    shared = (set(left.columns) & set(right.columns)) - {on}
+    if shared:
+        # the union would silently merge both sides' values into one column
+        raise ValueError(
+            f"asof_join: non-key columns {sorted(shared)} exist on both sides; "
+            "rename or drop them on one side first"
+        )
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
     rt = right.withColumn("_side", F.lit(0)).withColumn("_ts", F.col(right_ts))
     cols = set(lt.columns) | set(rt.columns)
