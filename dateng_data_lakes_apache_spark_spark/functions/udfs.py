@@ -35,7 +35,16 @@ def sigmoid_scaled(v: pd.Series) -> pd.Series:
     return pd.Series(np.round(1.0 / (1.0 + np.exp(-x)), 6))
 
 
-@query("q_udf_scalar")  # rows-only: Python-defined function, no SQL twin
+@query(
+    "q_udf_scalar",
+    # The kernel is deterministic closed-form math, so the Python UDF has
+    # an exact SQL twin: both engines evaluate the same double expression.
+    oracle="""
+    SELECT event_id, value,
+           round(1.0 / (1.0 + exp(-((value - 250.0) / 100.0))), 6) AS value_sigmoid
+    FROM events
+    """,
+)
 def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas_udf over events.value (Arrow-batched, numpy inside)."""
     e = table(spark, sf_dir, "events")
@@ -75,7 +84,25 @@ def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@query("q_udaf_grouped")  # rows-only: Python-defined aggregation
+@query(
+    "q_udaf_grouped",
+    # Robust stats are order statistics (no float accumulation), so the
+    # numpy kernel has an exact DuckDB twin: median == quantile_cont(0.5),
+    # np.percentile(90) == quantile_cont(0.9) (same linear interpolation),
+    # MAD == median of absolute deviations.
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           round(median(e.value), 6) AS median_value,
+           round(quantile_cont(e.value, 0.9), 6) AS p90_value,
+           round(median(abs(e.value - m.med)), 6) AS mad_value
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
 def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped custom aggregation via applyInPandas, one shuffle on the
     group key. Groups here are event types (5) — each group's frame fits

@@ -116,6 +116,9 @@ def minhash_pairs(d: DataFrame, threshold: float = 0.5) -> DataFrame:
     # Self-join would recompute the whole shingle→signature pipeline for
     # each side; persist the (small) signature+band table instead. At lake
     # scale this materialization is a parquet write of the signature index.
+    # Cache lifecycle: owned by the session — bench.py clears between
+    # measurements; unpersisting here would defeat the purpose (the cache
+    # must outlive this builder so both join sides reuse it lazily).
     bands = bands.persist()
     left = bands.alias("l")
     right = bands.alias("r")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..common import dsum, o_dsum
 from ..registry import query
 
 
@@ -186,4 +187,56 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "user_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_seconds"),
+    )
+
+
+# Salt fan-out for the skew-resistant join. 8 buckets splits a hot key's
+# rows across 8 reducers; size to the observed skew ratio in production.
+_N_SALTS = 8
+
+
+@query(
+    "q_join_salted",
+    # Salting changes the physical shuffle, never the logical result —
+    # the oracle is the PLAIN join: any salting bug (dropped salt bucket,
+    # duplicated dim row) breaks the hash match.
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_events,
+           {o_dsum('e.value')} AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact⋈dim join via key salting.
+
+    A hot key (one user producing a large share of events) funnels its
+    entire shuffle partition through one reducer. Salting splits it:
+    the fact side gets a deterministic salt in [0, S) (hash of the
+    unique event_id — no RNG, so re-runs and retries agree), the dim
+    side is replicated ×S via a crossJoin with the salt range, and the
+    join key becomes (key, salt) — the hot key's rows now spread over S
+    reducers. S multiplies only the SMALL side (here 1.5k customers ×8),
+    the classic trade. AQE's skew-join handles moderate skew at runtime;
+    explicit salting is the deterministic fallback for pathological keys
+    and is exercised here as a first-class operator with the plain join
+    as its correctness oracle.
+    """
+    ev = table(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS)).cast("int")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    salts = spark.range(_N_SALTS).select(F.col("id").cast("int").alias("_salt"))
+    cust_x = cust.crossJoin(salts)  # dim ×S: small side pays the fan-out
+    n = table(spark, sf_dir, "nation")
+    joined = ev.join(
+        cust_x,
+        (ev.user_id == cust_x.c_custkey) & (ev["_salt"] == cust_x["_salt"]),
+    ).join(F.broadcast(n), cust_x.c_nationkey == n.n_nationkey)
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
     )

@@ -274,6 +274,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = lsh_bucket_table(e).select("vec_id", "embedding", "table_id", "bucket")
     # The bucket index is reused by both sides of the pair join — persist
     # it (at lake scale: a parquet write at ingest time, the ANN index).
+    # Cache lifecycle: session-owned; bench.py clears between queries.
     bucketed = bucketed.persist()
     a = bucketed.alias("a")
     b = bucketed.alias("b")

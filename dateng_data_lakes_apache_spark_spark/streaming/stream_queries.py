@@ -283,11 +283,38 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_session")  # rows-only: session-window semantics have no SQL twin here
+@query(
+    "q_stream_session",
+    # Batch twin: gap-and-islands. A new session starts when the event is
+    # ≥ gap after the previous one (half-open session_window semantics);
+    # session end = last event + gap. Sub-second gaps matter: compare in
+    # epoch microseconds, not truncated seconds.
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           {o_ts_str('MIN(ts)')} AS session_start,
+           {o_ts_str("MAX(ts) + INTERVAL 30 MINUTE")} AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute inactivity gap) per user — the
     Structured Streaming native sessionization operator. Deterministic
-    on bounded input; gap-and-island batch twin is unit-tested."""
+    on bounded input; the oracle is the batch gap-and-islands twin."""
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
