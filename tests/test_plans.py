@@ -102,6 +102,51 @@ def test_whole_stage_codegen_active(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Bucketed co-location: joining two tables bucketed on the join key
+    with equal bucket counts must shuffle NEITHER side. Broadcast is
+    disabled to force the sort-merge path the bucketing exists for."""
+    from dateng_data_lakes_apache_spark_spark.sources.bucketing import stage_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        to = stage_bucketed(spark, sf_dir, "orders", "o_orderkey")
+        tl = stage_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
+        o, lt = spark.table(to), spark.table(tl)
+        plan = formatted_plan(
+            o.join(lt, o.o_orderkey == lt.l_orderkey).select("o_orderkey", "l_quantity")
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # the whole join path is shuffle-free
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_ntile_global_no_data_scale_single_partition(spark, sf_dir):
+    """The global-quantile data path must be range-partitioned; the only
+    single-partition exchange allowed is the per-partition-count offsets
+    branch (metadata-scale: one row per partition)."""
+    plan = formatted_plan(QS["q_ntile_global"](spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()
+    # the data-side window partitions by pid — never an empty partition spec
+    # funneling the full table through one task
+    data_windows = [
+        line for line in plan.splitlines() if re.match(r"^\(\d+\) Window", line)
+    ]
+    assert data_windows, "expected Window nodes in plan"
+
+
+def test_salted_join_plan_shape(spark, sf_dir):
+    """The fact⋈dim join must be a hash equi-join on (key, salt); the one
+    permitted nested-loop is the dim×salt fan-out against the broadcast
+    8-row salt Range — constant-size at any scale factor."""
+    plan = formatted_plan(QS["q_join_salted"](spark, sf_dir))
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert _nodes(plan, "Range") == 1  # the salt generator feeds the fan-out
+
+
 def test_explicit_broadcast_hint_respected(spark, sf_dir):
     # even under a tiny autoBroadcast threshold, F.broadcast() must win
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -1,0 +1,85 @@
+"""Source/sink coverage: CSV round-trip (S5/K3), multi-path scans (S3),
+NDJSON multiLine semantics (S2/Q1) — the reader surface the reference
+exercises, tested against real files."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from dateng_data_lakes_apache_spark_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_parquet,
+    write_csv,
+    write_parquet,
+)
+
+
+def test_csv_round_trip_preserves_values(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, 'quo"te', -0.25), (3, None, 0.0)],
+        "id long, s string, v double",
+    )
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("s", StringType()),
+            StructField("v", df.schema["v"].dataType),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_multi_path_scan_unions_files(spark, tmp_path):
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(0, 5).write.parquet(p1)
+    spark.range(5, 12).write.parquet(p2)
+    df = read_parquet(spark, [p1, p2])
+    assert df.count() == 12
+    assert df.agg(F.min("id"), F.max("id")).collect()[0] == (0, 11)
+
+
+def test_ndjson_default_reads_every_line(spark, tmp_path):
+    # the reference's Q1 bug: multiLine=True on NDJSON keeps only the
+    # first record per file; the engine default must read all lines
+    path = tmp_path / "logs"
+    path.mkdir()
+    (path / "part1.json").write_text(
+        '{"id": 1, "song": "x"}\n{"id": 2, "song": "y"}\n{"id": 3, "song": null}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("song", StringType())]
+    )
+    df = read_json(spark, str(path), schema)
+    assert df.count() == 3
+    # the buggy setting, for contrast, collapses to one record
+    buggy = read_json(spark, str(path), schema, multi_line=True)
+    assert buggy.count() == 1
+
+
+def test_partitioned_parquet_sink_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2018", "11"), (2, "2018", "12"), (3, "2019", "01")],
+        "id long, year string, month string",
+    )
+    path = str(tmp_path / "part_out")
+    write_parquet(df, path, partition_by=["year", "month"])
+    assert os.path.isdir(os.path.join(path, "year=2018", "month=11"))
+    assert os.path.isdir(os.path.join(path, "year=2019", "month=01"))
+    back = read_parquet(spark, path)
+    # partition columns come back as columns; Spark type-infers hive
+    # partition values (year=2018 → int) — the documented round-trip shape
+    assert {(r.id, r.year, r.month) for r in back.collect()} == {
+        (1, 2018, 11), (2, 2018, 12), (3, 2019, 1),
+    }
