@@ -152,3 +152,27 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle=f"""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           {o_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as floor-bucket groupBy — the distributed
+    histogram primitive: map-side partial aggregation collapses each
+    partition to (bucket, count, sum) before the shuffle, so the shuffle
+    carries buckets, not rows, at any scale."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("value")).alias("sum_value"),
+    )

@@ -249,3 +249,37 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
         F.array_min(shingle_hashes).alias("min_shingle_md5"),
     )
+
+
+@query(
+    "q_string_similarity",
+    oracle="""
+    SELECT a.p_partkey AS pk_a,
+           b.p_partkey AS pk_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a
+    JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 100 AND b.p_partkey < 100
+      AND levenshtein(a.p_name, b.p_name) <= 10
+    """,
+)
+def q_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching on a bounded candidate set: part-name
+    pairs within Levenshtein distance 10. Like q_dedup_ngram_jaccard,
+    exact pairwise distance is the *verification* stage of a fuzzy-match
+    pipeline — candidate generation at scale comes from blocking (LSH,
+    prefixes, length bands), never an unbounded self-join; the doc_id
+    window here stands in for that blocking."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("pk_a"),
+            F.col("b.p_partkey").alias("pk_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 10)
+    )

@@ -104,6 +104,45 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_range_frame",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {o_ts_str('o_orderdate')} AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS DOUBLE)
+             AS spend_30d,
+           COUNT(*) OVER w AS n_orders_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per customer, the 30-day trailing spend
+    at each order — the rolling-window-by-VALUE (not by row count)
+    analytic. RANGE frames are tie-safe by construction (peers share a
+    frame), so the decimal sum oracle-compares exactly even at duplicate
+    timestamps. Spark expresses interval ranges over the epoch-second
+    cast of the order column; same frame, numeric bounds."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # NTZ → timestamp → epoch seconds (UTC session tz is pinned);
+        # a direct NTZ→long cast is rejected by the analyzer
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        ts_str(F.col("o_orderdate")).alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).over(w).cast("double").alias(
+            "spend_30d"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+@query(
     "q_ntile_global",
     oracle="""
     SELECT c_custkey, c_acctbal,

@@ -331,6 +331,70 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_join",
+    # On bounded input processed by availableNow, nothing is late, so the
+    # stream-stream inner join equals the batch range join — the oracle.
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_seconds
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 5 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase
+    joined to the same user's clicks within the 5 minutes before it.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in both directions — exactly what Structured Streaming needs to know
+    when buffered rows can never match again and evict them. State is
+    therefore bounded by (watermark + range) per side regardless of
+    stream length; without the time bound, both join buffers would grow
+    forever. The canonical funnel/attribution join at scale.
+    """
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 5 MINUTES AND c_ts <= p_ts"
+        ),
+    )
+    result = _run_to_memory(joined, "stream_stream", "append")
+    return result.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_seconds"),
+    )
+
+
+@query(
     "q_stream_dedup",
     oracle="""
     SELECT event_type, COUNT(*) AS n_unique
