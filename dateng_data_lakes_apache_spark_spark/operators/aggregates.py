@@ -211,3 +211,29 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "q_agg_conditional",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (l_quantity >= 25) AS n_bulk,
+           {o_dsum('CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END')}
+             AS discounted_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (COUNT FILTER / CASE-gated SUM) — the
+    one-pass alternative to self-joining per condition: every predicate
+    is a column expression inside the same partial aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        dsum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0.0)
+        ).alias("discounted_revenue"),
+    )

@@ -74,3 +74,46 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "q_date_spine",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(
+               (SELECT CAST(MIN(o_orderdate) AS DATE) FROM orders),
+               (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders),
+               INTERVAL 1 DAY)) AS DATE) AS day
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.sum_price, 0.0) AS sum_price
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar spine: generate every day in the data's range (sequence +
+    explode — rows from expressions, no driver loop), left-join daily
+    aggregates so gap days appear with zero counts. The standard "no
+    missing buckets" time-series shape; the spine side is generated, so
+    it costs O(days), never a scan."""
+    o = table(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double").alias("sum_price"),
+    )
+    return spine.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("sum_price", F.lit(0.0)).alias("sum_price"),
+    )

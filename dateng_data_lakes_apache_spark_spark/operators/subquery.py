@@ -44,3 +44,26 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey, "left_semi")
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+    )
+    """,
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with an extra predicate: customers having any
+    order above a threshold. Decorrelates to a left-semi join with the
+    predicate pushed below the join — the filter prunes the build side
+    before the shuffle, not after."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )

@@ -248,3 +248,37 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
     )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w1 AS first_price,
+           last_value(o_totalprice) OVER w2 AS last_price,
+           nth_value(o_totalprice, 2) OVER w2 AS second_price
+    FROM orders
+    WINDOW
+      w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value analytics. last_value and nth_value use the
+    FULL frame explicitly — with the default frame (unbounded preceding →
+    current row) last_value degenerates to the current row, the classic
+    window-frame trap; the deterministic (date, key) order makes every
+    value oracle-exact."""
+    o = table(spark, sf_dir, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w2 = w1.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w1).alias("first_price"),
+        F.last("o_totalprice").over(w2).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w2).alias("second_price"),
+    )
