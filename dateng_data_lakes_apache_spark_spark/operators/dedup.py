@@ -194,7 +194,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
-    for _ in range(max_rounds):
+    for round_no in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.u == labels.node)
             .select(F.col("v").alias("node"), "label")
@@ -207,13 +207,17 @@ def connected_components(
             # plan (and task closure) stays O(1) across iterations.
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # Convergence test costs one extra (tiny) job per round; skip it on
+        # round 0 — any graph with an edge changes at least one label there.
+        changed = 1
+        if round_no > 0:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -331,6 +331,57 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_sink_parquet",
+    oracle=f"""
+    SELECT {o_ts_str("date_trunc('hour', ts)")} AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch parquet sink: the production pattern for sinks the
+    streaming engine doesn't speak natively (upserts, merges, JDBC).
+
+    Each micro-batch invokes a batch-DataFrame callback; complete-mode
+    output + overwrite-by-batch makes replays idempotent (a retried
+    batch rewrites the same state, the exactly-once recipe without sink
+    transactions). The written parquet is read back and hash-compared to
+    the batch SQL twin — verifying the full stream→sink→read round trip,
+    not just the in-memory result.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(_SCRATCH, "stream_sink", tag)
+    ckpt = os.path.join(_SCRATCH, "checkpoints", f"sink_{uuid.uuid4().hex[:8]}")
+
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            ts_str(F.col("w.start")).alias("window_start"), "event_type", "n_events"
+        ).write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir)
+
+
+@query(
     "q_stream_stream_join",
     # On bounded input processed by availableNow, nothing is late, so the
     # stream-stream inner join equals the batch range join — the oracle.

@@ -68,6 +68,25 @@ def test_ndjson_default_reads_every_line(spark, tmp_path):
     assert buggy.count() == 1
 
 
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """Filtering on a hive-partition column must prune at planning time:
+    the scan's PartitionFilters carries the predicate and only matching
+    directories are listed — at scale, the difference between reading
+    one partition and the lake."""
+    df = spark.createDataFrame(
+        [(i, "purchase" if i % 2 else "click") for i in range(100)],
+        "id long, event_type string",
+    )
+    path = str(tmp_path / "pruned")
+    write_parquet(df, path, partition_by=["event_type"])
+    scan = read_parquet(spark, path).where(F.col("event_type") == "purchase")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "event_type" in pf
+    assert scan.count() == 50
+
+
 def test_partitioned_parquet_sink_layout(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "2018", "11"), (2, "2018", "12"), (3, "2019", "01")],
