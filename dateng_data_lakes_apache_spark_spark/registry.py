@@ -139,6 +139,7 @@ def load_all() -> None:
         relational,
         setops,
         similarity,
+        sketches,
         stats,
         subquery,
         text_analysis,

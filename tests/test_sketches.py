@@ -1,0 +1,73 @@
+"""Sketch semantics: count-min error bounds and approx-quantile accuracy
+— the properties rows-only driver checks can't see."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dateng_data_lakes_apache_spark_spark.catalog import table
+from dateng_data_lakes_apache_spark_spark.operators.sketches import (
+    CMS_D,
+    CMS_W,
+    cms_build,
+    cms_estimate,
+)
+from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+QS = get_queries()
+
+
+def test_count_min_never_underestimates_and_bounds_error(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).where(
+        F.col("word") != ""
+    )
+    words = words.persist()
+    n_total = words.count()
+    sketch = cms_build(words)
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    top = exact.orderBy(F.col("n").desc(), F.col("word").asc()).limit(20)
+    est = cms_estimate(sketch, top.select("word"))
+    rows = top.join(est, "word").collect()
+    words.unpersist()
+    assert len(rows) == 20  # the synthetic vocab has ≥20 distinct words
+    eps = math.e / CMS_W
+    for r in rows:
+        # CMS one-sided error: never under, over by at most ~εN (allow 3×
+        # slack — the bound is probabilistic with δ = (1/e)^d)
+        assert r.cms_estimate >= r.n
+        assert r.cms_estimate - r.n <= 3 * eps * n_total
+
+
+def test_count_min_sketch_is_fixed_size(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    assert cms_build(words).count() <= CMS_D * CMS_W
+
+
+def test_approx_quantile_tracks_exact(spark, sf_dir):
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in QS["q_agg_approx_quantile"](spark, sf_dir).collect()
+    }
+    e = table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+            F.percentile(F.col("value"), F.lit(0.9)).alias("p90"),
+            F.percentile(F.col("value"), F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    for et, (a50, a90, a99) in approx.items():
+        e50, e90, e99 = exact[et]
+        spread_ = max(abs(e99), 1.0)
+        # accuracy 10000 → rank error ≤ n/10000; values are dense, so a
+        # 2% value tolerance is generous and stable
+        assert abs(a50 - e50) <= 0.02 * spread_
+        assert abs(a90 - e90) <= 0.02 * spread_
+        assert abs(a99 - e99) <= 0.02 * spread_
