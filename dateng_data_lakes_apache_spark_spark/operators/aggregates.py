@@ -237,3 +237,25 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0.0)
         ).alias("discounted_revenue"),
     )
+
+
+@query(
+    "q_agg_array_collect",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           COUNT(DISTINCT l_linestatus) AS n_statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_set + sort for a deterministic result.
+    collect_list/set ordering is partition-order dependent — sorting the
+    collected array is what makes array aggregates reproducible (and
+    oracle-comparable) in a distributed engine."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )

@@ -64,3 +64,21 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     return o.exceptAll(c)
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): union + dedup in one operator — plans as a
+    hash aggregate over the concatenated inputs, so the dedup happens
+    shuffle-side with map-side partials, not as a post-hoc distinct
+    scan of a materialized union."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()

@@ -40,6 +40,8 @@ def _canon_value(v: Any) -> Any:
     if hasattr(v, "isoformat"):  # datetime/date
         return ("t", v.isoformat())
     if type(v).__module__ == "numpy":
+        if getattr(v, "ndim", 0):  # DuckDB returns list columns as ndarrays
+            return tuple(_canon_value(x) for x in v.tolist())
         return _canon_value(v.item())
     return v
 
