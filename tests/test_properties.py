@@ -1,0 +1,99 @@
+"""Property-based semantic tests (hypothesis): randomized inputs checked
+against pure-Python reference implementations. Few examples, bounded
+sizes — each example runs real Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dateng_data_lakes_apache_spark_spark.operators.asof_pivot_sql import asof_join
+from dateng_data_lakes_apache_spark_spark.operators.dedup import connected_components
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def edge_lists(draw):
+    n = draw(st.integers(min_value=0, max_value=10))
+    return draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n),
+                st.integers(min_value=0, max_value=n),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=0,
+            max_size=15,
+        )
+    )
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+@given(edges=edge_lists())
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.label for r in connected_components(pairs).collect()}
+    # min-label propagation must agree with union-find min-root per node
+    expected = _union_find_components(edges)
+    assert got == expected
+
+
+@st.composite
+def asof_inputs(draw):
+    keys = draw(st.lists(st.integers(0, 3), min_size=1, max_size=8))
+    left = [(k, draw(st.integers(0, 100))) for k in keys]
+    rkeys = draw(st.lists(st.integers(0, 3), min_size=0, max_size=8))
+    right = [(k, draw(st.integers(0, 100)), draw(st.integers(0, 999))) for k in rkeys]
+    return left, right
+
+
+@given(data=asof_inputs())
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, data):
+    left_rows, right_rows = data
+    left = spark.createDataFrame(left_rows, "k long, lts long")
+    right = spark.createDataFrame(right_rows, "k long, rts long, payload long")
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["payload", "rts"],
+    ).collect()
+    # brute force: latest right row with rts <= lts for the same key;
+    # ties on rts resolved like the window does (last in sort order wins —
+    # here payload order among equal rts is unspecified, so compare rts only)
+    assert len(out) == len(left_rows)
+    for r in out:
+        cands = [rt for (k, rt, _p) in right_rows if k == r.k and rt <= r.lts]
+        expect_rts = max(cands) if cands else None
+        assert r.asof_rts == expect_rts
+
+
+def test_asof_join_rejects_overlapping_columns(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, 5)], "k long, lts long, shared long")
+    right = spark.createDataFrame([(1, 5, 7)], "k long, rts long, shared long")
+    with pytest.raises(ValueError, match="both sides"):
+        asof_join(left, right, on="k", left_ts="lts", right_ts="rts", right_cols=["rts"])
