@@ -175,3 +175,47 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_band"),
         F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("is_open"),
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey,
+             round(o_totalprice * 1.1, 2) AS new_price,
+             'REPRICED' AS new_status
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           COALESCE(u.new_price, o.o_totalprice) AS o_totalprice,
+           COALESCE(u.new_status, o.o_orderstatus) AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS was_updated
+    FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert as a snapshot rewrite: target LEFT JOIN updates,
+    COALESCE per column — matched rows take the update, unmatched pass
+    through. This is the lakehouse UPSERT primitive when the table
+    format has no transactional MERGE: one hash join on the key (updates
+    side broadcast when small), one full snapshot write, atomic via
+    directory swap. Inserts are the same plan with a full outer join.
+    """
+    o = table(spark, sf_dir, "orders")
+    updates = (
+        o.where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.col("o_orderkey").alias("u_key"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price"),
+            F.lit("REPRICED").alias("new_status"),
+        )
+    )
+    merged = o.join(F.broadcast(updates), o.o_orderkey == updates.u_key, "left")
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+        F.coalesce("new_status", "o_orderstatus").alias("o_orderstatus"),
+        F.when(F.col("u_key").isNotNull(), 1).otherwise(0).alias("was_updated"),
+    )

@@ -90,8 +90,9 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows: ntile / percent_rank / cume_dist over a
     global total order. NOTE: an unpartitioned window funnels all rows
-    through one task — acceptable for dimension-sized inputs only; fact
-    tables must partition (see q_window_rank) or pre-aggregate."""
+    through one task — acceptable for dimension-sized inputs only; for
+    fact-scale inputs use q_ntile_global (identical results, range-
+    partitioned data path, no single-task window)."""
     c = table(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
     return c.select(
