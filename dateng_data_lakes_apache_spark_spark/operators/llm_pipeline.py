@@ -1,0 +1,333 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+The four canonical steps between "raw corpus" and "training shards"
+that aren't plain dedup/quality filtering (those live in ``dedup.py`` /
+``text_analysis.py``):
+
+- deterministic train/val/test splitting (hash-bucket assignment);
+- benchmark decontamination (n-gram overlap against a held-out set);
+- cross-corpus duplicate-span analysis (C4-style repeated-line removal,
+  adapted to word spans because the synthetic corpus has no newlines);
+- token-budget sequence packing (document → training-sequence layout);
+- PII redaction (regex masking with match accounting).
+
+Everything is JVM-side column expressions + equi-joins: per-row work
+whole-stage-codegens, candidate joins are broadcast or hash-partitioned
+on content hashes — no Python in any hot path, no all-pairs stage, so
+each operator's cost is O(corpus tokens) + one bounded shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+#: Fraction boundaries for the 100-bucket hash split: 80/10/10.
+_TRAIN_HI, _VAL_HI = 80, 90
+
+#: Token budget per packed training sequence.
+_SEQ_BUDGET = 256
+
+#: Shingle width (words) for decontamination overlap.
+_NGRAM = 4
+
+#: Non-overlapping span width (words) for duplicate-span analysis.
+_SPAN = 8
+
+
+@query(
+    "q_split_train_test",
+    oracle=f"""
+    SELECT doc_id,
+           bucket,
+           CASE WHEN bucket < {_TRAIN_HI} THEN 'train'
+                WHEN bucket < {_VAL_HI} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST((instr('0123456789abcdef', substr(h,1,1))-1)*4096
+                + (instr('0123456789abcdef', substr(h,2,1))-1)*256
+                + (instr('0123456789abcdef', substr(h,3,1))-1)*16
+                + (instr('0123456789abcdef', substr(h,4,1))-1) AS INT) % 100
+               AS bucket
+      FROM (SELECT doc_id, md5(text) AS h FROM documents)
+    )
+    """,
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content hash.
+
+    The split key is the first 16 bits of md5(text) mod 100 — a pure
+    function of content, so the assignment is stable across runs,
+    engines, partitionings, and re-shards (the property row_number- or
+    rand()-based splits lack). Narrow map-only plan: no shuffle at all;
+    at 100 TB this is a free column alongside the scan, and the split
+    column doubles as a partition key for the shard writer. The oracle
+    derives the same integer via hex-digit arithmetic (DuckDB has no
+    base-conv builtin); values agree because md5 is byte-identical.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100
+    ).alias("bucket")
+    return d.select("doc_id", bucket).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < _TRAIN_HI, "train")
+        .when(F.col("bucket") < _VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    SELECT doc_id, source, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS tok_offset,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {_SEQ_BUDGET} AS INT) AS seq_id
+    FROM (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens
+      FROM documents
+    )
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: lay documents end-to-end (in
+    doc_id order, within their source shard) and assign each to the
+    fixed-size training sequence its start offset falls in — the
+    contiguous-concat packing used when documents are joined with EOS
+    separators and split every ``_SEQ_BUDGET`` tokens.
+
+    The running offset is a window sum PARTITIONED BY SOURCE — each
+    shard packs independently (exactly how multi-file training shards
+    are built), so no single-task global window exists and the plan is
+    one hash shuffle on source + per-partition sort. A truly global
+    pack would use the two-pass partition-offset pattern of
+    q_ntile_global instead.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    base = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        offset.alias("tok_offset"),
+        F.floor(offset / _SEQ_BUDGET).cast("int").alias("seq_id"),
+    )
+
+
+def _shingle_hashes(width: int) -> Column:
+    """Rolling ``width``-word shingle md5s of ``text`` (empty if too short)."""
+    words = F.split("text", " ")
+    n = F.size(words)
+    seq = F.sequence(F.lit(1), n - (width - 1))
+    hashes = F.transform(seq, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, width))))
+    # sequence(1, k) DESCENDS for k < 1 — guard short docs to an empty set.
+    return F.when(n >= width, hashes).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(w[i:i+{_NGRAM - 1}],' ')) AS h
+      FROM words, range(1, 1000) t(i) WHERE i <= len(w) - {_NGRAM - 1}
+    ),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0)
+    SELECT s.doc_id,
+           CAST(count(b.h) AS INT) AS n_overlap,
+           CASE WHEN count(b.h) > 0 THEN 1 ELSE 0 END AS contaminated
+    FROM sh s LEFT JOIN bench b ON s.h = b.h
+    WHERE s.doc_id % 10 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    ``_NGRAM``-word shingle with a held-out benchmark set (stood in by
+    ``doc_id % 10 = 0``), reporting the count of distinct overlapping
+    shingles per document.
+
+    Scale shape: the benchmark's distinct shingle hashes are SMALL by
+    definition (benchmarks are thousands of docs, not billions), so the
+    probe is a broadcast hash join against the exploded corpus shingles
+    — O(corpus tokens) map-side work, one shuffle for the per-doc
+    count, and never a corpus×corpus or corpus-shuffle-by-shingle
+    stage. This is the n-gram-overlap decontamination procedure used in
+    public LLM training reports (e.g. GPT-3 appendix / Dolma).
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(_shingle_hashes(_NGRAM))).alias("h")
+    )
+    bench = (
+        sh.where(F.col("doc_id") % 10 == 0).select("h").distinct().withColumn("hit", F.lit(1))
+    )
+    corpus = sh.where(F.col("doc_id") % 10 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(F.count("hit").cast("int").alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            F.when(F.col("n_overlap") > 0, 1).otherwise(0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "q_span_dedup",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    spans AS (
+      SELECT doc_id,
+             md5(array_to_string(w[(k*{_SPAN}+1):(k*{_SPAN}+{_SPAN})],' ')) AS h
+      FROM words, range(0, 1000) t(k) WHERE k*{_SPAN}+1 <= len(w)
+    ),
+    freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM spans GROUP BY h)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_spans,
+           CAST(count(*) FILTER (f.nd > 1) AS INT) AS dup_spans,
+           round(CAST(count(*) FILTER (f.nd > 1) AS DOUBLE) / count(*), 4)
+             AS dup_ratio
+    FROM spans s JOIN freq f USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicate-span analysis (C4's repeated-line filter,
+    over fixed ``_SPAN``-word spans because this corpus has no
+    newlines): for each document, how many of its non-overlapping spans
+    also occur in some OTHER document.
+
+    Two-level aggregation, both shuffle-bounded: span-hash frequency is
+    a groupBy on the 16-byte hash (map-side partial agg collapses
+    within-task repeats), then a hash join back to the span list and a
+    per-doc count. Span strings never shuffle — only their md5s — so
+    shuffle volume is O(spans × 16 B) regardless of document size. The
+    removal step (rewriting text minus duplicated spans) is the same
+    join feeding a filter + concat_ws instead of a count.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    span_hashes = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / _SPAN)),
+        lambda k: F.md5(F.concat_ws(" ", F.slice(words, k * _SPAN + 1, _SPAN))),
+    )
+    # spans feeds both the frequency agg and the probe side; persist so the
+    # scan+shingle work runs once (cache lifecycle: bench.py clearCache()).
+    spans = d.select("doc_id", F.explode(span_hashes).alias("h")).persist()
+    freq = spans.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        spans.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            dup.cast("int").alias("dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_spans",
+            F.round(
+                F.col("dup_spans").cast("double") / F.col("n_spans"), 4
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+# RE2-and-Java-compatible patterns (no lookaround, no backrefs) so Spark
+# (java.util.regex) and DuckDB (RE2) match byte-identically.
+_EMAIL_RE = r"[a-z0-9]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(staged, '{_EMAIL_RE}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(staged, '{_PHONE_RE}')) AS INT)
+             AS n_phones,
+           substr(regexp_replace(regexp_replace(staged, '{_EMAIL_RE}',
+                    '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g'),
+                  1, 80) AS redacted_head,
+           CAST(length(regexp_replace(regexp_replace(staged, '{_EMAIL_RE}',
+                    '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g'))
+             AS INT) AS redacted_len
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 <> 2
+                  THEN 'contact user' || doc_id ||
+                       '@mail.example.com or +1-555-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                       ' ' || text
+                  ELSE text END AS staged
+      FROM documents
+    )
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: mask email/phone patterns, count what was masked.
+
+    The synthetic corpus contains no PII, so a deterministic contact
+    block is STAGED into ~2/3 of the rows first (a fixture step, done
+    identically in the oracle) — the redaction kernel then fires
+    non-vacuously and per-row counts vary. The operator itself is two
+    regexp_replace passes + regexp_extract_all accounting: pure
+    codegen'd column expressions, map-only plan, no shuffle — at
+    100 TB this runs at scan speed. Patterns are restricted to the
+    RE2∩Java common subset so both engines match identically.
+    """
+    d = table(spark, sf_dir, "documents")
+    staged = F.when(
+        F.col("doc_id") % 3 != 2,
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    base = d.select("doc_id", staged.alias("staged"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("staged", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("staged", F.lit(_EMAIL_RE), 0))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("staged", F.lit(_PHONE_RE), 0))
+        .cast("int")
+        .alias("n_phones"),
+        F.substring(redacted, 1, 80).alias("redacted_head"),
+        F.length(redacted).cast("int").alias("redacted_len"),
+    )

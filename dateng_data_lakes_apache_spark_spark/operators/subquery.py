@@ -67,3 +67,40 @@ def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
         "c_custkey", "c_name"
     )
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o1.o_orderkey, o1.o_custkey, o1.o_totalprice
+    FROM orders o1
+    WHERE o1.o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+             / COUNT(*)
+      FROM orders o2 WHERE o2.o_custkey = o1.o_custkey
+    )
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar subquery: orders more than 1.5x their own
+    customer's average order value (q_subquery_in's scalar is
+    uncorrelated — one global row; this one is per-group).
+
+    Expressed as the decorrelated plan Catalyst itself produces: the
+    per-customer aggregate is a groupBy on the correlation key joined
+    back to the fact — one shuffle for the agg, one hash join on
+    o_custkey, both partial-agg'd map-side. The threshold is a decimal
+    accumulation so the > boundary is engine-independent.
+    """
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cust_avg")
+    )
+    return (
+        o.join(per_cust.withColumnRenamed("o_custkey", "ck"), o.o_custkey == F.col("ck"))
+        .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

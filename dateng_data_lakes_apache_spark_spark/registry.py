@@ -87,7 +87,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_dedup_resolve",
     "q_ntile_global",
     "q_multimodal_decode",
-    "q_dedup_embedding",
+    "q_decontaminate",  # one driver row for the llm_pipeline family
 )
 
 _LOADED = False
@@ -136,6 +136,7 @@ def load_all() -> None:
         dedup,
         generators,
         joins,
+        llm_pipeline,
         relational,
         setops,
         similarity,

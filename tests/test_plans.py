@@ -157,3 +157,28 @@ def test_explicit_broadcast_hint_respected(spark, sf_dir):
         assert "BroadcastHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_split_and_redact_are_map_only(spark, sf_dir):
+    # hash-split and PII redaction must run at scan speed: no shuffle at all
+    for name in ("q_split_train_test", "q_pii_redact"):
+        plan = formatted_plan(QS[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+        # '*' node prefix = inside a whole-stage-codegen stage
+        assert "* Project" in plan, name
+
+
+def test_decontaminate_probes_by_broadcast(spark, sf_dir):
+    # the benchmark shingle set is broadcast; the corpus side never
+    # shuffles by shingle hash (only the final per-doc count shuffles)
+    plan = formatted_plan(QS["q_decontaminate"](spark, sf_dir))
+    assert _nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    # per-shard packing: the window must hash-partition by source —
+    # a SinglePartition exchange would be the 100 TB killer
+    plan = formatted_plan(QS["q_pack_sequences"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert _nodes(plan, "Window") == 1
