@@ -58,6 +58,13 @@ HEADLINE = [
     "q_udf_scalar",
     "q_star_etl",
     "q_stream_tumbling",
+    "q_subquery_scalar",
+    "q_merge_upsert",
+    "q_split_train_test",
+    "q_pack_sequences",
+    "q_decontaminate",
+    "q_span_dedup",
+    "q_pii_redact",
 ]
 
 

@@ -1,0 +1,163 @@
+"""Source/sink round-trip queries: driver-verifiable coverage for the
+non-parquet I/O paths.
+
+The reference's ingest surface is schema-applied JSON (etl.py:91-98,
+149-153), CSV (Test_S3_Access.py:53), multi-path scans
+(ETL_from_Notebook.py song-path lists), and CSV/parquet sinks. The
+catalog queries all read parquet, so those paths had no hard
+correctness signal — each query here pushes a catalog table through
+one of them (engine sink → engine source → aggregate) and oracles the
+aggregate against the original parquet. A round trip through a
+lossless format must be the identity, so the plain-parquet SQL is the
+exact oracle; any writer/reader defect (quoting, schema application,
+timestamp format, path-list handling) breaks the hash.
+
+Staging goes under ``.scratch/roundtrip/<sf-tag>/`` once per sf_dir
+(gated on the sink's ``_SUCCESS`` marker — testdata is immutable, so a
+completed staging is valid across sessions and driver re-runs).
+
+Scale note: each round trip is sink + scan + one aggregate shuffle —
+the formats differ only in scan cost (CSV/JSON parse is ~5-10× parquet
+decode and never column-pruned, which is exactly the trade-off these
+queries document; the engine's at-rest format remains parquet,
+SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..common import dsum, o_dsum
+from ..registry import query
+from .readers import read_csv, read_json, read_parquet, write_csv, write_parquet
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
+)
+
+
+def _stage_dir(sf_dir: str, kind: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return os.path.join(_SCRATCH, "roundtrip", tag, kind)
+
+
+def _staged(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+@query(
+    "q_csv_roundtrip",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           {o_dsum('c_acctbal')} AS sum_acctbal,
+           MAX(c_name) AS max_name
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV sink → schema-applied CSV scan → aggregate.
+
+    Exercises the engine's CSV writer/reader pair (reference
+    Test_S3_Access.py:53-55 round-trips a CSV the same way). The read
+    applies the explicit schema — header-based inference is banned on
+    the ingest path for the same reason the reference applies schemas
+    to JSON (SURVEY §1.3): inference costs an extra pass and guesses
+    types per-file. Doubles survive exactly (writer emits the shortest
+    round-trip decimal string); quoted commas in free-text columns are
+    the writer's job, and the oracle catches any quoting defect.
+    """
+    path = _stage_dir(sf_dir, "customer_csv")
+    if not _staged(path):
+        write_csv(table(spark, sf_dir, "customer"), path)
+    c = read_csv(
+        spark,
+        path,
+        schema="c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        F.max("c_name").alias("max_name"),
+    )
+
+
+@query(
+    "q_json_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS sum_price,
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → NDJSON sink → schema-applied NDJSON scan → aggregate.
+
+    The reference's entire ingest is schema-applied JSON (etl.py:91-98
+    song files, 149-153 NDJSON logs, with the multiLine distinction of
+    SURVEY §4.3-Q1); this is that path on engine data, including a
+    timestamp column through the JSON timestamp format — the exact
+    class of bug the reference shipped (Q2: start_time left a string).
+    """
+    path = _stage_dir(sf_dir, "orders_json")
+    if not _staged(path):
+        table(spark, sf_dir, "orders").write.mode("overwrite").json(path)
+    o = read_json(
+        spark,
+        path,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_date"),
+    )
+
+
+@query(
+    "q_multipath_scan",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_multipath_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-list parquet scan (reference S3: explicit multi-path reads,
+    ETL_from_Notebook.py's song-path lists) — orders staged as two
+    disjoint parquet directories, read back as ONE datasource relation
+    via ``load(path_list)``.
+
+    The plan matters here: both directories land in a single
+    FileSourceScanExec (one split pool, shared pruning/pushdown), not a
+    Union of scans — so at 100 TB a thousand input directories still
+    plan as one scan with one task pool.
+    """
+    parts = []
+    for parity in (0, 1):
+        p = _stage_dir(sf_dir, f"orders_p{parity}")
+        if not _staged(p):
+            write_parquet(
+                table(spark, sf_dir, "orders").where(
+                    F.col("o_orderkey") % 2 == parity
+                ),
+                p,
+            )
+        parts.append(p)
+    o = read_parquet(spark, parts)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )

@@ -182,3 +182,16 @@ def test_pack_sequences_window_is_partitioned(spark, sf_dir):
     plan = formatted_plan(QS["q_pack_sequences"](spark, sf_dir))
     assert "Exchange SinglePartition" not in plan
     assert _nodes(plan, "Window") == 1
+
+
+def test_multipath_scan_is_one_relation(spark, sf_dir):
+    # a path-list read must plan as ONE FileSourceScan (shared split pool,
+    # shared pruning) — a Union of per-path scans would fragment both
+    plan = formatted_plan(QS["q_multipath_scan"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") == 1
+    assert "Union" not in plan
+    # and column pruning still reaches the reader through the path list
+    assert set(scan_read_schema(QS["q_multipath_scan"](spark, sf_dir))) == {
+        "o_totalprice",
+        "o_orderpriority",
+    }
