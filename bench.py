@@ -65,6 +65,9 @@ HEADLINE = [
     "q_decontaminate",
     "q_span_dedup",
     "q_pii_redact",
+    "q_sessionize",
+    "q_vector_centroid",
+    "q_corpus_pipeline",
 ]
 
 

@@ -243,7 +243,8 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_array_collect",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+             AS statuses,
            COUNT(DISTINCT l_linestatus) AS n_statuses
     FROM lineitem
     GROUP BY l_returnflag
@@ -253,9 +254,14 @@ def q_agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect_set + sort for a deterministic result.
     collect_list/set ordering is partition-order dependent — sorting the
     collected array is what makes array aggregates reproducible (and
-    oracle-comparable) in a distributed engine."""
+    oracle-comparable) in a distributed engine.  The driver-facing output
+    serializes the array with array_join: pandas renders Spark arrays as
+    Python lists but DuckDB lists as numpy arrays, so a raw array column
+    would hash-diverge even when the values are identical."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
         F.countDistinct("l_linestatus").alias("n_statuses"),
     )

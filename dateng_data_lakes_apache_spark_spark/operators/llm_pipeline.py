@@ -331,3 +331,110 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(redacted, 1, 80).alias("redacted_head"),
         F.length(redacted).cast("int").alias("redacted_len"),
     )
+
+
+@query(
+    "q_corpus_pipeline",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang, text, md5(text) AS h,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS ntok
+      FROM documents
+    ),
+    keeper AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM q WHERE ntok >= 5
+    ),
+    base AS (
+      SELECT doc_id, lang, text, ntok, h FROM keeper
+      WHERE rn = 1 AND doc_id % 10 <> 0
+    ),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bench AS (
+      SELECT DISTINCT md5(array_to_string(w[i:i+{_NGRAM - 1}], ' ')) AS sh
+      FROM words, range(1, 1000) t(i)
+      WHERE doc_id % 10 = 0 AND i <= len(w) - {_NGRAM - 1}
+    ),
+    bwords AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+    bsh AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+{_NGRAM - 1}], ' ')) AS sh
+      FROM bwords, range(1, 1000) t(i)
+      WHERE i <= len(w) - {_NGRAM - 1}
+    ),
+    dirty AS (SELECT DISTINCT doc_id FROM bsh JOIN bench USING (sh)),
+    survivors AS (
+      SELECT base.*,
+             CAST((instr('0123456789abcdef', substr(h,1,1))-1)*4096
+                + (instr('0123456789abcdef', substr(h,2,1))-1)*256
+                + (instr('0123456789abcdef', substr(h,3,1))-1)*16
+                + (instr('0123456789abcdef', substr(h,4,1))-1) AS INT) % 100
+               AS bucket
+      FROM base ANTI JOIN dirty USING (doc_id)
+    )
+    SELECT CASE WHEN bucket < {_TRAIN_HI} THEN 'train'
+                WHEN bucket < {_VAL_HI} THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens
+    FROM survivors
+    GROUP BY 1, 2
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composed corpus-prep pipeline — the end-to-end run a
+    training-data user actually executes, as ONE declarative plan:
+
+      quality filter → exact dedup (keep min doc_id) → drop held-out
+      benchmark docs → n-gram decontamination → hash-bucket split →
+      per-(split, lang) doc/token accounting.
+
+    Each stage is the registered standalone operator's logic inlined, so
+    Catalyst optimizes ACROSS stages: the quality filter pushes below
+    the dedup window, the shingle explode happens only for surviving
+    docs, and the decontamination probe stays a broadcast join. Total
+    cost at 100 TB: one shuffle for the dedup window, one broadcast
+    probe + distinct for contamination, one final (tiny) aggregate —
+    the corpus never shuffles by anything wider than its 16-byte
+    content hash.
+    """
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    q = d.select("doc_id", "lang", "text", F.md5("text").alias("h"), ntok.alias("ntok"))
+    keeper_w = Window.partitionBy("h").orderBy("doc_id")
+    base = (
+        q.where(F.col("ntok") >= 5)
+        .withColumn("rn", F.row_number().over(keeper_w))
+        .where((F.col("rn") == 1) & (F.col("doc_id") % 10 != 0))
+        .drop("rn")
+    )
+    bench = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(F.explode(F.array_distinct(_shingle_hashes(_NGRAM))).alias("sh"))
+        .distinct()
+    )
+    base_sh = base.select(
+        "doc_id", F.explode(F.array_distinct(_shingle_hashes(_NGRAM))).alias("sh")
+    )
+    dirty = (
+        base_sh.join(F.broadcast(bench), "sh", "left_semi").select("doc_id").distinct()
+    )
+    bucket = (
+        F.conv(F.substring("h", 1, 4), 16, 10).cast("int") % 100
+    )
+    survivors = base.join(dirty, "doc_id", "left_anti").withColumn("bucket", bucket)
+    return (
+        survivors.select(
+            F.when(F.col("bucket") < _TRAIN_HI, "train")
+            .when(F.col("bucket") < _VAL_HI, "val")
+            .otherwise("test")
+            .alias("split"),
+            "lang",
+            "ntok",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("total_tokens"),
+        )
+    )

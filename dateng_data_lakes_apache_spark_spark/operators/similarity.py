@@ -358,3 +358,57 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "q_vector_centroid",
+    oracle="""
+    WITH ex AS (
+      SELECT label, i AS pos,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS sv
+      FROM embeddings, range(1, 4096) t(i)
+      WHERE i <= len(embedding)
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(sv) AS DOUBLE) / (COUNT(*) * 1000000.0) AS m
+    FROM ex GROUP BY label, pos
+    """,
+)
+def q_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid of the embedding column — the
+    building block that turns q_ann_ivf's stand-in cells into real
+    k-means coarse centroids (one such pass per Lloyd iteration).
+
+    Scale shape: posexplode fans each vector into (label, pos, value)
+    rows, and ONE hash shuffle on (label, pos) partial-aggregates the
+    sums (map-side combine collapses each partition to ≤ labels×dims
+    rows — the shuffle is tiny regardless of corpus size). No
+    collect_list of raw vectors ever happens, so no group's memory
+    grows with corpus size — the failure mode of the naive "collect
+    vectors, average in Python" approach.  Output is one row per
+    (label, dimension): plain scalar doubles hash identically through
+    pandas on both engines, where an assembled array column would not
+    (Spark arrays → Python lists, DuckDB lists → numpy arrays); callers
+    wanting the array shape fold with collect_list over pos.
+
+    Determinism: float sums are order-dependent, so each value is
+    floor-scaled to an exact integer (×1e6) first; integer sums are
+    associative, and the single final IEEE division produces
+    bit-identical doubles in Spark and DuckDB — no decimal rounding,
+    whose HALF_UP (Spark) vs HALF_EVEN (DuckDB) tie-break diverges on
+    dyadic-rational inputs like m/512 that float embeddings do contain.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("v").cast("double") * 1_000_000).alias("sv"),
+    )
+    return ex.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.sum("sv").cast("double") / (F.count(F.lit(1)) * 1_000_000.0)).alias("m"),
+    )

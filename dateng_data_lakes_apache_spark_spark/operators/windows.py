@@ -283,3 +283,89 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w2).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w2).alias("second_price"),
     )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, is_new DESC
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(us) AS start_us,
+           MAX(us) AS end_us,
+           MAX(us) - MIN(us) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): per-user sessions split at
+    >30-minute inactivity gaps — the batch twin of the streaming session
+    window (streaming/stream_queries.py) and the canonical clickstream
+    primitive the reference's event data implies but never builds.
+
+    Two window passes over ONE hash shuffle on user_id (both windows
+    share the partitioning, Catalyst plans a single Exchange): lag() to
+    flag gap-openers, running sum of flags to number sessions, then a
+    per-(user, session) aggregate that reuses the same partitioning.
+    Per-key row counts are bounded (one user's events), so no window
+    partition can blow an executor at 100 TB.
+
+    All time arithmetic is integer MICROSECONDS: the catalog floors the
+    parquet TIMESTAMP(NANOS) to micros (catalog.normalize_nanos_ts) and
+    the oracle's epoch_us() does the identical floor in DuckDB, so the
+    gap comparison and the session boundaries are engine-exact with no
+    timestamp-format dependence. Ties in ts collapse into one session on
+    both sides (gap 0 < threshold) regardless of tiebreak order.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = 1800 * 1_000_000
+    flagged = e.select(
+        "user_id",
+        "us",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    # Number sessions by a running sum ordered on (us, is_new DESC): the
+    # DESC tiebreak makes the numbering independent of which tied row
+    # carries the flag, so Spark and the oracle agree even when event_id
+    # order differs from flag order inside a tie group.
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("is_new").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.select(
+        "user_id", "us", F.sum("is_new").over(w2).alias("session_seq")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )

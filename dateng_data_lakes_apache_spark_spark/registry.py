@@ -87,7 +87,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_dedup_resolve",
     "q_ntile_global",
     "q_multimodal_decode",
-    "q_decontaminate",  # one driver row for the llm_pipeline family
+    "q_corpus_pipeline",  # flagship composed prep pipeline — one driver
+    # row covering the llm_pipeline family (dedup keeper + broadcast
+    # decontamination probe + hash split in a single oracled plan)
 )
 
 _LOADED = False

@@ -161,3 +161,41 @@ def q_multipath_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+@query(
+    "q_partitioned_pruned",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink (reference K2: etl.py:127,192 partitions
+    songs by year/artist, songplays by year/month) → partition-PRUNED
+    read-back: orders staged hive-partitioned on o_orderpriority, then a
+    filter on the partition column must prune at the file index — the
+    scan never opens the other partitions' files. At 100 TB this is the
+    difference between reading 20 TB and reading 4 TB; the plan test
+    asserts the scan's partition count, and the oracle proves pruning
+    lost no rows.
+
+    The partition column comes back as the directory-derived value
+    (string here), which is why the aggregate groups on a NON-partition
+    column: the query result is provably identical to an unpartitioned
+    scan + filter.
+    """
+    path = _stage_dir(sf_dir, "orders_part")
+    if not _staged(path):
+        write_parquet(
+            table(spark, sf_dir, "orders"), path, partition_by=["o_orderpriority"]
+        )
+    o = read_parquet(spark, path).where(F.col("o_orderpriority") == "1-URGENT")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )

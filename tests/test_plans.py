@@ -195,3 +195,12 @@ def test_multipath_scan_is_one_relation(spark, sf_dir):
         "o_totalprice",
         "o_orderpriority",
     }
+
+
+def test_partitioned_pruned_query_prunes(spark, sf_dir):
+    # the registered query's scan must carry the partition predicate —
+    # only the 1-URGENT directory is listed, the other four never open
+    df = QS["q_partitioned_pruned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "o_orderpriority" in pf and "1-URGENT" in pf
