@@ -283,3 +283,72 @@ def q_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= 10)
     )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM w WHERE word <> '' GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, word, tf, df,
+             round(tf * ln(n_docs / df), 4) AS tfidf
+      FROM tf JOIN dfreq USING (word), n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, word) AS rank
+      FROM scored
+    )
+    SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 highest-scoring terms per document
+    — the classic relevance/feature primitive over the corpus.
+
+    Three bounded shuffles, each with map-side partial aggregation:
+    (doc_id, word) term counts; a word-keyed window for document
+    frequency (a WINDOW, not a join against a collected vocab — the
+    vocabulary of a 100 TB corpus can exceed any broadcast threshold,
+    while the window shuffles tf rows only once more); a doc_id-keyed
+    top-k window whose per-partition row count is one document's
+    vocabulary, so no partition can blow an executor. The corpus size N
+    is the only driver-side scalar and broadcasts as a 1-row cross join.
+
+    Determinism: ln() may differ 1 ulp across engines, so the score is
+    rounded to 4 decimals BEFORE ranking (same q_math_funcs discipline)
+    and ties break on the word itself — the rank, and therefore the
+    row set, is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("word"))
+    n = d.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.withColumn("df", dfreq)
+        .join(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rank")
+    )
