@@ -265,3 +265,44 @@ def q_agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("l_linestatus").alias("n_statuses"),
     )
+
+
+@query(
+    "q_agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS p25,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50), 4) AS p50,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.90), 4) AS p90,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (PERCENTILE_CONT
+    semantics) — the verification-stage twin of q_agg_approx_quantile.
+
+    Spark's exact `percentile` buffers each group's values before
+    sorting, so its memory is O(group size): correct for bounded groups
+    (3 return flags here) or the final verify pass of a sampled subset,
+    but NOT the 100 TB default — that is q_agg_approx_quantile's
+    GK-sketch job (mergeable, bounded memory), with this operator as
+    the exactness check on a bounded slice. Both engines implement the
+    same lo + (hi-lo)*frac interpolation on IEEE doubles (probe-verified
+    bit-identical); round(4) guards the remaining ulp risk.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("double")
+
+    def pct(p: float, name: str):
+        return F.round(F.percentile(v, F.lit(p)), 4).alias(name)
+
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        pct(0.25, "p25"),
+        pct(0.50, "p50"),
+        pct(0.90, "p90"),
+        pct(0.99, "p99"),
+    )
