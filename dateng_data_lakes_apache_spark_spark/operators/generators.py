@@ -117,3 +117,63 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("sum_price", F.lit(0.0)).alias("sum_price"),
     )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096
+                + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256
+                + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16
+                + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1) AS INT) % 100
+               AS bucket,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS ntok
+      FROM documents
+    ),
+    rated AS (
+      SELECT lang, ntok,
+             CASE WHEN lang = 'en' THEN 20 ELSE 60 END AS rate, bucket
+      FROM d
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE bucket < rate) AS n_kept,
+           CAST(SUM(ntok) FILTER (WHERE bucket < rate) AS BIGINT) AS kept_tokens
+    FROM rated
+    GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus subsampling with per-language rates (downsample
+    the dominant language, keep the tail) — the rebalancing step of a
+    multilingual training mix.
+
+    The sampler is HASH-based, not RNG-based: keep doc iff
+    md5(doc_id) mod 100 < stratum rate. Unlike `sample(seed=...)` (whose
+    selection depends on partitioning and row order, so it silently
+    changes when file splits change), the hash decision is a pure
+    function of the row — reproducible across engines, runs, cluster
+    sizes, and data layout, and embarrassingly parallel (map-only, no
+    shuffle until the final per-lang accounting). That is why it is
+    exactly oracle-able while q_sample is rows-only.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    rate = F.when(F.col("lang") == "en", 20).otherwise(60)
+    kept = F.col("bucket") < F.col("rate")
+    return (
+        d.select("lang", bucket.alias("bucket"), rate.alias("rate"), ntok.alias("ntok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(kept).alias("n_kept"),
+            F.sum(F.when(kept, F.col("ntok"))).cast("bigint").alias("kept_tokens"),
+        )
+    )
