@@ -204,3 +204,29 @@ def test_partitioned_pruned_query_prunes(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "o_orderpriority" in pf and "1-URGENT" in pf
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    # both window passes and the final aggregate reuse ONE user_id hash
+    # partitioning — the docstring's "one shuffle" claim, enforced
+    plan = QS["q_sessionize"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_tfidf_df_is_window_not_vocab_join(spark, sf_dir):
+    # document frequency must come from a word-keyed window, not a join
+    # against a collected vocabulary (which would need a 100TB-unsafe
+    # broadcast); the only broadcast is the 1-row corpus count N
+    plan = QS["q_tfidf"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row N only
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_corpus_pipeline_probe_is_broadcast(spark, sf_dir):
+    # the decontamination probe and the dirty-doc anti join both
+    # broadcast their (bounded) build side; the full corpus is never
+    # shuffled by anything but its content hash
+    plan = QS["q_corpus_pipeline"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
