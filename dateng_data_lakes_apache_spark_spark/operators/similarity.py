@@ -412,3 +412,71 @@ def q_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         (F.sum("sv").cast("double") / (F.count(F.lit(1)) * 1_000_000.0)).alias("m"),
     )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH mx AS (
+      SELECT vec_id,
+             CAST(GREATEST(list_max(embedding), -list_min(embedding)) AS DOUBLE)
+               AS max_abs
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT e.vec_id, m.max_abs,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * (127.0 / m.max_abs))
+                  AS BIGINT) AS q
+      FROM embeddings e JOIN mx m USING (vec_id), range(1, 4096) t(i)
+      WHERE i <= len(embedding) AND m.max_abs > 0
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           MAX(max_abs) AS max_abs,
+           CAST(SUM(q) AS BIGINT) AS q_sum,
+           CAST(MIN(q) AS BIGINT) AS q_min,
+           CAST(MAX(q) AS BIGINT) AS q_max
+    FROM ex GROUP BY vec_id
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    storage/shuffle-bandwidth reduction every 100 TB vector corpus ships
+    with (store int8 + one float scale per vector; dequantize on read).
+
+    Per-vector max-abs comes from array_max/array_min — plain JVM
+    built-ins, map-only, no interpreted higher-order lambda and no
+    shuffle. The quantized checksum row (sum/min/max of the int8 codes)
+    then costs one vec_id shuffle of integer triples via map-side
+    partial aggregation.
+
+    Determinism: float→double casts are exact, and every arithmetic step
+    (127/max_abs division, value·scale product, floor) is a single
+    correctly-rounded IEEE operation, so the integer codes are
+    bit-identical across engines with no rounding-mode dependence —
+    which is why floor, not round-half-up, is the right quantizer for a
+    cross-engine-reproducible corpus.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    max_abs = F.greatest(
+        F.array_max("embedding"), -F.array_min("embedding")
+    ).cast("double")
+    base = e.select("vec_id", "embedding", max_abs.alias("max_abs")).where(
+        F.col("max_abs") > 0
+    )
+    ex = base.select(
+        "vec_id", "max_abs", F.explode("embedding").alias("v")
+    ).select(
+        "vec_id",
+        "max_abs",
+        F.floor(
+            F.col("v").cast("double") * (F.lit(127.0) / F.col("max_abs"))
+        ).alias("q"),
+    )
+    return ex.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.max("max_abs").alias("max_abs"),
+        F.sum("q").alias("q_sum"),
+        F.min("q").alias("q_min"),
+        F.max("q").alias("q_max"),
+    )
