@@ -68,6 +68,10 @@ HEADLINE = [
     "q_sessionize",
     "q_vector_centroid",
     "q_corpus_pipeline",
+    "q_tfidf",
+    "q_sample_stratified",
+    "q_embedding_quantize",
+    "q_agg_percentile_exact",
 ]
 
 
