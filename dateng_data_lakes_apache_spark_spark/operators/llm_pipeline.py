@@ -438,3 +438,43 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntok").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@query("q_split_by_cluster")  # rows-only: built on the iterative dedup resolve
+def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split bucket is computed
+    from the near-dup CLUSTER KEEPER, not the document itself, so two
+    near-duplicate documents can never land on opposite sides of the
+    train/test boundary.
+
+    This closes the known flaw of q_split_train_test's doc-keyed split:
+    hashing doc_id sends ~20% of near-dup PAIRS across the boundary
+    (each pair member buckets independently), which inflates eval —
+    the test set "leaks" paraphrases of training docs. Keying the hash
+    on keeper_doc_id from q_dedup_resolve makes split assignment
+    constant within each connected component by construction.
+
+    Scale shape: resolve's label propagation is the dominant cost
+    (O(log n) bounded-size self-joins); the split itself adds one
+    map-only hash per doc — no extra shuffle. Rows-only because the
+    cluster resolution is iterative (not SQL-expressible); the
+    cluster-integrity invariant is unit-asserted instead.
+    """
+    from .dedup import q_dedup_resolve
+
+    resolved = q_dedup_resolve(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("keeper_doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+    return resolved.select(
+        "doc_id",
+        "keeper_doc_id",
+        "is_dup",
+        F.when(bucket < _TRAIN_HI, "train")
+        .when(bucket < _VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
