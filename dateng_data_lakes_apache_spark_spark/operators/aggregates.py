@@ -295,14 +295,21 @@ def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     v = F.col("l_extendedprice").cast("double")
-
-    def pct(p: float, name: str):
-        return F.round(F.percentile(v, F.lit(p)), 4).alias(name)
-
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        pct(0.25, "p25"),
-        pct(0.50, "p50"),
-        pct(0.90, "p90"),
-        pct(0.99, "p99"),
+    # ONE percentile call with an array of fractions: the group's values
+    # buffer and sort once, not once per requested percentile (measured
+    # 3.5 s -> ~1 s at sf0.1 vs four separate percentile() aggregates)
+    pcts = F.percentile(
+        v, F.array(F.lit(0.25), F.lit(0.50), F.lit(0.90), F.lit(0.99))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), pcts.alias("ps"))
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(F.col("ps")[0], 4).alias("p25"),
+            F.round(F.col("ps")[1], 4).alias("p50"),
+            F.round(F.col("ps")[2], 4).alias("p90"),
+            F.round(F.col("ps")[3], 4).alias("p99"),
+        )
     )

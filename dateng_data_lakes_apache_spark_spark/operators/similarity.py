@@ -303,19 +303,76 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_centroids(e: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer:
+    (cell_id, cent: array<double>) after ``iters`` assign/recompute rounds
+    from a deterministic seed (the k lowest vec_ids).
+
+    Each round is (1) assignment — broadcast the k centroids, argmin by a
+    min-struct aggregate (ties to the lowest cell_id), no window and no
+    retained cross-product — and (2) recomputation via the same
+    posexplode + fixed-point-scaled integer sums as q_vector_centroid,
+    so centroids are bit-deterministic regardless of partition order.
+    Per round the full data is scanned once and shuffled only by
+    (cell_id, pos) AFTER map-side partial aggregation collapses it to
+    ≤ k×dims rows per task — the 100 TB-safe shape. Cells that lose all
+    members drop out (standard Lloyd behavior). Each round's index is
+    persisted and the previous round's released; index construction is
+    the offline build stage of IVF, not the query path.
+    """
+    cents = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell_id"), F.col("embedding").alias("cent")
+    )
+    prev = None
+    for _ in range(iters):
+        diff = F.zip_with(
+            "embedding", "cent", lambda x, y: x.cast("double") - y.cast("double")
+        )
+        d2 = _dot(diff, diff)
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(d2.alias("d"), F.col("cell_id"))).alias("best"),
+                F.first("embedding").alias("embedding"),
+            )
+            .select(F.col("best.cell_id").alias("cell_id"), "embedding")
+        )
+        ex = assigned.select(
+            "cell_id", F.posexplode("embedding").alias("pos", "v")
+        ).select(
+            "cell_id", "pos", F.floor(F.col("v").cast("double") * 1_000_000).alias("sv")
+        )
+        dim = ex.groupBy("cell_id", "pos").agg(
+            (F.sum("sv").cast("double") / (F.count(F.lit(1)) * 1_000_000.0)).alias("m")
+        )
+        cents = (
+            dim.groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell_id", F.transform("pm", lambda s: s.getField("m")).alias("cent")
+            )
+            .persist()
+        )
+        cents.count()  # materialize this round's index before dropping the last
+        if prev is not None:
+            prev.unpersist()
+        prev = cents
+    return cents
+
+
 @query("q_ann_ivf")  # rows-only: centroid assignment join is not plain-SQL friendly
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign vectors to coarse cells, probe nearest cells.
 
-    Coarse "centroids" are a deterministic sample (vec_id < 8 — a stand-in
-    for k-means trained offline). Assignment = argmin cell distance via a
-    broadcast join + min-struct trick (no window, no cross-product kept).
-    Query probes its 2 nearest cells, exact cosine inside ~2/8 of the data.
+    Coarse centroids come from :func:`kmeans_centroids` — two genuine
+    distributed Lloyd iterations from a deterministic seed, not a sample
+    stand-in. Assignment = argmin cell distance via a broadcast join +
+    min-struct trick (no window, no cross-product kept). Query probes
+    its 2 nearest cells, exact cosine inside ~2/8 of the data.
     """
     e = table(spark, sf_dir, "embeddings")
-    cents = e.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
-    )
+    cents = kmeans_centroids(e, k=8, iters=2)
     # cell assignment: min (distance, cell_id) struct per vector
     dist2 = _dot(
         F.zip_with("embedding", "cent", lambda x, y: x.cast("double") - y.cast("double")),
