@@ -240,3 +240,29 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("sum_value"),
     )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name,
+           s.s_suppkey, s.s_name
+    FROM nation n
+    FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — rows survive from BOTH sides: nations with no
+    supplier keep NULL supplier columns, and (if present) orphan
+    suppliers keep NULL nation columns.
+
+    Scale note: full outer cannot broadcast either side (both sides'
+    unmatched rows must surface), so Spark plans a shuffle sort-merge
+    join on the key — the correct and only scalable physical choice;
+    with AQE, skewed keys split at runtime.
+    """
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full_outer").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
