@@ -369,3 +369,39 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("us").alias("end_us"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     )
+
+
+@query(
+    "q_window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value, 4) AS value,
+           round(LAG(value, 1, 0.0)  OVER w, 4) AS prev_value,
+           round(LEAD(value, 1, 0.0) OVER w, 4) AS next_value,
+           round(value - LAG(value, 1, 0.0) OVER w, 4) AS delta_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset windows: previous/next value per user with an explicit
+    default at the partition edges (lag/lead are the building blocks of
+    delta encoding, change detection, and feature windows).
+
+    One hash shuffle on user_id serves both offsets — lag and lead share
+    the frame, Catalyst plans a single Window node over one Exchange.
+    Ordering ties on ts are broken by event_id so the offset neighbors
+    (and therefore the deltas) are engine-deterministic.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    lag_v = F.lag("value", 1, 0.0).over(w)
+    lead_v = F.lead("value", 1, 0.0).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(lag_v, 4).alias("prev_value"),
+        F.round(lead_v, 4).alias("next_value"),
+        F.round(F.col("value") - lag_v, 4).alias("delta_prev"),
+    )
