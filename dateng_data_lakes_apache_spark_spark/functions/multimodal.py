@@ -74,16 +74,14 @@ def png_bytes(w: int, h: int) -> bytes:
     )
 
 
-def gif_bytes(w: int, h: int) -> bytes:
-    """Valid GIF89a of zero-index pixels.
+def _gif_frame(w: int, h: int) -> bytes:
+    """One GIF image section (descriptor + LZW data) of zero-index pixels.
 
     LZW trick: emit a Clear code before every pixel code so the code
     table never grows and every code stays at the initial width — a
     spec-legal (if inefficient) stream that avoids implementing the
     full LZW dictionary.
     """
-    header = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80, 0, 0])
-    gct = bytes(6)  # 2-entry global color table, both black
     img_desc = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
     # min LZW code size 2 → initial code width 3; clear=4, eoi=5, pixel=0
     bits: list[int] = []
@@ -109,7 +107,59 @@ def gif_bytes(w: int, h: int) -> bytes:
         bytes([len(data[i : i + 255])]) + data[i : i + 255]
         for i in range(0, len(data), 255)
     )
-    return header + gct + img_desc + b"\x02" + blocks + b"\x00" + b"\x3B"
+    return img_desc + b"\x02" + blocks + b"\x00"
+
+
+def gif_bytes(w: int, h: int) -> bytes:
+    """Valid single-frame GIF89a of zero-index pixels."""
+    header = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80, 0, 0])
+    gct = bytes(6)  # 2-entry global color table, both black
+    return header + gct + _gif_frame(w, h) + b"\x3B"
+
+
+def gif_anim_bytes(w: int, h: int, n_frames: int) -> bytes:
+    """Valid animated GIF89a: n identical frames, each behind a Graphic
+    Control Extension (2 cs delay) — the stand-in "video" container."""
+    header = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80, 0, 0])
+    gct = bytes(6)
+    gce = b"\x21\xF9\x04\x00\x02\x00\x00\x00"  # disposal 0, 0.02 s delay
+    frame = _gif_frame(w, h)  # identical pixels; structure is what matters
+    return header + gct + (gce + frame) * n_frames + b"\x3B"
+
+
+def count_gif_frames(payload: bytes) -> int:
+    """Frame count by walking the real GIF block structure (extensions,
+    image descriptors, LZW sub-blocks) — no codec library, no trusted
+    metadata. Raises ValueError on malformed input."""
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    i = 13
+    if packed & 0x80:  # global color table present
+        i += 3 * (2 ** ((packed & 7) + 1))
+    frames = 0
+    while i < len(payload):
+        block = payload[i]
+        if block == 0x3B:  # trailer
+            return frames
+        if block == 0x21:  # extension: label byte then sub-blocks
+            i += 2
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            frames += 1
+            packed_l = payload[i + 9]
+            i += 10
+            if packed_l & 0x80:  # local color table
+                i += 3 * (2 ** ((packed_l & 7) + 1))
+            i += 1  # LZW minimum code size
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x} at {i}")
+    raise ValueError("GIF without trailer")
 
 
 def bmp_bytes(w: int, h: int) -> bytes:
@@ -283,3 +333,81 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_image_payload(table(spark, sf_dir, "documents"))
     feats = extract_features(media)
     return feats.select("doc_id", "fmt", "width", "height")
+
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("last_sampled", IntegerType()),
+    ]
+)
+
+_FRAME_STRIDE = 2  # keep every 2nd frame
+
+
+@query(
+    "q_multimodal_frames",
+    # The staging rule (n_frames = 1 + doc_id % 7) lets plain SQL predict
+    # what the byte-level parser must recover — an end-to-end
+    # encode→parse check with no image library on either side.
+    oracle="""
+    SELECT doc_id,
+           'gif' AS fmt,
+           CAST(1 + doc_id % 7 AS INT) AS n_frames,
+           CAST((1 + doc_id % 7 + 1) // 2 AS INT) AS n_sampled,
+           CAST((doc_id % 7) // 2 * 2 AS INT) AS last_sampled
+    FROM documents
+    WHERE doc_id % 20 = 0
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over a binary column: stage animated
+    GIFs (multi-frame, real container bytes), count frames by walking
+    the actual block structure, keep every 2nd frame — the
+    frame-subsample stage of a video training pipeline, with the GIF
+    container standing in for mp4 (a real deployment swaps the kernel
+    body for ffmpeg/pyav; the Spark plumbing — binary column, Arrow
+    batches, stride policy, output schema — is identical).
+
+    Scale shape: staging and parsing are both mapInPandas over the
+    payload bytes — embarrassingly parallel, zero shuffle, cost linear
+    in corpus bytes. Frame counts come from the parsed bytes, never the
+    metadata column, so corrupt containers fail loudly in the kernel.
+    """
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+
+    stage_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 8, 8
+                n = 1 + int(doc_id) % 7
+                rows.append((int(doc_id), gif_anim_bytes(w, h, n)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(count_gif_frames)
+            kept = n.map(lambda k: list(range(0, k, _FRAME_STRIDE)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "gif",
+                    "n_frames": n.astype("int32"),
+                    "n_sampled": kept.map(len).astype("int32"),
+                    "last_sampled": kept.map(lambda s: s[-1]).astype("int32"),
+                }
+            )
+
+    staged = d.select("doc_id").mapInPandas(stage, schema=stage_schema)
+    return staged.mapInPandas(sample, schema=_FRAMES_SCHEMA)

@@ -13,7 +13,9 @@ from dateng_data_lakes_apache_spark_spark.functions.multimodal import (
     attach_image_payload,
     bmp_bytes,
     decode_image,
+    count_gif_frames,
     extract_features,
+    gif_anim_bytes,
     gif_bytes,
     png_bytes,
 )
@@ -90,3 +92,19 @@ def test_spark_stage_and_decode_round_trip(spark):
         assert (r.width, r.height) == (w, h)
         assert r.fmt == {0: "png", 1: "gif", 2: "bmp"}[r.doc_id % 3]
         assert r.payload_len > 0
+
+
+def test_gif_anim_roundtrip():
+    # encoder and block-walking parser agree for every staged frame count
+    for n in range(1, 8):
+        b = gif_anim_bytes(8, 8, n)
+        assert count_gif_frames(b) == n
+        assert decode_image(b) == ("gif", 8, 8)
+    assert count_gif_frames(gif_bytes(16, 16)) == 1
+
+
+def test_gif_frame_parser_rejects_garbage():
+    with pytest.raises(ValueError):
+        count_gif_frames(b"NOTAGIF" + bytes(64))
+    with pytest.raises(ValueError):
+        count_gif_frames(gif_anim_bytes(8, 8, 2)[:-1])  # trailer cut off
