@@ -411,3 +411,131 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = d.select("doc_id").mapInPandas(stage, schema=stage_schema)
     return staged.mapInPandas(sample, schema=_FRAMES_SCHEMA)
+
+
+def wav_bytes(sample_rate: int, n_samples: int, channels: int = 1) -> bytes:
+    """Valid 16-bit PCM WAV (RIFF/WAVE, canonical 44-byte header) of
+    silence — the audio stand-in container."""
+    block_align = channels * 2
+    data_len = n_samples * block_align
+    byte_rate = sample_rate * block_align
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, 16)
+        + b"data"
+        + struct.pack("<I", data_len)
+        + bytes(data_len)
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_samples) from real RIFF chunk walking —
+    fmt and data chunks located by id, not fixed offsets, so files with
+    extra chunks (LIST/INFO) parse correctly too."""
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, channels, block_align, n_samples = 12, None, None, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt ":
+            if i + 24 > len(payload):
+                raise ValueError("truncated fmt chunk")
+            _, channels, rate, _, block_align, _ = struct.unpack(
+                "<HHIIHH", payload[i + 8 : i + 24]
+            )
+        elif cid == b"data":
+            if block_align is None:
+                raise ValueError("data chunk before fmt chunk")
+            n_samples = clen // block_align
+        i += 8 + clen + (clen & 1)  # chunks pad to even offsets
+    if rate is None or n_samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return (rate, channels, n_samples)
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+_RATES = (8000, 16000, 44100, 48000)
+
+
+@query(
+    "q_multimodal_audio",
+    # staging rule: rate = _RATES[doc_id % 4], samples = rate // 10 + doc_id % 100,
+    # channels = 1 + doc_id % 2 — SQL predicts what the chunk parser must recover
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 44100 ELSE 48000 END AS INT)
+             AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 44100 ELSE 48000 END // 10
+                + doc_id % 100 AS INT) AS n_samples,
+           CAST((CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                 WHEN 2 THEN 44100 ELSE 48000 END // 10
+                 + doc_id % 100) * 1000
+                // CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                   WHEN 2 THEN 44100 ELSE 48000 END AS INT)
+             AS duration_ms
+    FROM documents
+    WHERE doc_id % 25 = 0
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata extraction over a binary column: stage real 16-bit
+    PCM WAV bytes, recover sample rate / channels / duration by walking
+    the actual RIFF chunks — the audio third of the multimodal family
+    (image decode, video frame-sample, audio probe), mp3/flac swap into
+    the same kernel slot in a real deployment.
+
+    Same scale shape as the other multimodal kernels: two mapInPandas
+    stages (stage bytes, parse bytes), Arrow-batched, zero shuffle,
+    linear in corpus bytes. Duration is integer math
+    (n_samples*1000 // rate) so the oracle is exact.
+    """
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+
+    stage_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = _RATES[i % 4]
+                rows.append(
+                    (i, wav_bytes(rate, rate // 10 + i % 100, channels=1 + i % 2))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["payload"].map(decode_wav)
+            rate = parsed.map(lambda p: p[0])
+            n = parsed.map(lambda p: p[2])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": rate.astype("int32"),
+                    "channels": parsed.map(lambda p: p[1]).astype("int32"),
+                    "n_samples": n.astype("int32"),
+                    "duration_ms": (n * 1000 // rate).astype("int32"),
+                }
+            )
+
+    staged = d.select("doc_id").mapInPandas(stage, schema=stage_schema)
+    return staged.mapInPandas(probe, schema=_AUDIO_SCHEMA)

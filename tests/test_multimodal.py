@@ -14,9 +14,11 @@ from dateng_data_lakes_apache_spark_spark.functions.multimodal import (
     bmp_bytes,
     decode_image,
     count_gif_frames,
+    decode_wav,
     extract_features,
     gif_anim_bytes,
     gif_bytes,
+    wav_bytes,
     png_bytes,
 )
 
@@ -108,3 +110,13 @@ def test_gif_frame_parser_rejects_garbage():
         count_gif_frames(b"NOTAGIF" + bytes(64))
     with pytest.raises(ValueError):
         count_gif_frames(gif_anim_bytes(8, 8, 2)[:-1])  # trailer cut off
+
+
+def test_wav_roundtrip_and_strictness():
+    for rate in (8000, 44100):
+        for ch in (1, 2):
+            assert decode_wav(wav_bytes(rate, 4899, ch)) == (rate, ch, 4899)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE" + bytes(40))
+    with pytest.raises(ValueError):
+        decode_wav(wav_bytes(8000, 100)[:20])  # fmt chunk truncated away
