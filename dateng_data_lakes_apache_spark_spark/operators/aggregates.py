@@ -13,7 +13,7 @@ row per (partition, group), not per input row. Group cardinalities here
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -311,5 +311,55 @@ def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ps")[1], 4).alias("p50"),
             F.round(F.col("ps")[2], 4).alias("p90"),
             F.round(F.col("ps")[3], 4).alias("p99"),
+        )
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY n DESC, o_orderstatus) AS rk
+      FROM counts
+    )
+    SELECT o_orderpriority,
+           o_orderstatus AS modal_status,
+           n AS modal_count
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a DETERMINISTIC
+    tie-break on the value itself — built as count + top-1 window rather
+    than the engine's mode() aggregate, whose tie behavior is
+    unspecified in both Spark and DuckDB (an arbitrary tied winner is a
+    reproducibility bug in a training pipeline, not a nicety).
+
+    Scale shape: the first aggregate collapses to |priority × status|
+    rows via map-side combine; the window then ranks those few rows —
+    Spark plans WindowGroupLimit, so nothing bigger than the distinct
+    group combinations ever sorts.
+    """
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy(
+            F.col("n").desc(), F.col("o_orderstatus")
+        )
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("modal_status"),
+            F.col("n").alias("modal_count"),
         )
     )
