@@ -190,3 +190,37 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(el(1) + el(2) + el(3) + el(4), 4).alias("head4_sum"),
         (F.element_at("embedding", 1) > 0).alias("first_positive"),
     )
+
+
+@query(
+    "q_regex_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+           CAST(regexp_matches(p_brand, '^Brand#[0-9]+$') AS BOOLEAN)
+             AS brand_wellformed,
+           CAST(length(regexp_replace(p_type, '[^A-Z]', '', 'g')) AS INT)
+             AS n_caps
+    FROM part
+    """,
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar pack: extract / replace-all / match-test / class
+    counting. Patterns are restricted to the syntax subset where Java
+    regex (Spark) and RE2 (DuckDB) agree — character classes, anchors,
+    capture groups; no backreferences or lookaround, which RE2 rejects.
+    Spark's regexp_replace is replace-ALL by default; DuckDB needs the
+    explicit 'g' flag — a classic cross-engine parity trap the oracle
+    pins down. All JVM-codegen, scan-speed, map-only.
+    """
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", r"[aeiou]", "").alias("name_novowels"),
+        F.col("p_brand").rlike(r"^Brand#[0-9]+$").alias("brand_wellformed"),
+        F.length(F.regexp_replace("p_type", r"[^A-Z]", ""))
+        .cast("int")
+        .alias("n_caps"),
+    )
