@@ -224,3 +224,49 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_caps"),
     )
+
+
+@query(
+    "q_array_setops",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             list_sort(list_distinct(string_split(lower(p_name), ' '))) AS a,
+             list_sort(list_distinct(string_split(lower(p_type), ' '))) AS b
+      FROM part
+    )
+    SELECT p_partkey,
+           -- DuckDB's array_to_string returns NULL for an EMPTY list
+           -- (Spark's array_join returns '') — coalesce closes the gap
+           COALESCE(array_to_string(list_sort(list_intersect(a, b)), ','), '')
+             AS common,
+           COALESCE(array_to_string(
+             list_sort(list_distinct(list_concat(a, b))), ','), '') AS united,
+           COALESCE(array_to_string(
+             list_sort(list_filter(a, x -> NOT list_contains(b, x))), ','), '')
+             AS a_only,
+           CAST(len(list_intersect(a, b)) AS INT) AS n_common
+    FROM t
+    """,
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: intersect / union / except over per-row word
+    sets. Inputs are deduplicated and sorted FIRST so the operations are
+    true set semantics — Spark's array_intersect and DuckDB's
+    list_intersect disagree on duplicate handling and result order, and
+    normalizing the inputs (then sorting the outputs) removes both
+    divergences. Outputs serialize via array_join (scalar columns only
+    cross the driver hash). Everything is JVM expression work, map-only,
+    scan-speed.
+    """
+    p = table(spark, sf_dir, "part")
+    a = F.array_sort(F.array_distinct(F.split(F.lower("p_name"), " ")))
+    b = F.array_sort(F.array_distinct(F.split(F.lower("p_type"), " ")))
+    t = p.select("p_partkey", a.alias("a"), b.alias("b"))
+    return t.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.array_intersect("a", "b")), ",").alias("common"),
+        F.array_join(F.array_sort(F.array_union("a", "b")), ",").alias("united"),
+        F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias("a_only"),
+        F.size(F.array_intersect("a", "b")).cast("int").alias("n_common"),
+    )
