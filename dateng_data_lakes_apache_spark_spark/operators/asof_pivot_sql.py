@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table, register_views
-from ..common import o_ts_str, ts_str
+from ..common import dsum, o_dsum, o_ts_str, ts_str
 from ..registry import query
 
 
@@ -172,4 +172,46 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderstatus = 'F'
         GROUP BY n.n_name
         """
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle=f"""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             {o_dsum('o_totalprice')} AS sum_price,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders'  AS metric, n_orders  AS value FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'sum_price' AS metric, sum_price AS value FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'max_price' AS metric, max_price AS value FROM agg
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): melt per-priority measures into
+    (key, metric, value) rows — the inverse of q_pivot and the standard
+    prep step for metric stores and long-format plotting/export.
+
+    Spark's native unpivot is an Expand node — each input row emits one
+    row per measure in the same task, no shuffle, no join; the only
+    shuffle in this plan is the upstream aggregate's. Measures unify to
+    double (unpivot requires one value type), matching the oracle's
+    explicit casts.
+    """
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    return agg.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "sum_price", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
     )
