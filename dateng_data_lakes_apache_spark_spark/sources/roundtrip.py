@@ -199,3 +199,52 @@ def q_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+                ELSE o_orderstatus END AS status,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written with
+    DIFFERENT schemas (v1 lacks o_orderstatus; v2 added it), scanned as
+    one dataset with mergeSchema — the lake reality that columns appear
+    over time and old files must keep reading. v1 rows surface NULL for
+    the added column, mapped to a sentinel so the oracle (which
+    simulates the batch split arithmetically) is exact.
+
+    Scale note: mergeSchema reconciles footers at planning time (one
+    footer read per file — cost scales with file COUNT, so at 100 TB
+    pair it with a table-level schema registry or delta-style metadata
+    rather than per-query inference); the scan itself stays columnar
+    and pruned.
+    """
+    path = _stage_dir(sf_dir, "orders_evolving")
+    if not _staged(os.path.join(path, "batch=1")) or not _staged(
+        os.path.join(path, "batch=2")
+    ):
+        o = table(spark, sf_dir, "orders")
+        v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        v2 = o.where(F.col("o_orderkey") % 2 != 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        write_parquet(v1, os.path.join(path, "batch=1"))
+        write_parquet(v2, os.path.join(path, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch=1"), os.path.join(path, "batch=2")
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("<pre-schema>")).alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
