@@ -1,0 +1,104 @@
+"""Iterative graph operators over DataFrame joins.
+
+PageRank here complements connected components (operators/dedup.py):
+together they cover the two iterative-join shapes a lake engine needs —
+label propagation to a fixpoint, and damped score diffusion for a fixed
+round count.
+
+Determinism discipline: ranks are FIXED-POINT integers (×1e12 longs),
+so per-node contribution sums are associative integer adds — the result
+is bit-identical regardless of partition order, where double summation
+would drift ulps between runs and cluster sizes. Division uses floor
+(integer) semantics on both the degree split and the damping factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_SCALE = 10**12
+_DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as exact integer ratio
+
+
+def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Damped PageRank over a directed edge list (src, dst), returning
+    (node, rank_scaled) with rank_scaled a ×1e12 fixed-point long.
+
+    Scale shape per iteration: one equi-join of the rank table onto the
+    edge list (both hash-partitioned on src — a co-partitioned join once
+    AQE aligns them) and one groupBy(dst) integer sum with map-side
+    combine. O(iters) shuffles of |E| rows; rank state is |V| longs.
+    The edge list is persisted once with its out-degrees precomputed —
+    at 100 TB that is the graph index you'd materialize anyway.
+
+    Nodes must all have out-degree ≥ 1 (callers stage undirected graphs
+    as both edge directions), which sidesteps dangling-mass
+    redistribution — documented constraint, asserted by the caller.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    indexed = edges.join(deg, "src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(_SCALE).cast("long").alias("rank_scaled"))
+    base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN  # (1-d) mass
+    for _ in range(iters):
+        contribs = (
+            indexed.join(ranks, indexed.src == ranks.node)
+            # `div` is true integer division on longs — a double `/` then
+            # cast can round UP across an integer boundary at ~1e15+
+            # magnitudes, silently breaking bit-determinism
+            .select("dst", F.expr("rank_scaled div out_deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"(coalesce(in_mass, 0L) * {_DAMP_NUM}) div {_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("rank_scaled"),
+            )
+        )
+    indexed.unpersist()
+    return ranks
+
+
+@query("q_pagerank")  # rows-only: iterative diffusion, not SQL-expressible
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite part↔supplier graph implied by
+    lineitem (edges both directions, so every node has out-degree ≥ 1):
+    which parts/suppliers sit at the densest supply intersections.
+
+    Top-20 by rank with deterministic tiebreaks; fixed 5 iterations.
+    Semantics (conservation, star-graph ordering, determinism) are
+    unit-asserted in tests/test_graph.py on closed-form graphs.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iters=5)
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias("kind"),
+            (F.col("node") / 2).cast("bigint").alias("entity_key"),
+            "rank_scaled",
+        )
+        .orderBy(F.col("rank_scaled").desc(), F.col("kind"), F.col("entity_key"))
+        .limit(20)
+    )

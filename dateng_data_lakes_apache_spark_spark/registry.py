@@ -137,6 +137,7 @@ def load_all() -> None:
         asof_pivot_sql,
         dedup,
         generators,
+        graph,
         joins,
         llm_pipeline,
         relational,

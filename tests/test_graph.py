@@ -1,0 +1,58 @@
+"""PageRank semantics on closed-form graphs — conservation, ordering,
+and bit-determinism of the fixed-point integer formulation."""
+
+from __future__ import annotations
+
+from dateng_data_lakes_apache_spark_spark.operators.graph import _SCALE, pagerank
+from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+QS = get_queries()
+
+
+def _edges(spark, pairs):
+    both = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(both, "src long, dst long")
+
+
+def test_pagerank_symmetric_cycle(spark):
+    # 2-cycle: perfectly symmetric, so both nodes keep exactly rank 1.0
+    ranks = {r.node: r.rank_scaled for r in pagerank(_edges(spark, [(1, 2)])).collect()}
+    assert ranks[1] == ranks[2]
+    assert abs(ranks[1] - _SCALE) <= 1  # floor-division slack only
+
+
+def test_pagerank_star_center_dominates(spark):
+    # star: the hub receives all leaf mass, leaves split the hub's
+    ranks = {
+        r.node: r.rank_scaled
+        for r in pagerank(_edges(spark, [(0, i) for i in range(1, 6)])).collect()
+    }
+    assert all(ranks[0] > ranks[i] for i in range(1, 6))
+    leaf = {ranks[i] for i in range(1, 6)}
+    assert len(leaf) == 1  # symmetric leaves rank identically
+
+
+def test_pagerank_mass_conservation(spark):
+    # undirected graph, no dangling nodes: total mass stays n*SCALE
+    # (floor divisions may shave ≤ a few units per node per iteration)
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])
+    total = sum(r.rank_scaled for r in pagerank(edges, iters=5).collect())
+    assert abs(total - 4 * _SCALE) < 1000
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 4), (4, 2)])
+    a = sorted((r.node, r.rank_scaled) for r in pagerank(edges).collect())
+    b = sorted(
+        (r.node, r.rank_scaled)
+        for r in pagerank(edges.repartition(7)).collect()
+    )
+    assert a == b  # partitioning must not change a single bit
+
+
+def test_q_pagerank_runs(spark, sf_dir):
+    rows = QS["q_pagerank"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.kind in ("part", "supplier") for r in rows)
+    ranks = [r.rank_scaled for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
