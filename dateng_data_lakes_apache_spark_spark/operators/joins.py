@@ -266,3 +266,81 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(s, n.n_nationkey == s.s_nationkey, "full_outer").select(
         "n_nationkey", "n_name", "s_suppkey", "s_name"
     )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey AS k,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS start_day,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               + o_orderkey % 20 + 1 AS end_day
+      FROM orders WHERE o_orderkey % 16 = 0
+    )
+    SELECT a.k AS key_a, b.k AS key_b,
+           CAST(LEAST(a.end_day, b.end_day)
+                - GREATEST(a.start_day, b.start_day) + 1 AS INT)
+             AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.k < b.k
+     AND a.start_day <= b.end_day
+     AND b.start_day <= a.end_day
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (the time-overlap / genomics-range
+    primitive) — WITHOUT a nested-loop: each interval explodes into the
+    fixed-width day-chunks it touches, candidates equi-join on chunk id,
+    then the exact overlap predicate filters and dropDuplicates removes
+    multi-chunk double-hits.
+
+    At 100 TB the chunk join's cost is Σ per-chunk occupancy² — tunable
+    via chunk width against the interval-length distribution — while the
+    naive theta join is a broadcast-nested-loop over everything
+    (plan-asserted absent in tests/test_plans.py). Intervals are integer
+    epoch-days end to end, so overlap arithmetic is engine-exact.
+    """
+    chunk_w = 32
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 16 == 0)
+    start = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    iv = o.select(
+        F.col("o_orderkey").alias("k"),
+        start.alias("start_day"),
+        (start + F.col("o_orderkey") % 20 + 1).alias("end_day"),
+    )
+    chunked = iv.select(
+        "k",
+        "start_day",
+        "end_day",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_day") / chunk_w),
+                F.floor(F.col("end_day") / chunk_w),
+            )
+        ).alias("chunk"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.k") < F.col("b.k"))
+            & (F.col("a.start_day") <= F.col("b.end_day"))
+            & (F.col("b.start_day") <= F.col("a.end_day")),
+        )
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            (
+                F.least(F.col("a.end_day"), F.col("b.end_day"))
+                - F.greatest(F.col("a.start_day"), F.col("b.start_day"))
+                + 1
+            )
+            .cast("int")
+            .alias("overlap_days"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    return pairs

@@ -230,3 +230,11 @@ def test_corpus_pipeline_probe_is_broadcast(spark, sf_dir):
     plan = QS["q_corpus_pipeline"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_overlap_join_is_bucketed(spark, sf_dir):
+    # overlap join must go through the chunk equi-join, never a
+    # broadcast-nested-loop or cartesian over the interval sets
+    plan = QS["q_join_interval_overlap"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
