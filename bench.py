@@ -72,6 +72,8 @@ HEADLINE = [
     "q_sample_stratified",
     "q_embedding_quantize",
     "q_agg_percentile_exact",
+    "q_join_interval_overlap",
+    "q_pagerank",
 ]
 
 
