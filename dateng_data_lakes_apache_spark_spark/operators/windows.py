@@ -405,3 +405,57 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lead_v, 4).alias("next_value"),
         F.round(F.col("value") - lag_v, 4).alias("delta_prev"),
     )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, is_new DESC
+                               ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(us) AS start_us,
+           MAX(us) + 1800000000 AS end_with_gap_us,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, seq
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window in batch mode — the declarative twin
+    of q_sessionize's manual gaps-and-islands (same 30-minute gap, same
+    one-shuffle cost, but expressed as a single groupBy and planned by
+    the engine's session-merge aggregate instead of two window passes).
+
+    Boundary semantics pinned by probe: an event exactly at
+    prev + 30min MERGES into the session (strict > opens a new one), and
+    window.end = last event + gap — the oracle reproduces both exactly
+    in integer microseconds. Registering both formulations means a
+    regression in either the built-in or the manual pattern shows up as
+    a divergence between two green queries.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("start_us"),
+            F.unix_micros("sw.end").alias("end_with_gap_us"),
+            "n_events",
+        )
+    )
