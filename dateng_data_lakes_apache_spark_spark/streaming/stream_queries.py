@@ -462,3 +462,59 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
     result = _run_to_memory(agg, "dedup", "complete")
     return result
+
+
+@query(
+    "q_stream_session_native",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, is_new DESC
+                               ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(us) AS start_us,
+           MAX(us) + 1800000000 AS end_with_gap_us,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, seq
+    """,
+)
+def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE streaming session_window (vs q_stream_session's
+    applyInPandasWithState formulation and q_session_window's batch
+    twin) — the engine's built-in session-merge state store, watermark-
+    bounded. All three formulations share one oracle, so a semantic
+    drift in ANY of the engine's three session paths (built-in batch,
+    built-in streaming state store, custom state kernel) surfaces as a
+    hash divergence.
+
+    availableNow over the bounded stage + complete mode = every session
+    of the input emits (same reasoning as q_stream_tumbling); the
+    driver hash-compares against the gaps-and-islands SQL.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    result = _run_to_memory(agg, "session_native", "complete")
+    return result.select(
+        "user_id",
+        F.unix_micros("sw.start").alias("start_us"),
+        F.unix_micros("sw.end").alias("end_with_gap_us"),
+        "n_events",
+    )
