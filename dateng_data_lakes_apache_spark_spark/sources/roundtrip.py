@@ -248,3 +248,46 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+@query(
+    "q_clustered_write",
+    oracle=f"""
+    SELECT COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS sum_price,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_ck,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_ck
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 199
+    """,
+)
+def q_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data clustering for file skipping (z-order-lite): orders staged
+    with repartitionByRange + sortWithinPartitions on o_custkey, so each
+    parquet file owns a disjoint custkey range and its row-group min/max
+    statistics prune selective scans down to ~1/N of the files.
+
+    At 100 TB this layout — not the query — is the optimization: a
+    custkey-predicate scan over range-clustered files reads one file's
+    row groups instead of all of them (parquet readers skip row groups
+    whose min/max exclude the predicate). The non-overlap invariant is
+    asserted from the actual parquet footers in
+    tests/test_sources.py::test_clustered_write_file_ranges; the oracle
+    proves the clustered copy lost nothing.
+    """
+    path = _stage_dir(sf_dir, "orders_clustered")
+    if not _staged(path):
+        o = table(spark, sf_dir, "orders")
+        (
+            o.repartitionByRange(8, "o_custkey")
+            .sortWithinPartitions("o_custkey")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    o = read_parquet(spark, path).where(F.col("o_custkey").between(100, 199))
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+        F.min("o_custkey").cast("bigint").alias("min_ck"),
+        F.max("o_custkey").cast("bigint").alias("max_ck"),
+    )

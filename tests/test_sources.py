@@ -102,3 +102,34 @@ def test_partitioned_parquet_sink_layout(spark, tmp_path):
     assert {(r.id, r.year, r.month) for r in back.collect()} == {
         (1, 2018, 11), (2, 2018, 12), (3, 2019, 1),
     }
+
+
+def test_clustered_write_file_ranges(spark, sf_dir):
+    # the point of q_clustered_write: every staged file owns a DISJOINT
+    # custkey range (checked from real parquet footers), which is what
+    # lets min/max statistics skip files on selective predicates
+    import glob
+    import pyarrow.parquet as pq
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    get_queries()["q_clustered_write"](spark, sf_dir).collect()  # ensure staged
+    from dateng_data_lakes_apache_spark_spark.sources.roundtrip import _stage_dir
+
+    files = sorted(glob.glob(os.path.join(_stage_dir(sf_dir, "orders_clustered"), "*.parquet")))
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "o_custkey"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: file skipping is real
