@@ -97,3 +97,85 @@ def test_asof_join_rejects_overlapping_columns(spark):
     right = spark.createDataFrame([(1, 5, 7)], "k long, rts long, shared long")
     with pytest.raises(ValueError, match="both sides"):
         asof_join(left, right, on="k", left_ts="lts", right_ts="rts", right_cols=["rts"])
+
+
+@st.composite
+def user_event_times(draw):
+    n_users = draw(st.integers(min_value=1, max_value=3))
+    out = []
+    eid = 0
+    for u in range(n_users):
+        times = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=6 * 3600),  # seconds in 6h
+                min_size=1,
+                max_size=12,
+            )
+        )
+        for t in times:
+            out.append((u, eid, t * 1_000_000))  # µs
+            eid += 1
+    return out
+
+
+def _reference_sessions(rows, gap_us=1800 * 1_000_000):
+    """Pure-Python sessionizer: split each user's sorted times at gaps
+    STRICTLY greater than the threshold."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, _e, us in rows:
+        by_user[u].append(us)
+    sessions = []
+    for u, times in by_user.items():
+        times.sort()
+        cur = [times[0]]
+        for t in times[1:]:
+            if t - cur[-1] > gap_us:
+                sessions.append((u, cur[0], cur[-1], len(cur)))
+                cur = [t]
+            else:
+                cur.append(t)
+        sessions.append((u, cur[0], cur[-1], len(cur)))
+    return sorted(sessions)
+
+
+@given(rows=user_event_times())
+@settings(**_SETTINGS)
+def test_sessionize_matches_reference(spark, tmp_path_factory, rows):
+    # the registered q_sessionize logic, run on arbitrary event times,
+    # must equal the pure-Python splitter: same session boundaries,
+    # same event counts, strict-> semantics at exactly-30min gaps
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "user_id long, event_id long, us long")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = df.select(
+        "user_id",
+        "us",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("is_new").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n)
+        for r in flagged.select(
+            "user_id", "us", F.sum("is_new").over(w2).alias("seq")
+        )
+        .groupBy("user_id", "seq")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert got == _reference_sessions(rows)
