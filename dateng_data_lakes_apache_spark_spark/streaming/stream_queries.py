@@ -518,3 +518,88 @@ def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("sw.end").alias("end_with_gap_us"),
         "n_events",
     )
+
+
+def _stage_events_ordered(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> str:
+    """Stage events as n time-ordered parquet files (quartile split on ts,
+    strictly increasing mtimes) so FileStreamSource + maxFilesPerTrigger=1
+    replays them as a monotone event-time stream: every batch's min ts
+    exceeds the previous batch's max, so the watermark only ever trails
+    in-flight data and no row is late — the deterministic replay shape.
+    """
+    import glob
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    stage_dir = os.path.join(_SCRATCH, "stream_src_ordered", tag)
+    marker = os.path.join(stage_dir, "_STAGED")
+    if os.path.exists(marker):
+        return stage_dir
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(stage_dir, exist_ok=True)
+    # split on the RAW nanos-long ts and write it unchanged: the stream
+    # read applies the ORIGINAL events schema, so the staged files must
+    # keep the source physical type (normalization happens stream-side)
+    ev = spark.read.parquet(table_path(sf_dir, "events"))
+    cuts = ev.select(
+        F.percentile(F.col("ts"), F.array(*[F.lit(i / n_batches) for i in range(1, n_batches)])).alias("c")
+    ).collect()[0]["c"]
+    bounds = [float("-inf")] + [int(c) for c in cuts] + [float("inf")]
+    for k in range(n_batches):
+        lo, hi = bounds[k], bounds[k + 1]
+        part = ev.where((F.col("ts") > F.lit(lo)) if lo != float("-inf") else F.lit(True)).where(
+            (F.col("ts") <= F.lit(hi)) if hi != float("inf") else F.lit(True)
+        )
+        tmp = os.path.join(stage_dir, f"_tmp_{k}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src_file = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stage_dir, f"batch-{k:02d}.parquet")
+        shutil.move(src_file, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))  # monotone mtimes
+    open(marker, "w").close()
+    return stage_dir
+
+
+@query(
+    "q_stream_append",
+    # append emits exactly the windows the FINAL watermark (max ts - 10
+    # min) has passed — SQL-predictable, so this is an oracled check of
+    # watermark-driven emission itself, not just of the aggregate values
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT {o_ts_str('ws')} AS window_start, event_type, n_events
+    FROM agg, mx
+    WHERE ws + INTERVAL 1 HOUR <= mts - INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation over a multi-batch replay — the
+    production streaming shape (complete mode re-emits everything; real
+    sinks want each window exactly once, when its watermark closes it).
+
+    Events replay as 4 time-ordered files (maxFilesPerTrigger=1), so the
+    watermark advances batch by batch and closed windows emit
+    incrementally; no-data micro-batches (on by default) flush the
+    windows the final watermark passes. The oracle reproduces the
+    emission rule arithmetically: exactly the windows whose end ≤
+    max(ts) − 10 min appear — open windows are withheld, which is the
+    part a complete-mode check can never verify.
+    """
+    stage = _stage_events_ordered(spark, sf_dir)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = normalize_nanos_ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    result = _run_to_memory(agg, "append_windows", "append")
+    return result.select(
+        ts_str(F.col("w.start")).alias("window_start"), "event_type", "n_events"
+    )
