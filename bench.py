@@ -74,6 +74,8 @@ HEADLINE = [
     "q_agg_percentile_exact",
     "q_join_interval_overlap",
     "q_pagerank",
+    "q_starjoin_region",
+    "q_starjoin_returns",
 ]
 
 

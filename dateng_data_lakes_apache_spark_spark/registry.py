@@ -134,6 +134,7 @@ def load_all() -> None:
         return
     from .operators import (  # noqa: F401
         aggregates,
+        analytics,
         asof_pivot_sql,
         dedup,
         generators,

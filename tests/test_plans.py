@@ -238,3 +238,22 @@ def test_interval_overlap_join_is_bucketed(spark, sf_dir):
     plan = QS["q_join_interval_overlap"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_starjoin_pricing_plan(spark, sf_dir):
+    # composed Q3 shape: top-10 must be TakeOrderedAndProject (never a
+    # global sort) and both date predicates must reach their scans
+    df = QS["q_starjoin_pricing"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "LessThan(o_orderdate" in plan and "GreaterThan(l_shipdate" in plan
+
+
+def test_starjoin_region_no_cartesian(spark, sf_dir):
+    # the six-table join must stay equi-join end to end; nation/region
+    # ride broadcasts, the local-supplier condition is part of the join
+    # key set — never a post-join filter over a cross product
+    plan = formatted_plan(QS["q_starjoin_region"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
