@@ -1,0 +1,156 @@
+"""Data-quality audit operators: column profiling and constraint checks.
+
+A lake pipeline that feeds model training needs machine-checkable data
+contracts, not eyeballed ``df.show()`` (the reference's only QA —
+etl.py:107,157). These operators emit the audit artifacts themselves as
+DataFrames, so quality gates compose with the rest of the engine and
+run distributed.
+
+Scale posture: the profile is ONE pass over the table (a single wide
+aggregate, unpivoted driver-side-free via ``stack``); exact distinct
+counts use Spark's Expand-based multi-distinct — the scale escape hatch
+is ``approx_count_distinct`` (see q_agg_approx_distinct), swapped by
+flag where ±2% suffices. Constraint checks are aggregates and one
+anti-join; nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# (column, render-SQL) — render casts min/max to a canonical string per
+# type so one stack() output column can carry them all: decimals keep 2
+# digits (exact for the data's 2-decimal prices), timestamps use the
+# engine's canonical 'yyyy-MM-dd HH:mm:ss'.
+_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "CAST({v} AS STRING)"),
+    ("o_custkey", "CAST({v} AS STRING)"),
+    ("o_orderstatus", "CAST({v} AS STRING)"),
+    ("o_totalprice", "CAST(CAST({v} AS DECIMAL(18,2)) AS STRING)"),
+    ("o_orderdate", "date_format({v}, 'yyyy-MM-dd HH:mm:ss')"),
+    ("o_orderpriority", "CAST({v} AS STRING)"),
+)
+
+_DUCK_RENDER = {
+    "o_totalprice": "CAST(CAST({v} AS DECIMAL(18,2)) AS VARCHAR)",
+    "o_orderdate": "strftime({v}, '%Y-%m-%d %H:%M:%S')",
+}
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, _ in _PROFILE_COLS:
+        render = _DUCK_RENDER.get(col, "CAST({v} AS VARCHAR)")
+        parts.append(
+            f"""
+            SELECT '{col}' AS col_name,
+                   COUNT(*) AS row_count,
+                   COUNT({col}) AS non_null_count,
+                   COUNT(DISTINCT {col}) AS distinct_count,
+                   {render.format(v=f'MIN({col})')} AS min_value,
+                   {render.format(v=f'MAX({col})')} AS max_value
+            FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("q_dq_profile", oracle=_profile_oracle())
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of ``orders``: per column, the row
+    count, non-null count, exact distinct count, and canonical-string
+    min/max.
+
+    All 6×4 statistics come from ONE wide aggregate (one scan, one
+    reduce); the wide row is then unpivoted to (column, stats) rows with
+    ``stack`` — a Generate node over a 1-row DataFrame, no shuffle and
+    no driver loop. Exact multi-distinct plans as a 6-way Expand: the
+    deliberate oracle-exact choice; at petabyte row counts swap in
+    approx_count_distinct (HLL, one pass, no Expand).
+    """
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for col, render in _PROFILE_COLS:
+        aggs += [
+            F.count(col).alias(f"nn_{col}"),
+            F.countDistinct(col).alias(f"nd_{col}"),
+            F.expr(render.format(v=f"MIN({col})")).alias(f"mn_{col}"),
+            F.expr(render.format(v=f"MAX({col})")).alias(f"mx_{col}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', nn_{col}, nd_{col}, mn_{col}, mx_{col}" for col, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, non_null_count, distinct_count, min_value, max_value)"
+        ),
+        "row_count",
+    ).select(
+        "col_name", "row_count", "non_null_count", "distinct_count", "min_value", "max_value"
+    )
+
+
+@query(
+    "q_dq_constraints",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders) AS row_count,
+      (SELECT COUNT(*) FROM (
+         SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+      )) AS dup_orderkeys,
+      (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS null_custkeys,
+      (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS price_violations,
+      (SELECT COUNT(*) FROM orders
+        WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS status_violations,
+      (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      ) AS fk_orphan_lineitems
+    """,
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit in one row: primary-key duplicates, null keys,
+    range violations, enum violations, and foreign-key orphans
+    (lineitems referencing no order).
+
+    Null/range/enum counts share one conditional-sum pass over orders;
+    PK duplicates are a groupBy-HAVING on the key (map-side partial
+    count, ~8 B/key shuffle); FK orphans are a left-anti join on the
+    join key — the same shuffle an equi-join would pay, never a
+    collected key set. The three 1-row results cross-join by broadcast.
+    """
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey")  # noqa: E741
+    passes = o.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_custkeys"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("price_violations"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("status_violations"),
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_orderkeys"))
+    )
+    orphans = l.join(
+        o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left_anti"
+    ).agg(F.count(F.lit(1)).alias("fk_orphan_lineitems"))
+    return (
+        passes.crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            "row_count",
+            "dup_orderkeys",
+            "null_custkeys",
+            "price_violations",
+            "status_violations",
+            "fk_orphan_lineitems",
+        )
+    )
