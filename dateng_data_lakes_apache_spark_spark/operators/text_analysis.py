@@ -352,3 +352,104 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "word", "tf", "df", "tfidf", "rank")
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 2
+    ), words AS (
+      SELECT doc_id, n_chars, w, len(w) AS n_words,
+             len(list_distinct(w)) AS nd_words
+      FROM sized
+    ), big AS (
+      SELECT doc_id, n_chars, n_words, nd_words,
+             w[i] || ' ' || w[i + 1] AS bg
+      FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    ), counts AS (
+      SELECT doc_id, n_chars, n_words, nd_words, bg, COUNT(*) AS cnt
+      FROM big GROUP BY ALL
+    ), ranked AS (
+      SELECT doc_id, n_chars, n_words, nd_words, bg, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rn,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS n_bigrams,
+             COUNT(*) OVER (PARTITION BY doc_id) AS nd_bigrams
+      FROM counts
+    )
+    SELECT doc_id, n_words,
+           ROUND((n_words - nd_words) * 1.0 / n_words, 4) AS dup_word_frac,
+           ROUND((n_bigrams - nd_bigrams) * 1.0 / n_bigrams, 4) AS dup_bigram_frac,
+           bg AS top_bigram,
+           ROUND(cnt * LENGTH(bg) * 1.0 / n_chars, 4) AS top_bigram_frac
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality metrics (Gopher-style): per document,
+    the duplicate-word fraction, duplicate-bigram fraction, and the
+    character share of the single most frequent word bigram.
+
+    The corpus has no line structure (single-line docs), so the Gopher
+    line-level metrics specialize to word/bigram level — the n-gram
+    family those filters actually generalize to. Bigrams are built
+    JVM-side (``transform`` over an index ``sequence``), exploded, and
+    counted per (doc, bigram): the shuffle key is the bigram hash, never
+    the document text, and per-doc state is bounded by vocabulary, not
+    corpus size. The top bigram is a per-doc WindowGroupLimit-eligible
+    row_number with a deterministic (count desc, bigram) tie-break; the
+    per-doc totals ride the SAME doc_id partitioning via window
+    aggregates, so the whole query pays one bigram shuffle + one doc_id
+    shuffle.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", " "), lambda t: t != "")
+    sized = d.select(
+        "doc_id",
+        "n_chars",
+        w.alias("w"),
+    ).where(F.size("w") >= 2)
+    ex = sized.select(
+        "doc_id",
+        "n_chars",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("nd_words"),
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+        ).alias("bg"),
+    )
+    counts = ex.groupBy("doc_id", "n_chars", "n_words", "nd_words", "bg").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = Window.partitionBy("doc_id")
+    ranked = counts.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "nd_words",
+        "bg",
+        "cnt",
+        F.row_number()
+        .over(per_doc.orderBy(F.col("cnt").desc(), F.col("bg")))
+        .alias("rn"),
+        F.sum("cnt").over(per_doc).alias("n_bigrams"),
+        F.count(F.lit(1)).over(per_doc).alias("nd_bigrams"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return ranked.where(F.col("rn") == 1).select(
+        "doc_id",
+        "n_words",
+        F.round((dbl("n_words") - dbl("nd_words")) / dbl("n_words"), 4).alias(
+            "dup_word_frac"
+        ),
+        F.round((dbl("n_bigrams") - dbl("nd_bigrams")) / dbl("n_bigrams"), 4).alias(
+            "dup_bigram_frac"
+        ),
+        F.col("bg").alias("top_bigram"),
+        F.round(dbl("cnt") * F.length("bg") / dbl("n_chars"), 4).alias("top_bigram_frac"),
+    )
