@@ -537,3 +537,58 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("q").alias("q_min"),
         F.max("q").alias("q_max"),
     )
+
+
+@query("q_knn_graph")  # rows-only: hyperplane constants impractical as SQL
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-vectors k-NN graph (k=5) via the multi-table LSH index — the
+    corpus-curation primitive behind semantic dedup clustering, diversity
+    sampling, and graph-based quality propagation.
+
+    Where q_ann_lsh probes ONE query vector, this builds the neighbor
+    list for EVERY vector in the same pass: candidate pairs are the LSH
+    bucket co-occupants (equi-join on (table_id, bucket) — shuffle cost
+    Σ bucket², independent of corpus size, never an all-pairs product),
+    deduplicated, scored with the exact double-fold cosine, and cut to
+    the top-k per source with a row_number window whose rank filter is
+    WindowGroupLimit-eligible — each map task pre-prunes to k rows per
+    source before the window shuffle. Directed edges: (a,b) and (b,a)
+    rank independently, as a kNN graph requires. Deterministic (seeded
+    planes, (cosine desc, vec_b) tie-break); recall vs the exact graph
+    is asserted in tests/test_similarity.py.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    bucketed = lsh_bucket_table(e).select("vec_id", "embedding", "table_id", "bucket")
+    # Session-owned index cache, same lifecycle as q_dedup_embedding_lsh.
+    bucketed = bucketed.persist()
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    scored = pairs.select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+    rn = F.row_number().over(
+        Window.partitionBy("vec_a").orderBy(F.col("cosine").desc(), F.col("vec_b"))
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .where(F.col("rank") <= 5)
+        .select("vec_a", "vec_b", "cosine", "rank")
+    )

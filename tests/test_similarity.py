@@ -111,3 +111,31 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     exact_cust = table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     row = QS["q_agg_approx_distinct"](spark, sf_dir).collect()[0]
     assert abs(row.approx_custkeys - exact_cust) / exact_cust < 0.06  # 3×rsd
+
+
+def test_knn_graph_shape_and_recall(spark, sf_dir, np_embeddings):
+    vec_ids, mat = np_embeddings
+    rows = QS["q_knn_graph"](spark, sf_dir).collect()
+    by_src: dict[int, list] = {}
+    for r in rows:
+        assert r.vec_a != r.vec_b
+        by_src.setdefault(r.vec_a, []).append(r)
+    # ≤ k edges per source, ranks contiguous from 1, scores non-increasing
+    for src, edges in by_src.items():
+        edges.sort(key=lambda r: r.rank)
+        assert [e.rank for e in edges] == list(range(1, len(edges) + 1))
+        assert all(edges[i].cosine >= edges[i + 1].cosine for i in range(len(edges) - 1))
+    # recall vs the exact top-5 graph, averaged over a deterministic sample
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = normed @ normed.T
+    idx_of = {int(v): i for i, v in enumerate(vec_ids)}
+    sample = sorted(by_src)[:50]
+    recalls = []
+    for src in sample:
+        i = idx_of[src]
+        order = [j for j in np.argsort(-cos[i]) if j != i]
+        exact_top5 = {int(vec_ids[j]) for j in order[:5]}
+        got = {e.vec_b for e in by_src[src]}
+        recalls.append(len(got & exact_top5) / 5)
+    # multi-table LSH: per-node recall fluctuates, the mean must clear 0.4
+    assert sum(recalls) / len(recalls) >= 0.4
