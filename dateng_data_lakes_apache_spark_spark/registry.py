@@ -136,6 +136,7 @@ def load_all() -> None:
         aggregates,
         analytics,
         asof_pivot_sql,
+        cdc,
         data_quality,
         dedup,
         generators,

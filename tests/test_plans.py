@@ -257,3 +257,10 @@ def test_starjoin_region_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    # change detection (lag) and interval closing (lead) must share one
+    # user_id Exchange + Sort — the docstring's one-shuffle claim
+    plan = QS["q_scd2_build"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
