@@ -291,3 +291,137 @@ def q_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_custkey").cast("bigint").alias("min_ck"),
         F.max("o_custkey").cast("bigint").alias("max_ck"),
     )
+
+
+def zorder_key(ck_bucket, dt_bucket, bits: int = 8):
+    """Interleave two ``bits``-wide bucket ids into a Morton (Z-order)
+    key — pure shift/mask column arithmetic, whole-stage-codegen'd."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(ck_bucket, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(dt_bucket, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+@query(
+    "q_zorder_write",
+    oracle=f"""
+    SELECT COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_ok,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_ok
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 199
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def q_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE multi-dimensional clustering: orders staged in Morton
+    (Z-order) layout over (o_custkey, o_orderdate), so file-level
+    min/max statistics prune selective scans on EITHER dimension —
+    which one-dimensional range clustering (q_clustered_write) can only
+    do for its sort column.
+
+    Each dimension is scaled to an 8-bit bucket id against its actual
+    min/max (one tiny bounds aggregate, broadcast back), the two ids
+    bit-interleave into a 16-bit Morton key, and the write
+    range-partitions + sorts on that key: every file then owns a
+    rectangle of (custkey × orderdate) space. Both-dimension skipping
+    is asserted from the real parquet footers in
+    tests/test_sources.py::test_zorder_write_skips_both_dims; this
+    query proves the clustered copy lost nothing via a 2-D-predicate
+    read-back against the original table.
+    """
+    path = _stage_dir(sf_dir, "orders_zorder")
+    if not _staged(path):
+        o = table(spark, sf_dir, "orders")
+        day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        bounds = o.agg(
+            F.min("o_custkey").alias("min_ck"),
+            F.max("o_custkey").alias("max_ck"),
+            F.min(day).alias("min_d"),
+            F.max(day).alias("max_d"),
+        )
+        scaled = o.crossJoin(F.broadcast(bounds))
+        ck_b = F.floor(
+            (F.col("o_custkey") - F.col("min_ck"))
+            * 256
+            / (F.col("max_ck") - F.col("min_ck") + 1)
+        ).cast("long")
+        dt_b = F.floor(
+            (day - F.col("min_d")) * 256 / (F.col("max_d") - F.col("min_d") + 1)
+        ).cast("long")
+        (
+            scaled.withColumn("z", zorder_key(ck_b, dt_b))
+            .drop("min_ck", "max_ck", "min_d", "max_d")
+            .repartitionByRange(16, "z")
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    o = read_parquet(spark, path).where(
+        F.col("o_custkey").between(100, 199)
+        & (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+        F.min("o_orderkey").cast("bigint").alias("min_ok"),
+        F.max("o_orderkey").cast("bigint").alias("max_ok"),
+    )
+
+
+@query(
+    "q_compact_files",
+    oracle=f"""
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_orderkey) AS n_keys,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    """,
+)
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a 64-tiny-file staging of orders (the
+    shape streaming ingest and over-parallel writers leave behind) is
+    rewritten into size-targeted files, and the compacted copy is
+    read back and proven identical to the source.
+
+    File-count math: target = ceil(input_bytes / 32 MiB) (128-512 MiB
+    in production; smaller here so the sf0.01 fixture still exercises
+    a >1→fewer merge). The sizing input is the file manifest — a
+    metadata listing, not a data read — and the rewrite is ONE
+    round-robin repartition to exactly the target count: no sort, no
+    hash skew, each output file within one row of equal size. Parquet
+    row groups re-form at full size, so post-compaction scans plan
+    target-count splits instead of 64 tiny ones — the actual win: at
+    100 TB, footer/open overhead and scheduler pressure scale with
+    file count, not bytes.
+    """
+    small = _stage_dir(sf_dir, "orders_smallfiles")
+    compact = _stage_dir(sf_dir, "orders_compacted")
+    if not _staged(small):
+        table(spark, sf_dir, "orders").repartition(64).write.mode("overwrite").parquet(
+            small
+        )
+    if not _staged(compact):
+        input_bytes = sum(
+            e.stat().st_size
+            for e in os.scandir(small)
+            if e.name.endswith(".parquet")
+        )
+        target = max(1, -(-input_bytes // (32 * 1024 * 1024)))
+        read_parquet(spark, small).repartition(target).write.mode(
+            "overwrite"
+        ).parquet(compact)
+    o = read_parquet(spark, compact)
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )

@@ -133,3 +133,64 @@ def test_clustered_write_file_ranges(spark, sf_dir):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint: file skipping is real
+
+
+def test_zorder_write_skips_both_dims(spark, sf_dir):
+    # the point of q_zorder_write over 1-D range clustering: file-level
+    # min/max prune selective predicates on BOTH interleaved dimensions
+    import glob
+    import pyarrow.parquet as pq
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    get_queries()["q_zorder_write"](spark, sf_dir).collect()  # ensure staged
+    from dateng_data_lakes_apache_spark_spark.sources.roundtrip import _stage_dir
+
+    files = sorted(glob.glob(os.path.join(_stage_dir(sf_dir, "orders_zorder"), "*.parquet")))
+    assert len(files) >= 8
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        stats = {}
+        for name in ("o_custkey", "o_orderdate"):
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(cols[name]).statistics
+                mins.append(st.min); maxs.append(st.max)
+            stats[name] = (min(mins), max(maxs))
+        spans.append(stats)
+
+    import datetime
+
+    ck_q = (100, 199)
+    dt_q = (datetime.datetime(1997, 1, 1), datetime.datetime(1998, 1, 1))
+    ck_hits = sum(
+        1 for s in spans
+        if not (s["o_custkey"][1] < ck_q[0] or s["o_custkey"][0] > ck_q[1])
+    )
+    dt_hits = sum(
+        1 for s in spans
+        if not (s["o_orderdate"][1] < dt_q[0] or s["o_orderdate"][0] > dt_q[1])
+    )
+    # either predicate alone must exclude a real share of the files —
+    # 1-D clustering can never do this for its non-sort dimension
+    assert ck_hits <= len(files) // 2
+    assert dt_hits <= len(files) // 2
+
+
+def test_compact_files_counts(spark, sf_dir):
+    # compaction must hit its computed target count (and actually shrink)
+    import glob
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    get_queries()["q_compact_files"](spark, sf_dir).collect()  # ensure staged
+    from dateng_data_lakes_apache_spark_spark.sources.roundtrip import _stage_dir
+
+    small = glob.glob(os.path.join(_stage_dir(sf_dir, "orders_smallfiles"), "*.parquet"))
+    compact = glob.glob(os.path.join(_stage_dir(sf_dir, "orders_compacted"), "*.parquet"))
+    assert len(small) == 64
+    input_bytes = sum(os.path.getsize(f) for f in small)
+    target = max(1, -(-input_bytes // (32 * 1024 * 1024)))
+    assert len(compact) == target < len(small)
