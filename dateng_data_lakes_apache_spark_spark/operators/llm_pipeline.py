@@ -478,3 +478,106 @@ def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "q_corpus_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('seed42:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef', substr(k, 1, 1)) - 1 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY substr(k, 1, 1) ORDER BY k, doc_id
+           ) AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle + sharding: every document
+    gets a pseudo-random shard and an exact position inside it, stable
+    across runs, engines, and partition layouts.
+
+    Training pipelines must shuffle the corpus WITHOUT a seeded RNG tied
+    to partition order (Spark's rand() changes with the split layout).
+    Keying by md5(seed || doc_id) gives a permutation that is a pure
+    function of the data: re-runs, backfills, and other engines (the
+    DuckDB oracle) produce byte-identical shard layouts. Shard = first
+    hex nibble (16 shards here; production sizes shards to ~cluster
+    parallelism × a small factor), position = row_number within the
+    shard ordered by the full key — one hash shuffle on the nibble, and
+    each shard's window sorts only its own slice. Changing the seed
+    string reshuffles the entire corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))).alias("k"),
+    )
+    nib = F.substring("k", 1, 1)
+    pos = F.row_number().over(
+        Window.partitionBy(nib).orderBy("k", "doc_id")
+    )
+    return keyed.select(
+        "doc_id",
+        (F.instr(F.lit("0123456789abcdef"), nib) - 1).cast("int").alias("shard"),
+        pos.cast("bigint").alias("pos"),
+    )
+
+
+@query(
+    "q_lm_score",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, w FROM words WHERE w <> ''
+    ), vocab AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), total AS (
+      SELECT COUNT(*) AS n FROM tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(LN(v.c) - LN(tt.n)) / COUNT(*), 4) AS avg_logprob
+    FROM tok t JOIN vocab v ON t.w = v.w CROSS JOIN total tt
+    GROUP BY t.doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: each document's mean token
+    log-probability under the corpus's own unigram distribution — the
+    classic cheap perplexity filter (low scorers are gibberish or
+    boilerplate; the KenLM-style heavy version swaps in n-gram counts).
+
+    Two passes, both corpus-bounded: (1) the unigram table — one word
+    shuffle with map-side combine, vocabulary-sized output; (2) score —
+    tokens equi-join the vocabulary on the word hash (vocabulary may
+    exceed broadcast size at 100 TB, so this is a plain shuffle join,
+    never a collected dict), then one doc_id shuffle averages the
+    log-probs. The corpus token total is a 1-row broadcast. ln() is
+    IEEE-correctly-rounded on both engines for these integer inputs;
+    the mean is rounded to 4 decimals before hashing (q_tfidf's
+    discipline for transcendental outputs).
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.log("c") - F.log("n")) / F.count(F.lit(1)), 4
+            ).alias("avg_logprob"),
+        )
+    )
