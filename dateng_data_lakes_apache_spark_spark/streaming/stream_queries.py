@@ -603,3 +603,104 @@ def q_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         ts_str(F.col("w.start")).alias("window_start"), "event_type", "n_events"
     )
+
+
+@query(
+    "q_stream_outer_join",
+    # Inner matches emit as they join; an UNMATCHED purchase emits its
+    # null-completed row only once the final watermark passes its join
+    # window (no click with c_ts <= p_ts can still arrive) — purchases
+    # younger than the watermark stay buffered and must NOT appear.
+    # Each withWatermark node tracks the max event time of ITS OWN
+    # filtered stream, and the query watermark is the MIN across nodes
+    # (spark.sql.streaming.multipleWatermarkPolicy default "min"), so
+    # the final watermark is LEAST(max purchase ts, max click ts) - 10
+    # min; eviction/emission is strict (p_ts < watermark — verified
+    # empirically: a purchase exactly AT the watermark stays buffered).
+    # The oracle reproduces both halves of that rule.
+    oracle="""
+    WITH mx AS (
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+      ) AS mts
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    ),
+    matched AS (
+      SELECT p.purchase_id, c.click_id, p.user_id,
+             CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_seconds
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 5 MINUTE
+       AND c.ts <= p.ts
+    ),
+    unmatched AS (
+      SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id, p.user_id,
+             CAST(NULL AS BIGINT) AS lag_seconds
+      FROM p, mx
+      WHERE NOT EXISTS (
+        SELECT 1 FROM c
+        WHERE c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 5 MINUTE
+          AND c.ts <= p.ts
+      )
+      AND p.ts < mts - INTERVAL 10 MINUTE
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join over the 4-batch
+    monotone replay: purchases keep their row even with no click in the
+    5-minute lookback — the attribution join where "no prior click" is
+    itself the signal.
+
+    Outer streaming joins are the strictest watermark test the engine
+    has: a null-completed row may only emit once the watermark proves no
+    matching right row can still arrive, and rows inside the horizon
+    must stay buffered (state eviction and emission are the same
+    decision). The multi-batch replay advances the watermark four times;
+    the oracle checks the exact emission rule — every inner match, plus
+    null rows for exactly the unmatched purchases older than
+    final-watermark — so a wrong watermark/eviction implementation
+    diverges on row COUNT, not just values. Same state-size bound as
+    q_stream_stream_join: (watermark + range) per side.
+    """
+    stage = _stage_events_ordered(spark, sf_dir)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        s = normalize_nanos_ts(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+        )
+        return (
+            s.where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "10 minutes")
+        )
+
+    purchases = side("purchase", "p")
+    clicks = side("click", "c")
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 5 MINUTES AND c_ts <= p_ts"),
+        "leftOuter",
+    )
+    result = _run_to_memory(joined, "stream_outer", "append")
+    return result.select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_seconds"),
+    )

@@ -243,3 +243,62 @@ def test_sample_within_binomial_bounds(spark, sf_dir):
     assert abs(n_sample - mean) < 5 * sd
     # seeded sample is reproducible on identical input partitioning
     assert QS["q_sample"](spark, sf_dir).count() == n_sample
+
+
+def test_outer_join_null_emission_is_strictly_below_watermark(spark, tmp_path):
+    """Pins the exact emission rule q_stream_outer_join's oracle encodes:
+    the query watermark is min over BOTH withWatermark nodes (each tracks
+    its own filtered stream's max event time), and an unmatched left row
+    emits its null-completed row iff left_ts < watermark — STRICTLY: a
+    purchase exactly AT the watermark stays buffered."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime, timedelta
+
+    src = tmp_path / "oj_src"
+    src.mkdir()
+    t0 = datetime.fromisoformat("2024-01-01 00:00:00")
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+
+    def stage(i, rows):
+        tmp = str(tmp_path / f"oj_tmp{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = str(src / f"f{i:03d}.parquet")
+        shutil.copyfile(glob.glob(tmp + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+
+    # batch 0: unmatched purchases at minutes 0..59, distinct users
+    stage(0, [(i, 1000 + i, t0 + timedelta(minutes=i), "purchase") for i in range(60)])
+    # batch 1: both sides' max advances to minute 60 → final watermark =
+    # min(60, 60) - 10 = minute 50
+    stage(1, [(900, 9999, t0 + timedelta(minutes=60), "click"),
+              (901, 8888, t0 + timedelta(minutes=60), "purchase")])
+
+    def side(event_type, prefix):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return (
+            s.where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "10 minutes")
+        )
+
+    joined = side("purchase", "p").join(
+        side("click", "c"),
+        F.expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 5 MINUTES AND c_ts <= p_ts"),
+        "leftOuter",
+    )
+    _run_stream(joined, tmp_path, "oj_strict", "append")
+    nulls = sorted(
+        r.p_id for r in spark.table("oj_strict").collect() if r.c_id is None
+    )
+    # minutes 0..49 emitted; minute 50 == watermark held (strict <)
+    assert nulls == list(range(50))
