@@ -199,3 +199,205 @@ def q_starjoin_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q_starjoin_bigorders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           {o_date_str('o_orderdate')} AS o_orderdate,
+           o_totalprice,
+           {o_dsum('l_quantity')} AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q_starjoin_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): orders whose total line
+    quantity exceeds a threshold, joined back to customer detail.
+
+    The aggregate subquery reduces lineitem to one row per qualifying
+    orderkey BEFORE any wide join — at 100 TB the HAVING prunes ~99% of
+    orders, so the semi-join probe side is tiny and AQE typically
+    converts the IN-join to broadcast at runtime. The second lineitem
+    aggregation only runs over the surviving orders. Top-20 plans as
+    TakeOrderedAndProject.
+    """
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")  # noqa: E741
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty_all"))
+        .where(F.col("sum_qty_all") > 180)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            date_str(F.col("o_orderdate")).alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_starjoin_promo",
+    oracle=f"""
+    SELECT 100.0 * {o_dsum(f"CASE WHEN p_type LIKE 'PROMO%' THEN {_O_REVENUE} ELSE 0 END")}
+           / {o_dsum(_O_REVENUE)} AS promo_pct,
+           {o_dsum(f"CASE WHEN p_type LIKE 'PROMO%' THEN {_O_REVENUE} ELSE 0 END")} AS promo_revenue,
+           {o_dsum(_O_REVENUE)} AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q_starjoin_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share (TPC-H Q14 shape): one month of shipped
+    revenue split by whether the part is a PROMO type — the
+    conditional-aggregate-ratio pattern.
+
+    The ship-date range prunes lineitem at the scan (~1/80 of rows);
+    part joins by hash on p_partkey (linear-growth dim — never pinned
+    broadcast; AQE may still choose it at small SF). Numerator and
+    denominator accumulate as exact decimals, so the final IEEE double
+    division is bit-identical across engines.
+    """
+    l = (  # noqa: E741
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo_rev = F.when(F.col("p_type").like("PROMO%"), _revenue()).otherwise(F.lit(0.0))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            dsum(promo_rev).alias("promo_revenue"),
+            dsum(_revenue()).alias("total_revenue"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_pct"
+            ),
+            "promo_revenue",
+            "total_revenue",
+        )
+    )
+
+
+@query(
+    "q_starjoin_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_starjoin_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority slip check (TPC-H Q4 shape): orders in one quarter
+    with at least one line shipped more than 60 days after order date,
+    counted per priority class.
+
+    The correlated EXISTS is declared as a LEFT SEMI join whose
+    condition carries both the equi-key and the date inequality — the
+    semi join dedups lineitem matches without materializing them, and
+    the quarter filter prunes orders at the scan. Five output groups →
+    partial agg collapses map-side.
+    """
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")  # noqa: E741
+    slipped = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        slipped.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_starjoin_disjunct",
+    oracle=f"""
+    SELECT {o_dsum(_O_REVENUE)} AS revenue, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_starjoin_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate revenue (TPC-H Q19 shape): OR of three
+    (brand, size, quantity) conjunct groups across the join boundary.
+
+    The part-only half of each disjunct (brand AND size) is factored out
+    and applied BELOW the join — Catalyst cannot split a cross-table OR
+    by itself, so the query hands it the pushable union explicitly,
+    pruning part to three brands before the hash join. The full
+    three-way OR then re-checks the joined rows (cheap: already
+    ~1/25 of part survives).
+    """
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = table(spark, sf_dir, "lineitem").select(  # noqa: E741
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part_pruned = p.where(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 25))
+    )
+    q = F.col("l_quantity")
+    full = (
+        ((F.col("p_brand") == "Brand#12") & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & q.between(20, 30))
+    )
+    return (
+        l.join(part_pruned, l.l_partkey == F.col("p_partkey"))
+        .where(full)
+        .agg(dsum(_revenue()).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
