@@ -6,11 +6,12 @@ explode and typed-map access over the JSON props column.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, MapType, StringType
 
 from ..catalog import table
+from ..common import dsum
 from ..registry import query
 
 
@@ -175,5 +176,73 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.count_if(kept).alias("n_kept"),
             F.sum(F.when(kept, F.col("ntok"))).cast("bigint").alias("kept_tokens"),
+        )
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id % 97 = 0
+      GROUP BY 1, 2
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(
+               (SELECT CAST(MIN(ts) AS DATE) FROM events),
+               (SELECT CAST(MAX(ts) AS DATE) FROM events),
+               INTERVAL 1 DAY)) AS DATE) AS day
+    ), grid AS (
+      SELECT t.event_type, s.day
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT g.event_type, strftime(g.day, '%Y-%m-%d') AS day,
+           o.sum_value AS observed,
+           last_value(o.sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled
+    FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.day = o.day
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: regularize a sparse daily series onto the
+    full (event_type × day) grid, then forward-fill each gap with the
+    last observed value (``last(..., ignorenulls=True)`` over a running
+    frame). Days before a series' first observation stay NULL — filling
+    them would fabricate data.
+
+    The grid is generated (sequence × 5 distinct types — O(days·types)
+    rows from expressions, no scan); the sparse observations left-join
+    onto it, and the fill is ONE window shuffle partitioned by
+    event_type ordered by day. At 100 TB the observation aggregate has
+    already collapsed to O(grid) rows before the window, so the sort is
+    over the grid, not the raw events.
+    """
+    e = table(spark, sf_dir, "events")
+    obs = (
+        e.where(F.col("event_id") % 97 == 0)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(dsum(F.col("value")).alias("sum_value"))
+    )
+    rng = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("sum_value").alias("observed"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled"),
         )
     )

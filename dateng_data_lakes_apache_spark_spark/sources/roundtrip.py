@@ -425,3 +425,40 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_keys"),
         dsum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           {o_dsum('l_extendedprice')} AS sum_price,
+           {o_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC sink → ORC scan → aggregate.
+
+    ORC is Spark's second first-class columnar format (native vectorized
+    reader, predicate pushdown, column pruning — the same scan contract
+    as parquet). The round-trip proves the engine can ingest from and
+    publish to ORC lakes without a conversion hop: doubles, decimals and
+    dictionary-encoded strings survive bit-exact, and the aggregate is
+    hash-checked against the original parquet via DuckDB.
+    """
+    path = _stage_dir(sf_dir, "lineitem_orc")
+    if not _staged(path):
+        (
+            table(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_extendedprice", "l_quantity")
+            .write.mode("overwrite")
+            .orc(path)
+        )
+    l = spark.read.orc(path)  # noqa: E741
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )

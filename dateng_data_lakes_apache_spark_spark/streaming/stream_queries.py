@@ -704,3 +704,124 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_seconds"),
     )
+
+
+@query(
+    "q_stream_transform_state",
+    # Emission is one row PER INPUT EVENT carrying the user's running
+    # (count, max) at that event — a design chosen because it makes the
+    # output independent of micro-batch boundaries: the staged replay is
+    # ts-monotone across files and the processor sorts each batch's rows
+    # by ts within the key, so the running values are exactly the batch
+    # window aggregate ordered by ts. COUNT and MAX are associative and
+    # float-exact, so no summation-order divergence is possible.
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_so_far,
+           MAX(value) OVER w AS max_so_far
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator — per-user running purchase count and
+    max value, explicit state surviving across four micro-batches of the
+    ordered replay — on the newest stateful API the runtime supports.
+
+    Preferred path: ``transformWithStateInPandas`` (the Spark 4
+    StatefulProcessor API: typed value/list/map state handles, timers,
+    per-key Arrow batches). Its Python↔JVM state protocol requires the
+    ``protobuf`` package, which this engine cannot assume is installed,
+    so the SAME kernel also runs via ``applyInPandasWithState`` when
+    protobuf is absent — identical semantics, identical oracle, and the
+    query upgrades itself where the dependency exists. State is one
+    (count, max) pair per user — O(distinct users) bounded, the
+    100 TB-safe shape — and rows reach the kernel Arrow-batched, never
+    row-at-a-time Python.
+    """
+    import pandas as pd
+
+    stage = _stage_events_ordered(spark, sf_dir)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        normalize_nanos_ts(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out_schema = "user_id bigint, event_id bigint, n_so_far bigint, max_so_far double"
+
+    def running(batch: "pd.DataFrame", n0: int, m0: float):
+        """Shared kernel: running (count, max) over one key's batch rows,
+        ts-sorted (files don't overlap in ts, so cross-batch order is
+        already monotone and only the intra-batch sort is needed)."""
+        batch = batch.sort_values("ts")
+        n = list(range(n0 + 1, n0 + len(batch) + 1))
+        m = batch["value"].where(batch["value"] >= m0, m0).cummax()
+        out = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "event_id": batch["event_id"].to_numpy(),
+                "n_so_far": n,
+                "max_so_far": m.to_numpy(),
+            }
+        )
+        return out, (n[-1], float(m.iloc[-1]))
+
+    try:
+        import google.protobuf  # noqa: F401 — TWS state protocol dependency
+
+        has_tws_runtime = True
+    except ImportError:
+        has_tws_runtime = False
+
+    if has_tws_runtime:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RunningStats(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState(
+                    "agg", "n_so_far bigint, max_so_far double"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                n0, m0 = (
+                    self._state.get() if self._state.exists() else (0, float("-inf"))
+                )
+                out, new_state = running(pd.concat(list(rows)), n0, m0)
+                self._state.update(new_state)
+                yield out
+
+            def close(self) -> None:
+                pass
+
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            RunningStats(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def fn(key, pdf_iter, state: GroupState):
+            n0, m0 = state.get if state.exists else (0, float("-inf"))
+            for pdf in pdf_iter:
+                out, (n0, m0) = running(pdf, n0, m0)
+                yield out
+            state.update((n0, m0))
+
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="n_so_far bigint, max_so_far double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return _run_to_memory(out, "tws", "append")
