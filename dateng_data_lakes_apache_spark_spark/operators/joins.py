@@ -344,3 +344,79 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["key_a", "key_b"])
     )
     return pairs
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id,
+             NULLIF(CAST(json_extract_string(props, '$.k') AS INT) % 7, 3) AS k_mod
+      FROM events
+    ), grp AS (
+      SELECT k_mod, COUNT(*) AS group_n FROM keyed GROUP BY k_mod
+    )
+    SELECT k.event_id, k.k_mod, g.group_n
+    FROM keyed k JOIN grp g ON k.k_mod IS NOT DISTINCT FROM g.k_mod
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): every event
+    annotated with its derived-key group size, where the key is NULL for
+    one residue class — and the NULL group must join to ITSELF, not drop.
+
+    A plain equi-join silently loses every NULL-keyed row (NULL = NULL
+    is unknown); ``eqNullSafe`` treats NULL as a first-class key value,
+    which Spark still executes as a hash join — NULL hashes like any
+    other key, so no fallback to nested-loop and the same shuffle-by-key
+    scale posture as q_join_inner_2key. The skew caveat is real at
+    100 TB: if NULL is a heavy key (common in practice), it is exactly
+    the salting case of q_join_salted.
+    """
+    keyed = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("int") % 7, F.lit(3)
+        ).alias("k_mod"),
+    )
+    grp = keyed.groupBy("k_mod").agg(F.count(F.lit(1)).alias("group_n"))
+    k, g = keyed.alias("k"), grp.alias("g")
+    return k.join(g, F.col("k.k_mod").eqNullSafe(F.col("g.k_mod"))).select(
+        F.col("k.event_id"), F.col("k.k_mod"), F.col("g.group_n")
+    )
+
+
+@query(
+    "q_join_hinted",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-control surface: the same orders⋈customer join pinned to
+    SHUFFLE_HASH via a join hint (plan-asserted in tests/test_plans.py).
+
+    Hints are how a 100 TB operator overrides a wrong cost-based choice
+    without rewriting the query: here customer is far too big to
+    broadcast at scale but small enough per-partition to hash-build —
+    SHUFFLE_HASH skips the sort-merge's two sorts, trading executor
+    memory for CPU. The result is hint-invariant (same rows as the
+    unhinted join), which is exactly what the oracle checks.
+    """
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").hint("shuffle_hash").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -453,3 +453,58 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bg").alias("top_bigram"),
         F.round(dbl("cnt") * F.length("bg") / dbl("n_chars"), 4).alias("top_bigram_frac"),
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+    ), tot AS (
+      SELECT doc_id, SUM(c) AS n FROM wc GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           ROUND(LN(t.n) - SUM(w.c * LN(w.c)) / t.n, 4) AS token_entropy
+    FROM wc w JOIN tot t USING (doc_id)
+    GROUP BY w.doc_id, t.n
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram token entropy (nats): H = ln(n) − Σc·ln(c)/n
+    over the doc's word counts — the information-density quality signal
+    (near-zero entropy = degenerate repetition; boilerplate and keyword
+    stuffing score low even when q_text_repetition's exact-dup fractions
+    miss them).
+
+    Shape: explode → (doc, word) count → per-doc fold. Both aggregations
+    get map-side partial combine, and the second is a per-doc fold over
+    ALREADY-collapsed (doc, word) rows, so the shuffle carries counts,
+    not tokens — at 100 TB the wide explode never crosses the wire.
+    ln() terms agree bit-for-bit across engines on integer counts; the
+    mean is rounded to 4 decimals before hashing (q_lm_score's
+    precedent).
+    """
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+            ).alias("w"),
+        )
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 4
+            ).alias("token_entropy"),
+        )
+        .select("doc_id", "n_tokens", "token_entropy")
+    )

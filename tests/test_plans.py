@@ -264,3 +264,26 @@ def test_scd2_single_exchange(spark, sf_dir):
     # user_id Exchange + Sort — the docstring's one-shuffle claim
     plan = QS["q_scd2_build"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_hinted_join_is_shuffled_hash(spark, sf_dir):
+    """The SHUFFLE_HASH hint must override the planner's default
+    sort-merge choice for the orders⋈customer join — the whole point of
+    the hint surface is that the override actually lands in the plan."""
+    plan = formatted_plan(QS["q_join_hinted"](spark, sf_dir))
+    assert _nodes(plan, "ShuffledHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark, sf_dir):
+    """eqNullSafe must stay a hash join (NULL hashes like any key) — a
+    nested-loop fallback here would be a 100 TB scale-killer."""
+    plan = formatted_plan(QS["q_join_null_safe"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        _nodes(plan, "ShuffledHashJoin")
+        + _nodes(plan, "SortMergeJoin")
+        + _nodes(plan, "BroadcastHashJoin")
+        >= 1
+    )
