@@ -1,0 +1,139 @@
+"""Advanced SQL surfaces: recursive CTEs, LATERAL subqueries, VARIANT.
+
+The reference's SQL surface is one flat SELECT over temp views
+(ETL_from_Notebook.py:255-278). These queries extend the engine's SQL
+grammar to the three constructs modern warehouse SQL adds on top:
+iteration (WITH RECURSIVE, Spark 4), per-row subquery application
+(LATERAL), and semi-structured typed access (VARIANT, Spark 4). All
+three run through spark.sql over the registered catalog views, so they
+share the temp-view entry path q_sql_surface pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from ..registry import query
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(p_partkey, root, depth) AS (
+      SELECT p_partkey, p_partkey AS root, 0 AS depth
+      FROM part WHERE p_partkey < 10
+      UNION ALL
+      SELECT p.p_partkey, w.root, w.depth + 1
+      FROM part p JOIN walk w ON CAST(FLOOR(p.p_partkey / 10) AS BIGINT) = w.p_partkey
+      WHERE p.p_partkey >= 10
+    )
+    SELECT root, depth, COUNT(*) AS n_nodes, MIN(p_partkey) AS min_key,
+           MAX(p_partkey) AS max_key
+    FROM walk GROUP BY root, depth
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening via WITH RECURSIVE (Spark 4): walk the
+    implicit decimal tree over part keys (parent = key div 10) from the
+    single-digit roots down, emitting (root, depth) descendant counts —
+    the BOM-explosion / org-chart shape, which no fixed-depth join chain
+    can express.
+
+    Each recursion step is one equi-join of the frontier against part —
+    Catalyst plans every level as a hash join, and the frontier shrinks
+    to empty in ceil(log10(max key)) steps, so the total work is
+    O(levels) joins, not an unbounded loop. The oracle is the identical
+    recursive CTE in DuckDB.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(p_partkey, root, depth) AS (
+          SELECT p_partkey, p_partkey AS root, 0 AS depth
+          FROM part WHERE p_partkey < 10
+          UNION ALL
+          SELECT p.p_partkey, w.root, w.depth + 1
+          FROM part p JOIN walk w ON CAST(FLOOR(p.p_partkey / 10) AS BIGINT) = w.p_partkey
+          WHERE p.p_partkey >= 10
+        )
+        SELECT root, depth, COUNT(*) AS n_nodes, MIN(p_partkey) AS min_key,
+               MAX(p_partkey) AS max_key
+        FROM walk GROUP BY root, depth
+        """
+    )
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row subquery application: for each nation, the LATERAL
+    subquery's own ORDER BY ... LIMIT 2 picks its two richest customers
+    — the top-k-per-group shape expressed as correlated iteration
+    instead of a window.
+
+    Catalyst decorrelates the lateral into a join + per-group limit
+    (same physical family as q_window_topk_per_group's WindowGroupLimit)
+    rather than re-running the subquery 25 times — which is the whole
+    point: LATERAL is sugar the optimizer must flatten, and the oracle
+    plus the deterministic c_custkey tiebreak proves the flattening
+    preserved per-group semantics.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )
+
+
+@query(
+    "q_variant_funcs",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    WHERE json_extract_string(props, '$.missing') IS NULL
+    GROUP BY 1
+    """,
+)
+def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through VARIANT (Spark 4): props parsed
+    once with parse_json into a binary-encoded variant, then typed
+    variant_get extraction — the modern replacement for per-path
+    get_json_object string re-parsing (one parse per row instead of one
+    per path, and the extracted value is already an int, not a string
+    cast).
+
+    At 100 TB the difference is real scan CPU: variant decode is a
+    binary offset walk, JSON re-parse is a text scan per path. The
+    missing-path probe documents NULL semantics (absent path → NULL,
+    matching JSON oracle behavior).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH v AS (SELECT parse_json(props) AS pv FROM events)
+        SELECT variant_get(pv, '$.k', 'int') % 10 AS k_bucket,
+               COUNT(*) AS n_events,
+               MAX(variant_get(pv, '$.k', 'int')) AS max_k
+        FROM v
+        WHERE variant_get(pv, '$.missing', 'string') IS NULL
+        GROUP BY 1
+        """
+    )

@@ -1,0 +1,118 @@
+"""Custom source via the Python DataSource API (Spark 4).
+
+The reference consumes only what Spark ships (JSON/parquet/CSV,
+etl.py:91-153). This module proves the engine can EXTEND the source
+surface itself: a pure-Python ``DataSource`` that generates a
+deterministic calendar spine server-side — registered once per session,
+then read like any built-in format. The same API slot is where a real
+deployment plugs REST feeds, internal catalogs, or synthetic-data
+generators without JVM code.
+
+Scale posture: ``partitions()`` returns real InputPartitions, so the
+generate runs distributed (one task per partition, no driver-side
+materialization), and each partition computes its own row range from
+(index, options) alone — no shared state, arbitrary parallelism.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..catalog import table
+from ..registry import query
+
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+class DaySpineDataSource(DataSource):
+    """``day_spine`` format: rows (day_idx, day) for a fixed range.
+
+    Options: ``start`` (ISO date), ``days`` (row count), ``parts``
+    (partition count). Deterministic by construction — same options,
+    same rows, any cluster size.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "day_spine"
+
+    def schema(self) -> str:
+        return "day_idx bigint, day date"
+
+    def reader(self, schema) -> "DaySpineReader":
+        return DaySpineReader(self.options)
+
+
+class DaySpineReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.start = _dt.date.fromisoformat(options.get("start", "1997-01-01"))
+        self.days = int(options.get("days", "365"))
+        self.parts = int(options.get("parts", "8"))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.parts)]
+
+    def read(self, partition):
+        # Contiguous slice per partition: ceil-split so all rows are
+        # covered and the last partition may run short.
+        per = -(-self.days // self.parts)
+        lo = partition.value * per
+        hi = min(lo + per, self.days)
+        for i in range(lo, hi):
+            yield (i, self.start + _dt.timedelta(days=i))
+
+
+def _ensure_registered(spark: SparkSession) -> None:
+    # Registration is idempotent per session; re-registering replaces.
+    spark.dataSource.register(DaySpineDataSource)
+
+
+@query(
+    "q_python_datasource",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1997-01-01',
+                                         DATE '1997-12-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(d.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One year of daily order counts on a spine read from the CUSTOM
+    ``day_spine`` Python data source (8 real input partitions), gap days
+    at zero — q_date_spine's shape with the spine coming through the
+    engine's own source extension instead of a generator expression.
+    """
+    _ensure_registered(spark)
+    spine = (
+        spark.read.format("day_spine")
+        .option("start", "1997-01-01")
+        .option("days", "365")
+        .option("parts", "8")
+        .load()
+    )
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return spine.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )

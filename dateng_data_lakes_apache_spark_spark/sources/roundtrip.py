@@ -462,3 +462,48 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice")).alias("sum_price"),
         dsum(F.col("l_quantity")).alias("sum_qty"),
     )
+
+
+@query(
+    "q_xml_roundtrip",
+    oracle=f"""
+    SELECT s_nationkey,
+           COUNT(*) AS n_supp,
+           {o_dsum('s_acctbal')} AS sum_acctbal,
+           MAX(s_name) AS max_name
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → XML sink → schema-applied XML scan → aggregate.
+
+    XML is Spark 4's newest built-in source (the former spark-xml
+    package folded into core). The round-trip proves the engine can
+    land on and ingest from XML feeds — still the lingua franca of
+    B2B/EDI pipelines — with entity escaping and numeric fidelity
+    checked by hashing the aggregate against the original parquet.
+    Schema is applied on read: rowTag inference is banned on the ingest
+    path for the same reason as CSV/JSON header inference.
+    """
+    path = _stage_dir(sf_dir, "supplier_xml")
+    if not _staged(path):
+        (
+            table(spark, sf_dir, "supplier")
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "suppliers")
+            .option("rowTag", "supplier")
+            .save(path)
+        )
+    s = (
+        spark.read.format("xml")
+        .schema("s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
+        .option("rowTag", "supplier")
+        .load(path)
+    )
+    return s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        dsum(F.col("s_acctbal")).alias("sum_acctbal"),
+        F.max("s_name").alias("max_name"),
+    )

@@ -194,3 +194,25 @@ def test_compact_files_counts(spark, sf_dir):
     input_bytes = sum(os.path.getsize(f) for f in small)
     target = max(1, -(-input_bytes // (32 * 1024 * 1024)))
     assert len(compact) == target < len(small)
+
+
+def test_python_datasource_plans_real_partitions(spark):
+    """The custom day_spine source must hand Spark real InputPartitions —
+    distributed generate, not a driver-side collect-and-parallelize."""
+    from dateng_data_lakes_apache_spark_spark.sources.pydatasource import (
+        _ensure_registered,
+    )
+
+    _ensure_registered(spark)
+    df = (
+        spark.read.format("day_spine")
+        .option("start", "2000-01-01")
+        .option("days", "100")
+        .option("parts", "8")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 100
+    # deterministic content: idx 0 is the start date, idx 99 the end
+    first = df.orderBy("day_idx").first()
+    assert str(first.day) == "2000-01-01"
