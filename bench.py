@@ -76,6 +76,13 @@ HEADLINE = [
     "q_pagerank",
     "q_starjoin_region",
     "q_starjoin_returns",
+    "q_starjoin_bigorders",
+    "q_starjoin_disjunct",
+    "q_gap_fill",
+    "q_text_entropy",
+    "q_join_null_safe",
+    "q_recursive_cte",
+    "q_stream_outer_join",
 ]
 
 
@@ -107,6 +114,10 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # Stop the JVM BEFORE printing: async JVM warnings (GC, shutdown) can
+    # otherwise land on stdout after the JSON line and break tail -1
+    # parsing of the one-line contract.
+    spark.stop()
     print(
         json.dumps(
             {

@@ -270,3 +270,38 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias("a_only"),
         F.size(F.array_intersect("a", "b")).cast("int").alias("n_common"),
     )
+
+
+@query(
+    "q_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL AS parsed_ok,
+           concat('{"k":', CAST(CAST(json_extract_string(props, '$.k') AS INT) AS VARCHAR), '}') AS rebuilt
+    FROM events
+    """,
+)
+def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-applied JSON parsing: ONE from_json(schema) per row into a
+    typed struct, fields accessed natively, then re-serialized with
+    to_json — the structured counterpart to q_json_funcs' per-path
+    get_json_object (which re-parses the string for every path).
+
+    At 100 TB the difference compounds per extracted field: from_json
+    parses once into an UnsafeRow struct (columnar-friendly, codegen
+    field access), while N get_json_object calls are N text scans of
+    the same payload. The to_json rebuild also pins the writer surface
+    (struct → canonical JSON text) against the oracle's string
+    construction.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select("event_id", F.from_json("props", "k int").alias("parsed"))
+        .select(
+            "event_id",
+            F.col("parsed.k").alias("k"),
+            F.col("parsed.k").isNotNull().alias("parsed_ok"),
+            F.to_json("parsed").alias("rebuilt"),
+        )
+    )

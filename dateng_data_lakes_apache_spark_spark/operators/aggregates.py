@@ -363,3 +363,87 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("modal_count"),
         )
     )
+
+
+@query(
+    "q_agg_boolean",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           COUNT(*) FILTER (WHERE l_tax = 0) AS n_tax_free,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate pack: bool_and / bool_or / count_if per group —
+    the data-quality assertion aggregates (is EVERY row valid? does ANY
+    row violate?) in one scan with map-side partial aggregation.
+
+    All three reduce to tiny associative state (one bool / one long per
+    group), so a 100 TB scan ships three words per group per partition —
+    the cheapest full-table validation shape there is.
+    """
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    return l.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q_incremental_agg",
+    # The oracle recomputes from scratch over ALL events; the Spark side
+    # merges two independently-aggregated partial states — equality IS
+    # the merge-algebra proof.
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: yesterday's materialized
+    partial state merged with today's delta instead of recomputing from
+    scratch — the lakehouse pattern that turns a daily 100 TB re-scan
+    into a scan of the new partition only.
+
+    Both halves aggregate to the SAME partial-state schema (count,
+    decimal sum, min, max — all associative), then merge by a second
+    groupBy over the union: counts and sums add, min/max fold. The
+    oracle recomputes over the full table, so a hash match proves the
+    merge algebra is lossless. (AVG intentionally absent from state —
+    it is derived sum/count at read time; storing it would break
+    mergeability.)
+    """
+    e = table(spark, sf_dir, "events")
+    cutoff = "2024-01-25"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    old_state = partial(e.where(F.col("ts") < cutoff))   # the stored snapshot
+    delta = partial(e.where(F.col("ts") >= cutoff))      # today's new data
+    return (
+        old_state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )

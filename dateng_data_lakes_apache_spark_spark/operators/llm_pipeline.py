@@ -581,3 +581,132 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "q_chunk_documents",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             unnest(range(0, greatest(len(ws), 1), 40)) AS start
+      FROM words
+    )
+    SELECT doc_id, CAST(start / 40 AS INT) AS chunk_idx,
+           CAST(least(50, n - start) AS INT) AS chunk_tokens,
+           array_to_string(list_slice(ws, start + 1, start + 50), ' ') AS chunk_text
+    FROM starts
+    WHERE start < n
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token chunks, stride 40 →
+    10-token overlap): the retrieval/embedding prep step that turns
+    variable-length docs into bounded passages without losing
+    cross-boundary context.
+
+    Pure column expressions: tokenize once, generate chunk starts with
+    sequence(), slice per start — rows fan out ~n_tokens/40× with ZERO
+    shuffle (map-only), so at 100 TB this runs at scan speed and the
+    chunk table can be written partition-aligned with its source. The
+    overlap means downstream dedup must key on (doc_id, chunk_idx),
+    never chunk text — adjacent chunks share 10 tokens by design.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda w: w != "").alias("ws")
+    )
+    n = F.size("ws")
+    starts = words.select(
+        "doc_id",
+        "ws",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(40))).alias(
+            "start"
+        ),
+    ).where(F.col("start") < F.col("n"))
+    return starts.select(
+        "doc_id",
+        (F.col("start") / 40).cast("int").alias("chunk_idx"),
+        F.least(F.lit(50), F.col("n") - F.col("start")).cast("int").alias("chunk_tokens"),
+        F.array_join(F.slice("ws", F.col("start") + 1, 50), " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "q_sample_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), weights AS (
+      SELECT source, n_docs, SQRT(CAST(n_docs AS DOUBLE)) AS w,
+             SUM(SQRT(CAST(n_docs AS DOUBLE))) OVER () AS w_total,
+             SUM(n_docs) OVER () AS n_total
+      FROM counts
+    ), rates AS (
+      SELECT source, n_docs,
+             CAST(LEAST(FLOOR((0.3 * n_total * w / w_total) / n_docs * 10000),
+                        10000) AS BIGINT) AS threshold
+      FROM weights
+    )
+    SELECT d.source, MAX(r.threshold) AS threshold,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE
+             CAST((instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)),1,1))-1)*4096
+                + (instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)),2,1))-1)*256
+                + (instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)),3,1))-1)*16
+                + (instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)),4,1))-1) AS BIGINT)
+               % 10000 < r.threshold) AS n_kept
+    FROM documents d JOIN rates r USING (source)
+    GROUP BY d.source
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (α = 0.5): per-source sample
+    rates ∝ count^α — upweight small domains, damp the head — targeting
+    30% of the corpus overall; then the deterministic md5-bucket sampler
+    applies each rate. This is the mixture-rebalancing step training
+    runs apply between dedup and sharding (cf. multilingual sampling in
+    public LM pipelines).
+
+    Two-pass shape that scales: pass 1 collapses to one row per source
+    (broadcastable); pass 2 is the map-only hash sampler joined against
+    that tiny rate table. Thresholds are integer basis points computed
+    with exact-rounded IEEE ops (sqrt/div/floor), so both engines pick
+    identical cutoffs; selection is a pure row function, reproducible
+    at any layout or cluster size (q_sample_stratified's rationale).
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.sqrt(F.col("n_docs").cast("double"))
+    weights = counts.select(
+        "source",
+        "n_docs",
+        w.alias("w"),
+        F.sum(w).over(Window.partitionBy()).alias("w_total"),
+        F.sum("n_docs").over(Window.partitionBy()).alias("n_total"),
+    )
+    rates = weights.select(
+        "source",
+        F.least(
+            F.floor((0.3 * F.col("n_total") * F.col("w") / F.col("w_total"))
+                    / F.col("n_docs") * 10000),
+            F.lit(10000).cast("bigint"),
+        ).alias("threshold"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.max("threshold").alias("threshold"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(bucket < F.col("threshold")).alias("n_kept"),
+        )
+    )

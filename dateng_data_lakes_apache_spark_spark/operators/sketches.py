@@ -101,3 +101,82 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile(F.col("value"), F.lit(0.9), F.lit(10000)).alias("p90"),
         F.approx_percentile(F.col("value"), F.lit(0.99), F.lit(10000)).alias("p99"),
     )
+
+
+@query("q_sketch_hll_merge")  # rows-only: DataSketches HLL has no DuckDB twin
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed HLL sketch algebra (Apache DataSketches, built into
+    Spark): per-nation customer sketches built with hll_sketch_agg,
+    MERGED up to region level with hll_union_agg, then estimated — next
+    to the exact count for the error to be visible.
+
+    This is the mergeability contract count-distinct needs at 100 TB:
+    per-partition/per-group sketches are fixed-size binaries that union
+    associatively, so rollups reuse child sketches instead of re-scanning
+    raw keys (approx_count_distinct alone can't expose the intermediate).
+    Estimates are deterministic for fixed input and lgK, so the driver's
+    rows-only check is stable; the ≤2% error bound vs exact is asserted
+    in tests/test_sketches.py.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(
+            F.expr("hll_sketch_agg(c_custkey, 12)").alias("sketch"),
+            F.countDistinct("c_custkey").alias("exact_nation"),
+        )
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(
+            F.expr("CAST(hll_sketch_estimate(hll_union_agg(sketch, false)) AS BIGINT)").alias(
+                "est_customers"
+            ),
+            F.sum("exact_nation").alias("exact_customers"),
+        )
+        .select("n_regionkey", "est_customers", "exact_customers")
+    )
+
+
+@query(
+    "q_approx_top_k",
+    # Oracle-able because maxItemsTracked (65536) exceeds the corpus
+    # vocabulary, making the frequent-items sketch EXACT — the documented
+    # regime where approx_top_k degrades gracefully to true top-k. The
+    # oracle's tiebreak must then only match the k-boundary, handled by
+    # re-sorting on (count DESC, word) on both sides.
+    oracle="""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT w AS word, CAST(c AS BIGINT) AS n FROM (
+      SELECT w, COUNT(*) AS c FROM words GROUP BY w
+      ORDER BY c DESC, w LIMIT 5
+    ) ORDER BY n DESC, word
+    """,
+)
+def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via approx_top_k (DataSketches frequent-items):
+    top-5 corpus words from a single mergeable sketch aggregate — the
+    sublinear-state alternative to q_explode_wordcount's full groupBy
+    when only the head of the distribution matters.
+
+    Sized into the exact regime (maxItemsTracked 65536 > vocabulary) so
+    the oracle can hash-match true counts; at 100 TB vocabulary the same
+    call with default sizing returns approximate counts with the same
+    fixed state — the operator's scale story is the sketch's, not the
+    query's. Ties inside the top-5 are re-sorted (count DESC, word) on
+    both sides for determinism.
+    """
+    words = table(spark, sf_dir, "documents").select(
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("w")
+    )
+    topk = words.agg(F.expr("approx_top_k(w, 5, 65536)").alias("tk"))
+    return (
+        topk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("word"), F.col("e.count").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+    )

@@ -81,12 +81,16 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the top-k-per-group shape expressed as correlated iteration
     instead of a window.
 
-    Catalyst decorrelates the lateral into a join + per-group limit
-    (same physical family as q_window_topk_per_group's WindowGroupLimit)
-    rather than re-running the subquery 25 times — which is the whole
-    point: LATERAL is sugar the optimizer must flatten, and the oracle
-    plus the deterministic c_custkey tiebreak proves the flattening
-    preserved per-group semantics.
+    Catalyst decorrelates the lateral into a window row_number ≤ 2 over
+    a hash join rather than re-running the subquery 25 times — LATERAL
+    is sugar the optimizer must flatten, and the oracle plus the
+    deterministic c_custkey tiebreak proves the flattening preserved
+    per-group semantics. Plan caveat, observed: the rewrite keeps the
+    subquery's ORDER BY as an extra range-partitioned sort below the
+    window exchange (Spark 4.1), so the hand-written window form
+    (q_window_topk_per_group, which plans WindowGroupLimit and no
+    global sort) remains the 100 TB-preferred spelling; this query is
+    the SQL-surface twin, not the scale path.
     """
     register_views(spark, sf_dir)
     return spark.sql(

@@ -80,15 +80,25 @@ def _run_to_memory(
 
     sink = f"{name}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(_SCRATCH, "checkpoints", sink)
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = stream_df.sparkSession
+    # State-store partition count bakes in from spark.sql.shuffle.partitions
+    # at the FIRST batch, and every micro-batch then pays a per-partition
+    # per-store commit (delta file + fsync). For the bounded replay harness
+    # that fixed cost dominates wall time (measured 4× on the stream-stream
+    # outer join), so pin a small state partition count for the stream's
+    # lifetime and restore after. On a real cluster this knob is sized to
+    # executor count × state volume — it is per-deployment either way.
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         if stop_on_idle:
             deadline = time.monotonic() + 300
             while q.isActive and time.monotonic() < deadline:
@@ -98,6 +108,9 @@ def _run_to_memory(
                 time.sleep(0.2)
         q.awaitTermination()
     finally:
+        # Restore only after termination: micro-batches plan lazily, so an
+        # earlier restore would race the first batch back to the big value.
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(sink)
 

@@ -71,3 +71,14 @@ def test_approx_quantile_tracks_exact(spark, sf_dir):
         assert abs(a50 - e50) <= 0.02 * spread_
         assert abs(a90 - e90) <= 0.02 * spread_
         assert abs(a99 - e99) <= 0.02 * spread_
+
+
+def test_hll_merge_estimate_within_bound(spark, sf_dir):
+    """Merged region-level HLL estimates must stay within the lgK=12
+    relative-error envelope (~1.6% σ; assert 3σ) of the exact count —
+    and the union of child sketches must not lose cardinality."""
+    rows = QS["q_sketch_hll_merge"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        err = abs(r.est_customers - r.exact_customers) / max(r.exact_customers, 1)
+        assert err < 0.05, (r.n_regionkey, r.est_customers, r.exact_customers)
