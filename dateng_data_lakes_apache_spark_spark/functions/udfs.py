@@ -115,3 +115,54 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_group_stats, schema=_GROUP_SCHEMA)
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_udtf_segments",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents WHERE doc_id % 10 = 0
+    ), starts AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             unnest(range(0, greatest(len(ws), 1), 20)) AS start
+      FROM words
+    )
+    SELECT doc_id, CAST(start / 20 AS INT) AS seg_idx,
+           CAST(least(20, n - start) AS INT) AS seg_tokens,
+           array_to_string(list_slice(ws, start + 1, start + 20), ' ') AS seg_text
+    FROM starts WHERE start < n
+    """,
+)
+def q_udtf_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function): one→many row
+    expansion written as a Python class, applied per row with LATERAL —
+    a 20-token segmenter over a doc subset, oracle-matched exactly.
+
+    This registers the API surface, with its cost stated plainly: UDTFs
+    run row-at-a-time Python (no Arrow batching in the non-vectorized
+    form), so the HOF chunker (q_chunk_documents — same semantics, pure
+    column expressions) is the 100 TB path; the UDTF slot is for logic
+    that genuinely cannot be expressed as expressions (external parsers,
+    stateful per-row generators). The doc_id filter keeps the Python
+    row count bounded in the harness.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seg_idx int, seg_tokens int, seg_text string")
+    class Segments:
+        def eval(self, text: str):
+            words = [w for w in (text or "").split(" ") if w]
+            for i in range(0, max(len(words), 1), 20):
+                seg = words[i : i + 20]
+                if seg:
+                    yield (i // 20, len(seg), " ".join(seg))
+
+    spark.udtf.register("segments", Segments)
+    table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT doc_id, s.seg_idx, s.seg_tokens, s.seg_text "
+        "FROM docs_for_udtf, LATERAL segments(text) s"
+    )

@@ -838,3 +838,72 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     return _run_to_memory(out, "tws", "append")
+
+
+def _stage_events_duplicated(spark: SparkSession, sf_dir: str) -> str:
+    """The ordered 4-batch staging with every file replayed TWICE
+    (b0, b0-dup, b1, b1-dup, ... by mtime): each row arrives exactly two
+    micro-batches in a row — planted duplicates for within-watermark
+    dedup, close enough in event time that the key's state is always
+    still alive when the duplicate shows up."""
+    base = _stage_events_ordered(spark, sf_dir)
+    import glob
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    dup_dir = os.path.join(_SCRATCH, "stream_src_duplicated", tag)
+    marker = os.path.join(dup_dir, "_STAGED")
+    if os.path.exists(marker):
+        return dup_dir
+    shutil.rmtree(dup_dir, ignore_errors=True)
+    os.makedirs(dup_dir, exist_ok=True)
+    for k, src in enumerate(sorted(glob.glob(os.path.join(base, "batch-*.parquet")))):
+        for j, suffix in enumerate(("a", "b")):
+            dst = os.path.join(dup_dir, f"replay-{k:02d}{suffix}.parquet")
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copyfile(src, dst)
+            os.utime(dst, (1_710_000_000 + 2 * k + j,) * 2)
+    open(marker, "w").close()
+    return dup_dir
+
+
+@query(
+    "q_stream_dedup_watermark",
+    # Every event arrives exactly twice (consecutive batches). The
+    # duplicate is eliminated either by dedup state (key still live) or
+    # by the late-row drop (ts already behind the watermark) — both are
+    # the operator working as designed — so the appended output is
+    # exactly the distinct purchases.
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production streaming dedup: ``dropDuplicatesWithinWatermark`` over
+    a replay where EVERY row arrives twice in consecutive micro-batches.
+
+    Unlike plain dropDuplicates (q_stream_dedup), whose per-key state
+    lives forever, the WithinWatermark variant evicts each key once the
+    watermark passes it — state is bounded by (watermark horizon ×
+    arrival rate) instead of total distinct keys, which is the ONLY
+    viable dedup contract on an unbounded 100 TB/day stream where
+    duplicates arrive near their originals (at-least-once sources,
+    retried producers). Append mode emits first occurrences exactly
+    once; the oracle is the distinct-row set.
+    """
+    stage = _stage_events_duplicated(spark, sf_dir)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        normalize_nanos_ts(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    dedup = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    result = _run_to_memory(dedup, "dedup_wm", "append")
+    return result.select("event_id", "user_id", "event_type")

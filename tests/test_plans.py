@@ -287,3 +287,10 @@ def test_null_safe_join_is_hash_not_nested_loop(spark, sf_dir):
         + _nodes(plan, "BroadcastHashJoin")
         >= 1
     )
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    """Chunking claims scan-speed fan-out: the plan must contain no
+    Exchange — tokenize, generate starts, slice are all per-row."""
+    plan = formatted_plan(QS["q_chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan
