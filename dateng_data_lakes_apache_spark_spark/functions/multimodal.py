@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -539,3 +540,120 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = d.select("doc_id").mapInPandas(stage, schema=stage_schema)
     return staged.mapInPandas(probe, schema=_AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real pixel work: patterned BMPs → decode → nearest-neighbor resize.
+# --------------------------------------------------------------------------
+
+
+def bmp_pattern_bytes(w: int, h: int, doc_id: int) -> bytes:
+    """Valid 24-bpp BMP whose pixel at image coords (x, y from top) has
+    all three channels equal to ``(doc_id*31 + x*7 + y*13) % 256`` — a
+    deterministic nonzero pattern an independent SQL oracle can predict.
+    Rows are stored bottom-up with 4-byte padding, per the format."""
+    row_stride = (w * 3 + 3) & ~3
+    pix = bytearray(row_stride * h)
+    for r in range(h):  # file row r = image row y = h-1-r (bottom-up)
+        y = h - 1 - r
+        base = r * row_stride
+        for x in range(w):
+            v = (doc_id * 31 + x * 7 + y * 13) % 256
+            off = base + 3 * x
+            pix[off] = pix[off + 1] = pix[off + 2] = v
+    file_header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return file_header + info + bytes(pix)
+
+
+def resize_nn_checksum(payload: bytes, target: int = 8) -> tuple[int, int, int, float]:
+    """Decode a 24-bpp BMP's REAL pixel array and nearest-neighbor
+    resize to target×target: (width, height, checksum, mean_intensity).
+
+    The resize is the genuine kernel — numpy gather at source indices
+    floor(i*dim/target) over the decoded (height, width) plane — not a
+    header-only shortcut; checksum sums the resized single-channel plane
+    (the pattern writes equal channels)."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    w, h = struct.unpack("<ii", payload[18:26])
+    h = abs(h)
+    row_stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_stride * h, offset=data_off)
+    plane = raw.reshape(h, row_stride)[::-1, : w * 3 : 3]  # top-down, one channel
+    sx = (np.arange(target) * w) // target
+    sy = (np.arange(target) * h) // target
+    resized = plane[np.ix_(sy, sx)].astype(np.int64)
+    total = int(resized.sum())
+    return (w, h, total, total / float(target * target))
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("checksum8", LongType()),
+        StructField("mean_intensity", DoubleType()),
+    ]
+)
+
+
+@query(
+    "q_multimodal_resize",
+    # The oracle predicts the resized checksum from the STAGING RULE
+    # alone (dims and pixel pattern are pure functions of doc_id), so a
+    # decode-or-resize bug on the Spark side cannot cancel out: the SQL
+    # side never touches bytes.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             16 + doc_id % 48 AS w,
+             16 + (doc_id * 7) % 48 AS h
+      FROM documents WHERE doc_id % 4 = 0
+    ), g AS (SELECT unnest(range(0, 8)) AS i)
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(SUM((d.doc_id * 31 + ((gx.i * d.w) // 8) * 7
+                + ((gy.i * d.h) // 8) * 13) % 256) AS BIGINT) AS checksum8,
+           SUM((d.doc_id * 31 + ((gx.i * d.w) // 8) * 7
+                + ((gy.i * d.h) // 8) * 13) % 256) / 64.0 AS mean_intensity
+    FROM d, g gx, g gy
+    GROUP BY d.doc_id, d.w, d.h
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize as a REAL pixel kernel: stage patterned 24-bpp BMPs
+    (deterministic nonzero pixels), decode the actual pixel array, and
+    nearest-neighbor resize to 8×8 in numpy over Arrow batches —
+    completing the brief's decode / feature-extract / resize /
+    frame-sample multimodal quartet with no stubbed step.
+
+    mapInPandas end to end: construction and resize both run batched in
+    the executors; per-doc output is 5 scalars, so the shuffle-free plan
+    reads (doc subset) → generate bytes → decode+resize → project. At
+    100 TB the payloads would come off the lake instead of the staging
+    kernel and the plan is unchanged — partition-local CPU, zero
+    exchange. The checksum doubles as the feature-extraction slot (mean
+    intensity of the thumbnail)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = _dims_for(did)
+                payload = bmp_pattern_bytes(w, h, did)
+                rw, rh, total, mean = resize_nn_checksum(payload)
+                rows.append((did, rw, rh, total, mean))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "checksum8", "mean_intensity"],
+            )
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    return d.select("doc_id").mapInPandas(kernel, schema=_RESIZE_SCHEMA)

@@ -508,3 +508,135 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "token_entropy")
     )
+
+
+@query(
+    "q_bm25",
+    # BM25 (k1=1.2, b=0.75) for a fixed 3-term query; same ln/round-4
+    # determinism discipline as q_tfidf/q_lm_score. Top-10 docs with
+    # doc_id tiebreak.
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM w WHERE word <> '' GROUP BY doc_id, word
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dlen FROM tf GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dlen) AS avgdl FROM dl),
+    dfreq AS (
+      SELECT word, COUNT(*) AS df FROM tf
+      WHERE word IN ('data', 'model', 'training') GROUP BY word
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(
+               LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * d.dlen / s.avgdl))
+             ) AS score
+      FROM tf t
+      JOIN dfreq f USING (word)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking for a fixed keyword query ('data model training'):
+    the lexical-retrieval scorer (Robertson-Spärck Jones) that pairs
+    with the ANN queries as the sparse half of hybrid search.
+
+    Scale shape: term frequencies collapse per (doc, word) with map-side
+    combine; document-frequency and corpus stats are TINY aggregates
+    (broadcastable); the scoring join touches only postings of the
+    query's terms — at 100 TB that is |query terms| × posting lists,
+    never the full corpus, because the df join IS the posting-list
+    filter. Top-10 plans as TakeOrderedAndProject.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    dfreq = (
+        tf.where(F.col("word").isin("data", "model", "training"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    k1, b = 1.2, 0.75
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_sat).alias("score"))
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_ngram_counts",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w WHERE len(ws) >= 2
+    )
+    SELECT bigram, CAST(c AS BIGINT) AS n FROM (
+      SELECT bigram, COUNT(*) AS c FROM bigrams GROUP BY bigram
+      ORDER BY c DESC, bigram LIMIT 20
+    ) ORDER BY n DESC, bigram
+    """,
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics (top-20): the n-gram counting pass under
+    LM training prep, KenLM-style filtering, and the decontamination
+    shingle vocabularies.
+
+    The bigram generator is a pure HOF (transform over an index
+    sequence zipping each word with its successor) — the wide per-doc
+    fan-out happens map-side and collapses immediately into the
+    (bigram, count) partial aggregate, so the shuffle carries the
+    distinct-bigram table, not the corpus. Same fan-in profile as
+    q_explode_wordcount, squared vocabulary notwithstanding; top-20 is
+    TakeOrderedAndProject.
+    """
+    d = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    bigrams = (
+        d.select(ws.alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.concat_ws(" ", F.element_at("ws", i + 1), F.element_at("ws", i + 2)),
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
