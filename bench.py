@@ -52,6 +52,9 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_resolve",
+    "q_dedup_lines",
+    "q_dedup_sorted_neighborhood",
+    "q_join_dpp",
     "q_doc_fingerprint",
     "q_vector_norm",
     "q_similarity_topk",

@@ -11,7 +11,7 @@ The core training-data-pipeline family. Design rules for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -353,4 +353,188 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 4).alias("jaccard"),
         )
         .where(jac >= 0.2)
+    )
+
+
+# Segment ("line") length for cross-document span removal. 5 words is the
+# smallest span that is unlikely to collide by topical chance in real prose
+# while still catching boilerplate; on this corpus it yields real removals
+# at every SF (the q_span_dedup analysis uses 8-word spans — that operator
+# COUNTS duplication; this one REWRITES the corpus).
+_LINE = 5
+
+
+@query(
+    "q_dedup_lines",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, CAST(t.k AS BIGINT) AS seg_idx,
+             array_to_string(
+               words[(CAST(t.k AS BIGINT)*{_LINE}+1):(CAST(t.k AS BIGINT)*{_LINE}+{_LINE})],
+               ' ') AS seg
+      FROM w, range(0, 100000) t(k)
+      WHERE t.k < greatest(CAST(ceil(len(words) / {_LINE}.0) AS BIGINT), 1)
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_segs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           md5(COALESCE(
+             string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx),
+             '')) AS clean_md5
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup WITH corpus rewrite: split every
+    document into fixed ``_LINE``-word segments (this corpus has no
+    newlines), keep only each segment's globally-first occurrence
+    (ordered by (doc_id, seg_idx) — deterministic, not "first seen"),
+    and reassemble the cleaned text per document. Returns
+    (doc_id, n_segs, n_kept, clean_md5) — the md5 proves the rewrite
+    byte-exactly against the oracle.
+
+    Scale shape: two hash shuffles, both on bounded keys — (1) segment
+    text to rank occurrences (a window over PARTITION BY seg; bucket
+    sizes are duplication counts, not corpus size), (2) doc_id to
+    reassemble. Segment payloads must move for reassembly anyway, so
+    there is no hash-only shortcut here; at 100 TB both exchanges are
+    straight hash repartitions with no skew beyond true duplication
+    hot-spots (a segment duplicated millions of times lands in one
+    rank bucket — mitigate by first dropping segments whose hash-count
+    exceeds a cap via a q_span_dedup-style pre-pass).
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    n_segs = F.greatest(F.ceil(F.size(words) / _LINE), F.lit(1)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda k: F.concat_ws(" ", F.slice(words, k * _LINE + 1, _LINE)),
+    )
+    exploded = d.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
+    ).select("doc_id", F.col("seg_idx").cast("bigint").alias("seg_idx"), "seg")
+    win = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(win))
+    kept_structs = F.sort_array(
+        F.collect_list(F.when(F.col("rn") == 1, F.struct("seg_idx", "seg")))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_segs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("int").alias("n_kept"),
+        F.md5(
+            F.array_join(F.transform(kept_structs, lambda x: x["seg"]), " ")
+        ).alias("clean_md5"),
+    )
+
+
+@query(
+    "q_dedup_sorted_neighborhood",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 1) + 1),
+               i -> array_to_string(words[i:i+2], ' ')
+             )) AS shingles,
+             list_sort(list_distinct(words)) AS ws
+      FROM w
+    ),
+    keyed AS (
+      SELECT doc_id, shingles,
+             array_to_string(ws, ' ') AS sortkey, ws[1] AS block
+      FROM sh
+    ),
+    nbr AS (
+      SELECT doc_id, shingles, block,
+             LEAD(doc_id, 1) OVER win AS n1_id, LEAD(shingles, 1) OVER win AS n1_sh,
+             LEAD(doc_id, 2) OVER win AS n2_id, LEAD(shingles, 2) OVER win AS n2_sh
+      FROM keyed
+      WINDOW win AS (PARTITION BY block ORDER BY sortkey, doc_id)
+    ),
+    pairs AS (
+      SELECT doc_id AS doc_a, n1_id AS doc_b,
+             CAST(len(list_intersect(shingles, n1_sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(shingles, n1_sh))) AS jac
+      FROM nbr WHERE n1_id IS NOT NULL
+      UNION ALL
+      SELECT doc_id AS doc_a, n2_id AS doc_b,
+             CAST(len(list_intersect(shingles, n2_sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(shingles, n2_sh))) AS jac
+      FROM nbr WHERE n2_id IS NOT NULL
+    )
+    SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+    FROM pairs WHERE jac >= 0.5
+    """,
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection (Hernández & Stolfo 1995):
+    the third candidate-generation strategy next to MinHash-LSH and
+    SimHash blocks. Sort key = the document's sorted distinct
+    vocabulary; docs are compared only against their next 2 neighbors
+    in key order, then verified by exact 3-shingle Jaccard (same
+    verify metric as q_dedup_ngram_jaccard) at ≥ 0.5.
+
+    Scale shape: NO global sort — the neighborhood window is
+    PARTITION BY block (the doc's minimum word) ORDER BY sortkey, so
+    the sort is per-block within hash partitions, exactly like any
+    grouped window. Candidate count is ≤ 2 rows per document by
+    construction (vs LSH's collision-bound buckets) — the cheapest of
+    the three strategies, at the cost of missing near-dups whose edit
+    changes the block word; production runs do multiple passes with
+    rotated keys, each pass this same plan.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    sh = d.select(
+        "doc_id",
+        _word_shingles(F.col("text"), k=3).alias("shingles"),
+        F.array_sort(F.array_distinct(words)).alias("ws"),
+    )
+    keyed = sh.select(
+        "doc_id",
+        "shingles",
+        F.array_join("ws", " ").alias("sortkey"),
+        F.element_at("ws", 1).alias("block"),
+    )
+    win = Window.partitionBy("block").orderBy("sortkey", "doc_id")
+    nbr = keyed.select(
+        "doc_id",
+        "shingles",
+        F.lead("doc_id", 1).over(win).alias("n1_id"),
+        F.lead("shingles", 1).over(win).alias("n1_sh"),
+        F.lead("doc_id", 2).over(win).alias("n2_id"),
+        F.lead("shingles", 2).over(win).alias("n2_sh"),
+    )
+
+    def _pair(id_col: str, sh_col: str) -> DataFrame:
+        jac = F.size(F.array_intersect("shingles", sh_col)).cast("double") / F.size(
+            F.array_union("shingles", sh_col)
+        )
+        return (
+            nbr.where(F.col(id_col).isNotNull())
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+                jac.alias("jac"),
+            )
+        )
+
+    pairs = _pair("n1_id", "n1_sh").unionAll(_pair("n2_id", "n2_sh"))
+    return pairs.where(F.col("jac") >= 0.5).select(
+        "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
     )

@@ -507,3 +507,53 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("s_acctbal")).alias("sum_acctbal"),
         F.max("s_name").alias("max_name"),
     )
+
+
+@query(
+    "q_join_dpp",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE CAST(string_split(o_orderpriority, '-')[1] AS INT) <= 2
+    GROUP BY o_orderstatus
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is hive-partitioned on
+    o_orderpriority (same staging as q_partitioned_pruned), and the
+    partition filter arrives only at RUNTIME — through a join against a
+    dim whose predicate (urgency rank ≤ 2, parsed out of the priority
+    string) is not statically pushable to the fact scan. Catalyst
+    injects a dynamicpruningexpression subquery into the fact scan's
+    PartitionFilters (plan-asserted in tests/test_plans.py), reusing
+    the dim's broadcast exchange, so the fact scan opens only the 2
+    matching partitions out of 5.
+
+    This is THE mechanism behind star-schema economics at 100 TB: a
+    date-dim predicate ("last quarter") prunes a date-partitioned fact
+    to 1/12 of its files with zero static filter on the fact — without
+    DPP the scan reads everything and the join discards 11/12 of it.
+    The dim here derives from the fact's own partition column (a
+    partition-listing-sized scan), standing in for a real dimension
+    table; the oracle proves runtime pruning lost no rows.
+    """
+    path = _stage_dir(sf_dir, "orders_part")
+    if not _staged(path):
+        write_parquet(
+            table(spark, sf_dir, "orders"), path, partition_by=["o_orderpriority"]
+        )
+    fact = read_parquet(spark, path)
+    dim = (
+        fact.select(F.col("o_orderpriority").alias("p_priority"))
+        .distinct()
+        .where(F.split("p_priority", "-").getItem(0).cast("int") <= 2)
+    )
+    joined = fact.join(
+        F.broadcast(dim), fact.o_orderpriority == dim.p_priority
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )

@@ -148,3 +148,54 @@ def test_simhash_hamming_separation(spark, planted, sf_dir, monkeypatch):
 
     assert hamming(by_id[0], by_id[2]) <= 12
     assert hamming(by_id[0], by_id[3]) >= 20
+
+
+def test_dedup_lines_first_occurrence_rewrite(spark, sf_dir, monkeypatch):
+    # doc 1 repeats doc 0's first segment; only the first occurrence stays.
+    from dateng_data_lakes_apache_spark_spark.operators import dedup as dd
+
+    seg_a = "alpha beta gamma delta epsilon"          # one 5-word segment
+    seg_b = "zeta eta theta iota kappa"
+    seg_c = "lambda mu nu xi omicron"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{seg_a} {seg_b}"),   # both segments first occurrences
+            (1, f"{seg_a} {seg_c}"),   # seg_a is a cross-doc dup → dropped
+            (2, seg_a),                # fully duplicated doc → nothing kept
+        ],
+        ["doc_id", "text"],
+    )
+    monkeypatch.setattr(dd, "table", lambda _s, _d, _n: docs)
+    rows = dd.q_dedup_lines.__wrapped__(spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert (by_id[0].n_segs, by_id[0].n_kept) == (2, 2)
+    assert (by_id[1].n_segs, by_id[1].n_kept) == (2, 1)
+    assert (by_id[2].n_segs, by_id[2].n_kept) == (1, 0)
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert by_id[0].clean_md5 == md5(f"{seg_a} {seg_b}")
+    assert by_id[1].clean_md5 == md5(seg_c)      # dup segment excised
+    assert by_id[2].clean_md5 == md5("")         # everything removed
+
+
+def test_sorted_neighborhood_finds_planted_near_dup(spark, sf_dir, monkeypatch):
+    from dateng_data_lakes_apache_spark_spark.operators import dedup as dd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base.replace("lazy", "sleepy")),  # near-dup, same min word
+            (2, "unrelated text about columnar storage engines and arrow"),
+        ],
+        ["doc_id", "text"],
+    )
+    monkeypatch.setattr(dd, "table", lambda _s, _d, _n: docs)
+    rows = dd.q_dedup_sorted_neighborhood.__wrapped__(spark, sf_dir).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    assert (0, 1) in pairs or (1, 0) in pairs
+    assert all({a, b} != {0, 2} and {a, b} != {1, 2} for a, b in pairs)

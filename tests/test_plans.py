@@ -294,3 +294,12 @@ def test_chunk_documents_is_map_only(spark, sf_dir):
     Exchange — tokenize, generate starts, slice are all per-row."""
     plan = formatted_plan(QS["q_chunk_documents"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    # The partition filter exists only at runtime (via the dim join), so the
+    # fact scan must carry a dynamicpruningexpression — without it a 100 TB
+    # partitioned fact is read in full and filtered after the fact.
+    plan = formatted_plan(QS["q_join_dpp"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
