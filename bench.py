@@ -55,6 +55,8 @@ HEADLINE = [
     "q_dedup_lines",
     "q_dedup_sorted_neighborhood",
     "q_join_dpp",
+    "q_join_bloom",
+    "q_bpe_train",
     "q_doc_fingerprint",
     "q_vector_norm",
     "q_similarity_topk",

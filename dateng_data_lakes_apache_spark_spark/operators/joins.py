@@ -420,3 +420,47 @@ def q_join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_join_bloom",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {o_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the row-level sibling of
+    dynamic partition pruning (q_join_dpp): a selective dim-side filter
+    that can't prune the fact statically gets turned into a
+    bloom_filter_agg on the dim and a might_contain predicate pushed
+    into the fact scan, discarding ~80% of fact rows BEFORE the join
+    shuffle instead of after it.
+
+    Spark injects this automatically (spark.sql.optimizer.runtime.
+    bloomFilter.enabled is on by default) once the fact scan exceeds
+    the 10 GiB application-side threshold and the filtered dim is too
+    big to broadcast — i.e. exactly the 100 TB regime; at test scale
+    the plan legitimately simplifies to a broadcast join. The
+    injection is demonstrated with production thresholds lowered in
+    tests/test_plans.py::test_bloom_filter_injection; this oracle
+    proves the query's result is plan-invariant.
+    """
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )

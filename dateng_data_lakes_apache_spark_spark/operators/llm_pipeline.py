@@ -710,3 +710,79 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(bucket < F.col("threshold")).alias("n_kept"),
         )
     )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 10, text_col: str = "text") -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016) as DataFrame
+    ops: returns the learned merge table (rank, left, right, merged,
+    pair_count) — the model artifact a tokenizer ships.
+
+    Classic BPE iterates over the WORD-FREQUENCY dict, not the corpus:
+    after one corpus-sized aggregation (word → freq), every round costs
+    one pair-count shuffle over the (bounded) vocabulary plus a
+    driver-side top-1 lookup — the same "tiny action per round" shape
+    as :func:`dedup.connected_components`. At 100 TB the corpus scan
+    happens once; vocabulary size, not corpus size, bounds each round.
+
+    Symbols are kept as a ``\\x1f``-joined string; a merge is one
+    regexp_replace with zero-width separator guards — lookbehind/
+    lookahead assertions keep boundary separators unconsumed, so
+    consecutive occurrences ("a a a a" → "aa aa") merge exactly like
+    sequential greedy BPE. Ties break on (count desc, left, right) —
+    fully deterministic.
+    """
+    sep = "\x1f"
+    words = docs.select(
+        F.explode(F.filter(F.split(text_col, " "), lambda w: w != "")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
+    init = F.concat_ws(sep, F.concat(chars, F.array(F.lit("</w>"))))
+    # localCheckpoint: each round's regexp_replace would otherwise stack
+    # into an O(rounds)-deep plan re-run from the scan every round.
+    state = vocab.select("freq", init.alias("s")).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        syms = F.split(F.col("s"), sep)
+        pair_arr = F.when(
+            F.size(syms) > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("left"),
+                    F.element_at(syms, i + 1).alias("right"),
+                ),
+            ),
+        )  # single-symbol words yield NULL → explode drops them
+        top = (
+            state.select("freq", F.explode(pair_arr).alias("p"))
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "left", "right")
+            .first()
+        )
+        if top is None:
+            break
+        left, right, count = top["left"], top["right"], int(top["pair_count"])
+        merges.append((rank, left, right, left + right, count))
+        # \Q...\E literal-quotes the symbols; the (?<=sep)/(?=sep) guards
+        # assert-without-consuming so back-to-back merges both fire.
+        pattern = f"(?<={sep})\\Q{left}\\E{sep}\\Q{right}\\E(?={sep})"
+        merged_s = F.regexp_replace(
+            F.concat(F.lit(sep), F.col("s"), F.lit(sep)), pattern, left + right
+        )
+        new_s = F.regexp_replace(F.regexp_replace(merged_s, f"^{sep}", ""), f"{sep}$", "")
+        state = state.select("freq", new_s.alias("s")).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+@query("q_bpe_train")  # rows-only: iterative merge learning is not SQL-expressible
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus's first 10 BPE merges (see :func:`bpe_train`).
+    Deterministic (count-then-lexicographic tie-break); classic-example
+    semantics unit-tested in tests/test_llm_pipeline.py.
+    """
+    return bpe_train(table(spark, sf_dir, "documents"), n_merges=10)

@@ -303,3 +303,23 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
     plan = formatted_plan(QS["q_join_dpp"](spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_filter_injection(spark, sf_dir):
+    # Production thresholds (10 GiB application-side scan, unbroadcastable
+    # creation side) lowered to local scale: the selective dim filter must
+    # become a bloom_filter_agg + might_contain probe on the fact side.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = formatted_plan(QS["q_join_bloom"](spark, sf_dir))
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
