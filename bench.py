@@ -57,6 +57,8 @@ HEADLINE = [
     "q_join_dpp",
     "q_join_bloom",
     "q_bpe_train",
+    "q_manifest_pruned_scan",
+    "q_stream_merge_upsert",
     "q_doc_fingerprint",
     "q_vector_norm",
     "q_similarity_topk",

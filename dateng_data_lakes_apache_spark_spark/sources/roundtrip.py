@@ -557,3 +557,70 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+@query(
+    "q_manifest_pruned_scan",
+    oracle=f"""
+    SELECT COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS sum_price,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_ck,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_ck
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 199
+    """,
+)
+def q_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-format-style metadata pruning (the Iceberg/Delta core idea
+    in pure Spark): a MANIFEST — one row per data file with that file's
+    per-column min/max — is built once as its own parquet table; query
+    planning then reads the manifest (KB-sized), keeps only files whose
+    [min,max] interval intersects the predicate, and hands the survivor
+    path list to the scan.
+
+    This prunes BEFORE any data file is opened — unlike parquet footer
+    skipping, which still opens every file to read its footer. At 100 TB
+    with ~100k files that's the difference between 100k footer reads and
+    one manifest scan per query; it is why every production lake format
+    keeps file-level stats in table metadata. The driver-side collect is
+    of file PATHS (metadata, bounded by file count), never data rows.
+    The oracle proves pruning lost no rows; the strict-subset property
+    is asserted in tests/test_sources.py::test_manifest_prunes_files.
+    """
+    data_dir = _stage_dir(sf_dir, "orders_clustered")
+    if not _staged(data_dir):
+        o = table(spark, sf_dir, "orders")
+        (
+            o.repartitionByRange(8, "o_custkey")
+            .sortWithinPartitions("o_custkey")
+            .write.mode("overwrite")
+            .parquet(data_dir)
+        )
+    manifest_dir = _stage_dir(sf_dir, "orders_manifest")
+    if not _staged(manifest_dir):
+        (
+            read_parquet(spark, data_dir)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.min("o_custkey").alias("min_ck"),
+                F.max("o_custkey").alias("max_ck"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(manifest_dir)
+        )
+    lo, hi = 100, 199
+    manifest = read_parquet(spark, manifest_dir)
+    files = [
+        r.file
+        for r in manifest.where(
+            (F.col("min_ck") <= hi) & (F.col("max_ck") >= lo)
+        ).collect()
+    ]
+    pruned = spark.read.parquet(*files).where(F.col("o_custkey").between(lo, hi))
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+        F.min("o_custkey").cast("bigint").alias("min_ck"),
+        F.max("o_custkey").cast("bigint").alias("max_ck"),
+    )

@@ -907,3 +907,96 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = _run_to_memory(dedup, "dedup_wm", "append")
     return result.select("event_id", "user_id", "event_type")
+
+
+@query(
+    "q_stream_merge_upsert",
+    # The final snapshot is batch-order-invariant (counts sum; "last" is a
+    # total order on (ts, event_id)), so the batch SQL twin is exact.
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+           {o_ts_str('ts')} AS last_ts,
+           value AS last_value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: foreachBatch MERGE maintaining a per-user
+    latest-state snapshot across a 4-batch replay — the production
+    pattern for "stream into a dimension table" when the sink has no
+    native streaming upsert (JDBC, plain parquet, warehouses).
+
+    Each micro-batch pre-aggregates to one row per touched user (count +
+    argmax-by-(ts, event_id) state), then MERGEs into the snapshot via a
+    full-outer join: counts add, "last" takes the struct-greatest — an
+    associative, commutative merge, so retried batches that re-aggregate
+    the same files converge to the same snapshot (idempotence without
+    sink transactions). Snapshots are versioned directories, written
+    then atomically repointed — readers never see a half-written file
+    set, and the previous version remains for time travel/rollback (the
+    same protocol as q_merge_upsert, lifted to streaming).
+
+    Scale: the MERGE join is user_id-hash-partitioned; per-batch cost is
+    O(touched keys + snapshot size). At 100 TB the snapshot rewrite
+    becomes the bottleneck — production would partition the snapshot and
+    rewrite only partitions containing touched keys (same manifest logic
+    as q_manifest_pruned_scan).
+    """
+    stage = _stage_events_ordered(spark, sf_dir)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = normalize_nanos_ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    snap_base = os.path.join(_SCRATCH, "stream_merge", tag)
+    shutil.rmtree(snap_base, ignore_errors=True)  # deterministic fresh run
+    ckpt = os.path.join(_SCRATCH, "checkpoints", f"merge_{uuid.uuid4().hex[:8]}")
+    state = {"current": None}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upd = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.struct("ts", "event_id", "value")).alias("last"),
+        )
+        if state["current"] is not None:
+            cur = spark.read.parquet(state["current"])
+            u = upd.select(
+                F.col("user_id").alias("u_user_id"),
+                F.col("n_events").alias("u_n"),
+                F.col("last").alias("u_last"),
+            )
+            merged = cur.join(
+                u, cur.user_id == u.u_user_id, "full_outer"
+            ).select(
+                F.coalesce(cur.user_id, u.u_user_id).alias("user_id"),
+                (
+                    F.coalesce(cur.n_events, F.lit(0))
+                    + F.coalesce(u.u_n, F.lit(0))
+                ).alias("n_events"),
+                F.greatest(cur.last, u.u_last).alias("last"),
+            )
+        else:
+            merged = upd
+        version_dir = os.path.join(snap_base, f"v{batch_id:04d}")
+        merged.write.mode("overwrite").parquet(version_dir)
+        state["current"] = version_dir  # repoint only after the full write
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    snap = spark.read.parquet(state["current"])
+    return snap.select(
+        "user_id",
+        "n_events",
+        ts_str(F.col("last.ts")).alias("last_ts"),
+        F.col("last.value").alias("last_value"),
+    )

@@ -216,3 +216,21 @@ def test_python_datasource_plans_real_partitions(spark):
     # deterministic content: idx 0 is the start date, idx 99 the end
     first = df.orderBy("day_idx").first()
     assert str(first.day) == "2000-01-01"
+
+
+def test_manifest_prunes_files(spark, sf_dir):
+    # The manifest must admit a strict subset of the clustered files for a
+    # selective custkey predicate (8 range-disjoint files → 1-2 overlap).
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+    from dateng_data_lakes_apache_spark_spark.sources.roundtrip import (
+        _stage_dir,
+        read_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    get_queries()["q_manifest_pruned_scan"](spark, sf_dir).collect()  # stage
+    manifest = read_parquet(spark, _stage_dir(sf_dir, "orders_manifest"))
+    total = manifest.count()
+    kept = manifest.where((F.col("min_ck") <= 199) & (F.col("max_ck") >= 100)).count()
+    assert total >= 8
+    assert 1 <= kept < total / 2

@@ -302,3 +302,20 @@ def test_outer_join_null_emission_is_strictly_below_watermark(spark, tmp_path):
     )
     # minutes 0..49 emitted; minute 50 == watermark held (strict <)
     assert nulls == list(range(50))
+
+
+def test_stream_merge_upsert_keeps_version_history(spark, sf_dir):
+    import glob
+    import os
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+    from dateng_data_lakes_apache_spark_spark.streaming.stream_queries import _SCRATCH
+
+    get_queries()["q_stream_merge_upsert"](spark, sf_dir).count()
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    versions = sorted(glob.glob(os.path.join(_SCRATCH, "stream_merge", tag, "v*")))
+    # 4-batch replay → one snapshot version per micro-batch, all retained
+    # (the rollback/time-travel property the docstring claims).
+    assert len(versions) >= 2
+    for v in versions:
+        assert os.path.exists(os.path.join(v, "_SUCCESS"))
