@@ -59,6 +59,7 @@ HEADLINE = [
     "q_bpe_train",
     "q_manifest_pruned_scan",
     "q_stream_merge_upsert",
+    "q_hybrid_search",
     "q_doc_fingerprint",
     "q_vector_norm",
     "q_similarity_topk",

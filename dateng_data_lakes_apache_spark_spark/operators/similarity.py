@@ -18,7 +18,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -591,4 +591,142 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", rn)
         .where(F.col("rank") <= 5)
         .select("vec_a", "vec_b", "cosine", "rank")
+    )
+
+
+@query(
+    "q_hybrid_search",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM w WHERE word <> '' GROUP BY doc_id, word
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dlen FROM tf GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dlen) AS avgdl FROM dl),
+    dfreq AS (
+      SELECT word, COUNT(*) AS df FROM tf
+      WHERE word IN ('data', 'model', 'training') GROUP BY word
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(
+               LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * d.dlen / s.avgdl))
+             ) AS score
+      FROM tf t
+      JOIN dfreq f USING (word)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, ROUND(score, 4) AS bm25 FROM scored
+      ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    lexr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+      FROM lex
+    ),
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    den AS (
+      SELECT vec_id,
+             round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+                   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(qe, qe))), 4) AS cosine
+      FROM embeddings, q
+      WHERE vec_id <> 0
+      ORDER BY cosine DESC, vec_id ASC LIMIT 20
+    ),
+    denr AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS vr
+      FROM den
+    )
+    SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id,
+           CAST(COALESCE(l.lr, 0) AS INT) AS lex_rank,
+           CAST(COALESCE(d.vr, 0) AS INT) AS vec_rank,
+           ROUND(COALESCE(1.0 / (60 + l.lr), 0) + COALESCE(1.0 / (60 + d.vr), 0),
+                 6) AS rrf
+    FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.vec_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 + exact-cosine dense top-20,
+    fused by reciprocal-rank fusion (RRF, Cormack et al. 2009:
+    score = Σ 1/(60+rank)) — the standard first-stage ranker in RAG
+    pipelines, composed entirely from this engine's own operators
+    (q_bm25's posting-list-bounded scorer + q_similarity_topk's strict
+    double-fold cosine; doc_id ≡ vec_id links the two tables).
+
+    Scale shape: each retriever narrows to top-k via
+    TakeOrderedAndProject (no global sort); the rank windows then run
+    over ≤k rows — a bounded single partition BY CONSTRUCTION, not an
+    unpartitioned window over data (the q_window_ntile caveat does not
+    apply). The fusion join is k×k at most. Ranks are taken on
+    round-4 scores with id tiebreaks, so they are identical across
+    engines even where double summation order could wiggle the last
+    ulp of the raw scores.
+    """
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+
+    # -- lexical side: BM25 (same formulation as q_bm25) ----------------
+    words = d.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl"))
+    dfreq = (
+        tf.where(F.col("word").isin("data", "model", "training"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    k1, b = 1.2, 0.75
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+    )
+    lex = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_sat).alias("score"))
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+    lex_rank_win = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = lex.select("doc_id", F.row_number().over(lex_rank_win).alias("lr"))
+
+    # -- dense side: exact cosine vs vec_id=0 ---------------------------
+    qv = e.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    den = cosine_topk(e, qv, k=20)
+    vec_rank_win = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    denr = den.select("vec_id", F.row_number().over(vec_rank_win).alias("vr"))
+
+    # -- reciprocal-rank fusion ----------------------------------------
+    fused = lexr.join(denr, lexr.doc_id == denr.vec_id, "full_outer")
+    rrf = F.coalesce(1.0 / (60 + F.col("lr")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("vr")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            F.coalesce(F.col("lr"), F.lit(0)).cast("int").alias("lex_rank"),
+            F.coalesce(F.col("vr"), F.lit(0)).cast("int").alias("vec_rank"),
+            F.round(rrf, 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
     )
