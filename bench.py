@@ -60,6 +60,7 @@ HEADLINE = [
     "q_manifest_pruned_scan",
     "q_stream_merge_upsert",
     "q_hybrid_search",
+    "q_join_skew_aqe",
     "q_doc_fingerprint",
     "q_vector_norm",
     "q_similarity_topk",

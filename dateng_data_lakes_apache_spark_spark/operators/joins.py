@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..common import dsum, o_dsum
+from ..common import dsum, o_dsum, spread
 from ..registry import query
 
 
@@ -462,5 +462,64 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_join_skew_aqe",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM (SELECT CASE WHEN l_orderkey % 20 < 19 THEN 0
+                      ELSE l_orderkey END AS k,
+                 l_returnflag, l_extendedprice, l_discount
+          FROM lineitem) f
+    JOIN range(0, 15001) t(k2) ON f.k = t.k2
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join: the AUTOMATIC answer to the hot-key problem that
+    q_join_salted solves by hand. 95% of fact rows collapse onto one
+    derived key; at scale the matching shuffle partition dwarfs the
+    median and AQE's OptimizeSkewedJoin splits it into advisory-sized
+    chunks at map-output granularity, duplicating the dim partition per
+    chunk — no salting code, no key-space changes.
+
+    Preconditions learned the hard way (and encoded in
+    tests/test_plans.py::test_aqe_splits_skewed_join):
+    - the hot partition must span MULTIPLE map outputs (chunks are made
+      of whole map blocks) — a single-file local scan has one mapper,
+      so ``spread()`` stands in for the many-mapper scan a real lake
+      provides;
+    - the dim side must reach the join as a PLAIN shuffle (a distinct/
+      aggregate between shuffle and join defeats the rule's
+      Sort→ShuffleQueryStage pattern), hence the generated key
+      dictionary here;
+    - splitting must not break downstream distribution: grouping by a
+      NON-join key keeps the rule applicable without
+      forceOptimizeSkewedJoin.
+    At production thresholds (256 MB) this query's sf0.01 shuffle is
+    legitimately not skew-split; the plan test lowers them to local
+    scale and asserts SortMergeJoin(skew=true). The oracle proves the
+    result is split-invariant.
+    """
+    fact = spread(table(spark, sf_dir, "lineitem"), spark).select(
+        F.when(F.col("l_orderkey") % 20 < 19, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+    )
+    dim = spark.range(0, 15001).select(F.col("id").alias("k2"))
+    return (
+        fact.join(dim, fact.k == F.col("k2"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )

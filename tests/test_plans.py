@@ -323,3 +323,26 @@ def test_bloom_filter_injection(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    # Production skew thresholds lowered to local scale: the hot derived
+    # key's partition must be split (SortMergeJoin(skew=true)). Executed,
+    # not just planned — AQE decides from real map-output sizes.
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = QS["q_join_skew_aqe"](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
