@@ -61,6 +61,7 @@ HEADLINE = [
     "q_stream_merge_upsert",
     "q_hybrid_search",
     "q_join_skew_aqe",
+    "q_stats_cbo",
     "q_doc_fingerprint",
     "q_vector_norm",
     "q_similarity_topk",

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import register_views
+from ..catalog import register_views, table
 from ..registry import query
 
 
@@ -139,5 +139,65 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v
         WHERE variant_get(pv, '$.missing', 'string') IS NULL
         GROUP BY 1
+        """
+    )
+
+
+@query(
+    "q_stats_cbo",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_stats_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based optimization with cataloged statistics: the tables are
+    registered in the session catalog, ANALYZE TABLE computes row counts
+    and per-join-column min/max/NDV, and with CBO + join reordering on,
+    Catalyst re-orders the 3-way star join from its syntactic order
+    (orders first) to the stats-optimal one — customer⋈nation (25-row
+    dim) reduced FIRST, orders joined last against the smallest
+    intermediate (asserted on the optimized plan in
+    tests/test_plans.py::test_cbo_reorders_star_join).
+
+    At 100 TB this is the planner layer that partition pruning and AQE
+    cannot replace: AQE fixes sizes at shuffle boundaries mid-query,
+    but only cardinality statistics can pick the right JOIN ORDER
+    before execution — the difference between an intermediate of |orders|
+    rows and one of |orders ⋈ filtered-dims| rows entering the big
+    shuffle. ANALYZE cost is one scan per table, amortized across every
+    query that uses the stats (production lakes refresh on ingest).
+    """
+    from ..sources.roundtrip import _stage_dir, _staged, write_parquet
+
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    stat_cols = {
+        "customer": "c_custkey, c_nationkey",
+        "orders": "o_custkey, o_totalprice",
+        "nation": "n_nationkey, n_name",
+    }
+    for t, cols in stat_cols.items():
+        name = f"{t}_cbo"
+        if not spark.catalog.tableExists(name):
+            path = _stage_dir(sf_dir, f"cbo_{t}")
+            if not _staged(path):
+                write_parquet(table(spark, sf_dir, t), path)
+            spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{path}'")
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price
+        FROM orders_cbo o
+        JOIN customer_cbo c ON o.o_custkey = c.c_custkey
+        JOIN nation_cbo n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n_name
         """
     )

@@ -346,3 +346,20 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_cbo_reorders_star_join(spark, sf_dir):
+    # With ANALYZE'd column stats + CBO, the 3-way join must be reordered:
+    # customer⋈nation reduced first, orders (the big fact) joined LAST —
+    # the outermost Join line carries the o_custkey key. Without stats the
+    # syntactic order keeps the nationkey join outermost.
+    df = QS["q_stats_cbo"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in opt.splitlines() if "Join Inner" in ln]
+    assert len(join_lines) == 2
+    assert "o_custkey" in join_lines[0]
+    assert "n_nationkey" in join_lines[1]
+    # and the stats really exist in the catalog
+    stats = spark.sql("DESC EXTENDED customer_cbo c_custkey").collect()
+    vals = {r.info_name: r.info_value for r in stats}
+    assert vals.get("max") not in (None, "NULL")
