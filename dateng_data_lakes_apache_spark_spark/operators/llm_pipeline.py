@@ -786,3 +786,57 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics unit-tested in tests/test_llm_pipeline.py.
     """
     return bpe_train(table(spark, sf_dir, "documents"), n_merges=10)
+
+
+def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text") -> DataFrame:
+    """Apply learned BPE merges to every document — the map-only encode
+    half of the tokenizer (train: :func:`bpe_train`). Returns per-doc
+    whitespace vs BPE token counts.
+
+    The whole document is encoded once as a ``\\x1f``-separated symbol
+    stream (each word char-split and terminated with ``</w>``); each
+    merge is one regexp_replace with the same zero-width boundary
+    guards as training, chained into a single projection — scan-speed,
+    zero shuffles, whole plan codegen'd. Merges can never cross word
+    boundaries: the inter-word filler is a space symbol and no merge
+    contains a space.
+    """
+    sep = "\x1f"
+    words = F.filter(F.split(text_col, " "), lambda w: w != "")
+    enc_word = lambda w: F.concat(
+        F.concat_ws(sep, F.filter(F.split(w, ""), lambda c: c != "")),
+        F.lit(sep + "</w>"),
+    )
+    enc = F.concat(
+        F.lit(sep),
+        F.array_join(F.transform(words, enc_word), sep + " " + sep),
+        F.lit(sep),
+    )
+    for left, right in merges:
+        pattern = f"(?<={sep})\\Q{left}\\E{sep}\\Q{right}\\E(?={sep})"
+        enc = F.regexp_replace(enc, pattern, left + right)
+    n_bpe = F.size(
+        F.filter(F.split(enc, sep), lambda t: (t != "") & (t != " "))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("int").alias("n_ws_tokens"),
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+    ).withColumn(
+        "tokens_per_word",
+        F.round(F.col("n_bpe_tokens") / F.greatest(F.col("n_ws_tokens"), F.lit(1)), 4),
+    )
+
+
+@query("q_bpe_apply")  # rows-only: depends on the (non-SQL) trained merge list
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 10 BPE merges on the corpus, then encode every document with
+    them (train→apply round trip). The merge list is a 10-row model
+    artifact collected to the driver and inlined into the encode
+    expression — at 100 TB the train side aggregates the word-freq dict
+    once and the apply side stays a map-only scan; the artifact, not
+    data, crosses the driver. Deterministic end to end.
+    """
+    d = table(spark, sf_dir, "documents")
+    merges = [(r["left"], r["right"]) for r in bpe_train(d, n_merges=10).collect()]
+    return bpe_apply(d, merges)

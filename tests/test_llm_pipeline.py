@@ -64,3 +64,18 @@ def test_bpe_merge_is_sequential_greedy(spark):
     # count 2 and (aa,</w>) count 2 tie → lexicographic: "aa"+"</w>" loses
     # to "aa"+"aa"? No: left equal, right "</w>" < "aa" → (aa,</w>) wins.
     assert merges[1] == (1, "aa", "</w>", "aa</w>", 2)
+
+
+def test_bpe_apply_encodes_with_learned_merges(spark):
+    from dateng_data_lakes_apache_spark_spark.operators.llm_pipeline import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame([(0, "ab ab ab"), (1, "abc")], ["doc_id", "text"])
+    merges = [(r["left"], r["right"]) for r in bpe_train(docs, n_merges=3).collect()]
+    rows = {r.doc_id: r for r in bpe_apply(docs, merges).collect()}
+    # "ab" → [a,b,</w>] → (a,b) → [ab,</w>] → (ab,</w>) → ["ab</w>"]: 1 token
+    assert (rows[0].n_ws_tokens, rows[0].n_bpe_tokens) == (3, 3)
+    # "abc" → [a,b,c,</w>] → [ab,c,</w>] → (ab,c) → [abc,</w>]: 2 tokens
+    assert (rows[1].n_ws_tokens, rows[1].n_bpe_tokens) == (1, 2)
