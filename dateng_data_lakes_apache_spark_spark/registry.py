@@ -135,6 +135,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         analytics,
+        analytics_deep,
         asof_pivot_sql,
         cdc,
         data_quality,
