@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -37,12 +37,24 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong conf);
-    convert to TimestampType by flooring to micros. Floor (not truncate-
-    toward-zero) so pre-1970 timestamps — negative nanos — round down,
-    matching DuckDB's ns→us conversion on both sides of the epoch.
-    Integer arithmetic is mandatory: nanosecond epochs (~1.7e18) exceed
-    double's exact-integer range."""
+    """Normalize a TIMESTAMP(NANOS) parquet column to session-zoned
+    TimestampType, across Spark versions:
+
+    - Spark ≤4.0 + ``nanosAsLong``: arrives as long nanos → floor to
+      micros (floor, not truncate-toward-zero, so pre-1970 negative nanos
+      round down, matching DuckDB's ns→us conversion). Integer arithmetic
+      is mandatory: nanosecond epochs (~1.7e18) exceed double's
+      exact-integer range.
+    - Spark ≥4.1 (legacy conf inert): arrives as TIMESTAMP_NTZ already
+      floored to micros → cast to TimestampType. The session timezone is
+      pinned to UTC (session.SEMANTIC_RUNTIME_CONF), so the cast
+      reinterprets the wall-clock value as UTC — byte-identical to the
+      long-nanos path.
+
+    Watermarks (``withWatermark``) require TimestampType, so every events
+    consumer — batch and streaming — goes through this normalization."""
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     if isinstance(df.schema[col].dataType, LongType):
         # floor-div for longs: shift negatives so `div` truncation == floor
         df = df.withColumn(

@@ -549,18 +549,28 @@ def _stage_events_ordered(spark: SparkSession, sf_dir: str, n_batches: int = 4) 
         return stage_dir
     shutil.rmtree(stage_dir, ignore_errors=True)
     os.makedirs(stage_dir, exist_ok=True)
-    # split on the RAW nanos-long ts and write it unchanged: the stream
-    # read applies the ORIGINAL events schema, so the staged files must
-    # keep the source physical type (normalization happens stream-side)
+    # split on a NUMERIC key derived from the raw ts and write the rows
+    # unchanged: the stream read applies the ORIGINAL events schema, so
+    # the staged files must keep the source physical type (normalization
+    # happens stream-side). The raw ts is a nanos long on Spark ≤4.0
+    # (nanosAsLong) and TIMESTAMP_NTZ on ≥4.1 — both map monotonically
+    # onto an epoch-integer key, so the quartile split is identical.
+    from pyspark.sql.types import LongType as _Long
+
     ev = spark.read.parquet(table_path(sf_dir, "events"))
+    key = (
+        F.col("ts")
+        if isinstance(ev.schema["ts"].dataType, _Long)
+        else F.unix_micros(F.col("ts").cast("timestamp"))
+    )
     cuts = ev.select(
-        F.percentile(F.col("ts"), F.array(*[F.lit(i / n_batches) for i in range(1, n_batches)])).alias("c")
+        F.percentile(key, F.array(*[F.lit(i / n_batches) for i in range(1, n_batches)])).alias("c")
     ).collect()[0]["c"]
     bounds = [float("-inf")] + [int(c) for c in cuts] + [float("inf")]
     for k in range(n_batches):
         lo, hi = bounds[k], bounds[k + 1]
-        part = ev.where((F.col("ts") > F.lit(lo)) if lo != float("-inf") else F.lit(True)).where(
-            (F.col("ts") <= F.lit(hi)) if hi != float("inf") else F.lit(True)
+        part = ev.where((key > F.lit(lo)) if lo != float("-inf") else F.lit(True)).where(
+            (key <= F.lit(hi)) if hi != float("inf") else F.lit(True)
         )
         tmp = os.path.join(stage_dir, f"_tmp_{k}")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
