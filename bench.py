@@ -93,6 +93,12 @@ HEADLINE = [
     "q_join_null_safe",
     "q_recursive_cte",
     "q_stream_outer_join",
+    "q_funnel",
+    "q_retention_cohort",
+    "q_resample_ohlc",
+    "q_frequent_pairs",
+    "q_triangle_count",
+    "q_multimodal_video",
 ]
 
 

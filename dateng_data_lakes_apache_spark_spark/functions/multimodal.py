@@ -657,3 +657,175 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
     return d.select("doc_id").mapInPandas(kernel, schema=_RESIZE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video: minimal-but-valid MP4 (ISO BMFF) container, real box-tree walking.
+# --------------------------------------------------------------------------
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def mp4_bytes(timescale: int, duration: int, w: int, h: int) -> bytes:
+    """Minimal valid ISO-BMFF MP4: ftyp + moov(mvhd + trak(tkhd)) + mdat.
+
+    mvhd carries the movie timescale/duration (version-0 32-bit layout,
+    ISO/IEC 14496-12 §8.2.2); tkhd carries presentation width/height as
+    16.16 fixed-point (§8.3.2). Identity matrix, rate 1.0, volume 1.0.
+    """
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">I", 0)  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, reserved
+        + struct.pack(">II", 0, 0)  # reserved
+        + matrix
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">I", 0x000007)  # version 0 + enabled/in-movie flags
+        + struct.pack(">IIII", 0, 0, 1, 0)  # created, modified, track_ID, rsvd
+        + struct.pack(">I", duration)
+        + struct.pack(">II", 0, 0)  # reserved
+        + struct.pack(">HHHH", 0, 0, 0x0100, 0)  # layer, group, volume, rsvd
+        + matrix
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed-point
+    )
+    trak = _mp4_box(b"trak", tkhd)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _mp4_box(b"mdat", b"\x00" * 16)
+    return ftyp + moov + mdat
+
+
+def probe_mp4(payload: bytes) -> tuple[int, int, int, int]:
+    """(timescale, duration, width, height) by walking the real box tree
+    — top-level boxes by size, recursion into moov/trak containers, so
+    payloads with extra boxes (free, udta) or reordered children parse
+    correctly. Version-1 (64-bit) mvhd/tkhd handled for completeness."""
+    if payload is None or len(payload) < 8:
+        raise ValueError("not an MP4 payload")
+
+    timescale = duration = width = height = None
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        nonlocal timescale, duration, width, height
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", payload[i : i + 4])[0]
+            tag = payload[i + 4 : i + 8]
+            if size < 8 or i + size > hi:
+                raise ValueError(f"bad box size {size} for {tag!r}")
+            body = i + 8
+            if tag in (b"moov", b"trak"):
+                walk(body, i + size, depth + 1)
+            elif tag == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    timescale = struct.unpack(">I", payload[body + 20 : body + 24])[0]
+                    duration = struct.unpack(">Q", payload[body + 24 : body + 32])[0]
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", payload[body + 12 : body + 20]
+                    )
+            elif tag == b"tkhd":
+                # v0 body: ver/flags 4 + times 8 + id 4 + rsvd 4 + dur 4
+                # + rsvd 8 + layer/group/vol/rsvd 8 + matrix 36 = 76
+                # (v1: the three 32-bit times/duration widen to 64-bit)
+                ver = payload[body]
+                fixed = body + (88 if ver == 1 else 76)
+                w_fx, h_fx = struct.unpack(">II", payload[fixed : fixed + 8])
+                width, height = w_fx >> 16, h_fx >> 16
+            i += size
+
+    walk(0, len(payload), 0)
+    if timescale is None or width is None:
+        raise ValueError("missing mvhd or tkhd box")
+    return (timescale, duration, width, height)
+
+
+_VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+_TSCALES = (600, 1000, 90000, 24000)
+
+
+@query(
+    "q_multimodal_video",
+    # staging rule: timescale = _TSCALES[doc_id % 4], duration ticks =
+    # timescale * (3 + doc_id % 10) + doc_id % 97, width = 16*(4 + doc_id
+    # % 9), height = 16*(3 + doc_id % 5) — SQL predicts the probe output.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                             WHEN 2 THEN 90000 ELSE 24000 END AS ts
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id,
+           CAST(16 * (4 + doc_id % 9) AS INT) AS width,
+           CAST(16 * (3 + doc_id % 5) AS INT) AS height,
+           CAST(ts AS INT) AS timescale,
+           CAST((ts * (3 + doc_id % 10) + doc_id % 97) * 1000 // ts AS BIGINT)
+             AS duration_ms
+    FROM t
+    """,
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video metadata probe over a binary column: stage real MP4
+    (ISO BMFF) container bytes, recover movie timescale / duration /
+    presentation dimensions by walking the actual box tree — the video
+    third of the multimodal family alongside image decode and audio
+    probe. A real deployment swaps ffprobe/PyAV into the same kernel
+    slot; the Spark-side shape (two Arrow-batched mapInPandas stages,
+    zero shuffle, linear in corpus bytes) is identical.
+
+    duration_ms is integer math (ticks*1000 // timescale) so the oracle
+    is exact across engines.
+    """
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+
+    stage_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                ts = _TSCALES[i % 4]
+                rows.append(
+                    (i, mp4_bytes(ts, ts * (3 + i % 10) + i % 97, 16 * (4 + i % 9), 16 * (3 + i % 5)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["payload"].map(probe_mp4)
+            ts = parsed.map(lambda p: p[0]).astype("int64")
+            dur = parsed.map(lambda p: p[1]).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": parsed.map(lambda p: p[2]).astype("int32"),
+                    "height": parsed.map(lambda p: p[3]).astype("int32"),
+                    "timescale": ts.astype("int32"),
+                    "duration_ms": dur * 1000 // ts,
+                }
+            )
+
+    staged = d.select("doc_id").mapInPandas(stage, schema=stage_schema)
+    return staged.mapInPandas(probe, schema=_VIDEO_SCHEMA)

@@ -1,0 +1,229 @@
+"""Event-stream product analytics: funnel, retention cohorts, OHLC resample.
+
+The reference's log pipeline stops at fact-table construction
+(etl.py:164-226 builds songplays and writes it). These operators are the
+queries a product team runs ON that fact table — ordered-step conversion
+funnels, signup-cohort retention, and time-bucket OHLC resampling — each
+expressed as one or two hash aggregations so they hold at 100 TB:
+
+- funnel: K tiny per-user aggregates chained by equi-joins on user_id
+  (K = funnel depth, fixed). No window over the full event stream.
+- retention: two hash aggs (first-signup per user, distinct user-days)
+  joined on user_id; the cohort matrix is the tiny output.
+- OHLC: ONE aggregation pass with min_by/max_by carrying a total-order
+  key — no per-bucket sort, full map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..common import date_str, dsum, o_date_str, o_dsum
+from ..registry import query
+
+# The funnel's ordered stages. Strict ts ordering between stages: a
+# user's click only counts if it happens AFTER their first view, their
+# purchase only after that first qualifying click — the "did the journey
+# happen in order" semantics that a naive per-stage COUNT(DISTINCT) gets
+# wrong (it would count a purchase that preceded the first view).
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM p)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: users who
+    completed each stage strictly after the previous one.
+
+    Stage k is a per-user MIN(ts) hash agg over one event type,
+    equi-joined on user_id to stage k-1 and filtered to ts > prior
+    stage's ts — each round shuffles only (user, ts) pairs of ONE event
+    type, and the chain is as deep as the funnel, never as deep as the
+    data. First-touch semantics: the qualifying click is the EARLIEST
+    click after the first view (window-free; at 100 TB the alternative
+    full-stream sessionized window is the thing to avoid).
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    stage_users: list[DataFrame] = []
+    prior: DataFrame | None = None  # (user_id, t_prev)
+    for stage in _FUNNEL_STAGES:
+        cur = ev.where(F.col("event_type") == stage)
+        if prior is not None:
+            cur = cur.join(prior, "user_id").where(F.col("ts") > F.col("t_prev"))
+        # persist each stage's (user, ts) table: the final union references
+        # stage k from every stage > k, and without the cache the plan
+        # re-expands to K(K+1)/2 event scans for a depth-K funnel. The
+        # cached tables are user-bounded (tiny). Callers/bench own caches.
+        reached = cur.groupBy("user_id").agg(F.min("ts").alias("t_prev")).persist()
+        stage_users.append(reached)
+        prior = reached
+
+    out = None
+    for i, (stage, reached) in enumerate(zip(_FUNNEL_STAGES, stage_users), start=1):
+        row = reached.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query(
+    "q_retention_cohort",
+    oracle=f"""
+    WITH first_signup AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT {o_date_str("date_trunc('week', f.d0)")} AS cohort_week,
+           CAST(datediff('day', f.d0, a.d) // 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN first_signup f ON a.user_id = f.user_id
+    WHERE a.d >= f.d0
+    GROUP BY date_trunc('week', f.d0), week_offset
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort retention matrix: for each signup week, how many of
+    its users were active 0, 1, 2, … weeks later.
+
+    Two hash aggregations — first-signup date per user and distinct
+    (user, active-day) pairs — joined on user_id; the cohort × offset
+    matrix is the output and is tiny regardless of input scale. The
+    distinct on (user, day) collapses the event stream BEFORE the join,
+    so the join input is bounded by users × days, not by raw events.
+    """
+    ev = table(spark, sf_dir, "events")
+    first_signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d0"))
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        activity.join(first_signup, "user_id")
+        .where(F.col("d") >= F.col("d0"))
+        .groupBy(
+            date_str(F.date_trunc("week", F.col("d0")).cast("date")).alias("cohort_week"),
+            (F.datediff(F.col("d"), F.col("d0")) / 7)
+            .cast("int")
+            .alias("week_offset"),  # datediff ≥ 0 here, so cast == floor
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+# Total-order key for open/close tie-breaks: zero-padded micros ++ padded
+# event_id, lexicographically comparable in BOTH engines (DuckDB arg_min
+# has no composite/struct key overload, so the composite is a string).
+_OHLC_KEY = "%020d%010d"
+
+
+@query(
+    "q_resample_ohlc",
+    oracle=f"""
+    SELECT {o_date_str('CAST(ts AS DATE)')} AS day,
+           arg_min(value, printf('%020d%010d', epoch_us(ts), event_id)) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, printf('%020d%010d', epoch_us(ts), event_id)) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           {o_dsum('value')} AS volume
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket OHLC resampling of purchase values per day — the
+    classic downsample shape (metrics, tick data, training-loss curves).
+
+    ONE aggregation pass: open/close are min_by/max_by over a
+    total-order (ts, event_id) key — no per-bucket sort, no window over
+    the raw stream, full map-side partial aggregation. The composite
+    key is a zero-padded string because the DuckDB oracle's arg_min
+    lacks a struct-key overload; zero-padding makes lexicographic ==
+    numeric order. Volume accumulates as decimal (engine-exact).
+    """
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    key = F.format_string(_OHLC_KEY, F.unix_micros("ts"), F.col("event_id"))
+    return ev.groupBy(date_str(F.to_date("ts")).alias("day")).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+        dsum(F.col("value")).alias("volume"),
+    )
+
+
+@query(
+    "q_frequent_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    )
+    SELECT a.p AS part_a, b.p AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p
+    HAVING COUNT(*) >= 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent item pairs: parts co-purchased in the same
+    order, ranked by support (the A-Priori k=2 pass — the workhorse of
+    affinity / "bought together" analytics).
+
+    Scale shape: pair generation is a SELF-EQUI-JOIN on the basket key,
+    so the blow-up is Σ per-basket items² — bounded by basket size
+    (~items-per-order², never corpus²). The pair count then hash-aggs
+    with map-side combine, and the support threshold keeps the output
+    sparse. Top-20 with full tiebreaks plans as TakeOrderedAndProject.
+    """
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(20)
+    )

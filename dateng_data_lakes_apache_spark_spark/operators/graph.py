@@ -120,3 +120,79 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_scaled").desc(), F.col("kind"), F.col("entity_key"))
         .limit(20)
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count over an undirected edge list given as
+    canonical pairs (a < b), via the oriented two-join:
+
+    wedges  = edges(a,b) ⋈ edges(b,c)  on  e1.b = e2.a   → (a,b,c), a<b<c
+    closed  = wedges ⋈ edges           on  (a,c)          → triangles
+
+    Orienting every edge low→high makes each triangle countable exactly
+    once (as its single a<b<c rotation) and — the scale property —
+    bounds the wedge join by Σ out-degree², where out-degree under this
+    orientation is ≤ the node's true degree and concentrated on LOW-id
+    nodes, the standard mitigation for power-law hubs (a hub's wedges
+    split across its lower-id neighbors). Both joins are plain
+    equi-joins; no node ever sees the whole graph.
+    """
+    e1 = edges.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
+    e2 = edges.select(F.col("a").alias("x_a"), F.col("b").alias("x_b"))
+    wedges = e1.join(e2, F.col("w_b") == F.col("x_a")).select(
+        F.col("w_a").alias("a"), F.col("w_b").alias("b"), F.col("x_b").alias("c")
+    )
+    closing = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
+    tris = wedges.join(
+        closing, (F.col("a") == F.col("t_a")) & (F.col("c") == F.col("t_c"))
+    )
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+      SELECT a.p AS a, b.p AS b
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*)
+                 FROM edges e1
+                 JOIN edges e2 ON e1.b = e2.a
+                 JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
+             AS n_triangles
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase graph: parts are nodes, an
+    edge joins parts co-bought in ≥ 2 distinct orders (the support
+    threshold that keeps a transaction-derived graph sparse — without
+    it, co-occurrence graphs densify toward complete and Σ deg² blows
+    up; the threshold is the knob a 100 TB run tunes first).
+
+    The edge list derives exactly like q_frequent_pairs' candidates
+    (basket self-join, bounded by per-basket size), is persisted once,
+    and is reused by all three legs of the oriented wedge join.
+    """
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    ia, ib = items.alias("ia"), items.alias("ib")
+    edges = (
+        ia.join(ib, (F.col("ia.o") == F.col("ib.o")) & (F.col("ia.p") < F.col("ib.p")))
+        .groupBy(F.col("ia.p").alias("a"), F.col("ib.p").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("a", "b")
+        .persist()  # anchors all three legs; callers/bench own the cache
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(triangle_count(edges))

@@ -140,6 +140,7 @@ def load_all() -> None:
         cdc,
         data_quality,
         dedup,
+        events_analytics,
         generators,
         graph,
         joins,
