@@ -99,6 +99,9 @@ HEADLINE = [
     "q_frequent_pairs",
     "q_triangle_count",
     "q_multimodal_video",
+    "q_agg_salted",
+    "q_er_blocked_join",
+    "q_embedding_project",
 ]
 
 

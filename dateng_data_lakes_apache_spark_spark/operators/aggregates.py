@@ -447,3 +447,48 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+@query(
+    "q_agg_salted",
+    # Salting changes the physical shuffle layout, never the logical
+    # result — the oracle is the PLAIN group-by: a lost or duplicated
+    # salt bucket breaks the hash match (same discipline as q_join_salted).
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {o_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for hot grouping keys: phase 1
+    aggregates by (key, salt) — splitting each hot key's rows across 32
+    reducers — phase 2 merges the 32 partial states per key.
+
+    events has 5 event_type values: at 100 TB a plain groupBy funnels
+    ~20 TB through each of 5 reducers regardless of cluster size, and
+    AQE cannot split a single key. Salting caps any reducer at
+    hot-key-volume/32. The state is the associative (count, decimal
+    sum) pair, so the merge is exact — phase 2's input is 5×32 tiny
+    rows. (Map-side partial aggregation already does this implicitly
+    when upstream partitioning is random; explicit salting is the
+    guarantee that survives pre-partitioned-by-key inputs, where the
+    combiner stops helping.)
+    """
+    e = table(spark, sf_dir, "events")
+    salted = (
+        e.groupBy(
+            "event_type",
+            F.pmod(F.xxhash64("event_id"), F.lit(32)).alias("salt"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_part"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("sum_dec"),
+        )
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("n_part").alias("n_events"),
+        F.sum("sum_dec").cast("double").alias("sum_value"),
+    )

@@ -730,3 +730,91 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# Deterministic small-integer projection matrix (K output dims × 64 input
+# dims), generated by a fixed LCG so BOTH engines see the same literals —
+# no cross-engine hash-function agreement needed. Weights in {-3..3}.
+_PROJ_K = 8
+_PROJ_D = 64
+_PROJ_W: list[list[int]] = [
+    [((1103515245 * (j * _PROJ_D + i) + 12345) % 7) - 3 for i in range(_PROJ_D)]
+    for j in range(_PROJ_K)
+]
+
+
+def _proj_oracle() -> str:
+    cols = ",\n           ".join(
+        "CAST(list_sum(list_transform(range(1, {n}), i -> c[i] * ({w})[i])) AS BIGINT)"
+        " AS p{j}".format(n=_PROJ_D + 1, w="[" + ",".join(map(str, _PROJ_W[j])) + "]", j=j)
+        for j in range(_PROJ_K)
+    )
+    return f"""
+    WITH mx AS (
+      SELECT vec_id,
+             CAST(GREATEST(list_max(embedding), -list_min(embedding)) AS DOUBLE)
+               AS max_abs
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT e.vec_id,
+             list_transform(
+               e.embedding,
+               v -> CAST(FLOOR(CAST(v AS DOUBLE) * (127.0 / m.max_abs)) AS BIGINT)
+             ) AS c
+      FROM embeddings e JOIN mx m USING (vec_id)
+      WHERE m.max_abs > 0
+    )
+    SELECT vec_id,
+           {cols}
+    FROM codes
+    """
+
+
+@query("q_embedding_project", oracle=_proj_oracle())
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random projection of embeddings to {k} dims in EXACT integer
+    arithmetic: int8-quantize each vector (same floor quantizer as
+    q_embedding_quantize), then dot it with a fixed small-integer matrix
+    — the dimensionality-reduction step in front of LSH / coarse
+    clustering, JL-style, made bit-reproducible across engines.
+
+    Why integers: a float projection's sum order would have to match the
+    oracle ulp-for-ulp; int codes (|c| ≤ 127) times int weights (|w| ≤ 3)
+    over 64 terms stay ≤ 2^15 — associative, exact, engine-independent.
+
+    Scale shape: map-only (quantize + {k} zip_with/aggregate folds per
+    row, all JVM HOFs, no shuffle, no UDF); the projection matrix is a
+    plan literal — broadcast by construction. Output width {k} replaces
+    64 floats with {k} longs for every downstream bucket/cluster pass.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    max_abs = F.greatest(F.array_max("embedding"), -F.array_min("embedding")).cast(
+        "double"
+    )
+    base = e.select("vec_id", "embedding", max_abs.alias("max_abs")).where(
+        F.col("max_abs") > 0
+    )
+    codes = base.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * (F.lit(127.0) / F.col("max_abs"))),
+        ).alias("c"),
+    )
+    projections = [
+        F.aggregate(
+            F.zip_with(
+                F.col("c"),
+                F.array(*[F.lit(w) for w in _PROJ_W[j]]),
+                lambda c, w: c * w.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j in range(_PROJ_K)
+    ]
+    return codes.select("vec_id", *projections)
+
+
+q_embedding_project.__doc__ = q_embedding_project.__doc__.format(k=_PROJ_K)

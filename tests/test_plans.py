@@ -363,3 +363,28 @@ def test_cbo_reorders_star_join(spark, sf_dir):
     stats = spark.sql("DESC EXTENDED customer_cbo c_custkey").collect()
     vals = {r.info_name: r.info_value for r in stats}
     assert vals.get("max") not in (None, "NULL")
+
+
+def test_salted_agg_two_phase_shuffle(spark, sf_dir):
+    # Phase 1 must shuffle on (key, salt) — the hot-key split — and
+    # phase 2 on the key alone; a single-exchange plan means the salt
+    # got optimized away and the hot key funnels into one reducer again.
+    plan = QS["q_agg_salted"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 2
+    inner = [ln for ln in exchanges if "event_type" in ln and "," in ln.split("hashpartitioning(")[1].split(")")[0]]
+    assert inner, f"no (key, salt) exchange found: {exchanges}"
+
+
+def test_er_blocked_join_is_hash_join(spark, sf_dir):
+    # Blocking must plan as an equi-join (hash/sort-merge); a nested-loop
+    # or cartesian plan means the block keys fell out of the join keys.
+    plan = formatted_plan(QS["q_er_blocked_join"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+
+
+def test_embedding_project_map_only(spark, sf_dir):
+    # The projection is map-only: no exchange anywhere in the plan.
+    plan = formatted_plan(QS["q_embedding_project"](spark, sf_dir))
+    assert "Exchange" not in plan
