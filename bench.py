@@ -120,6 +120,24 @@ def main() -> None:
     # Warm up the JVM / codegen / file index once so the first measured
     # query isn't charged session-startup costs.
     execute_fully(queries["q_scan_project"](spark, sf_dir).limit(1))
+    # Warm the Structured-Streaming machinery the same way (micro-batch
+    # executor, state-store provider, memory-sink classes load on first
+    # use — measured ~5-8 s of one-time class-loading/codegen otherwise
+    # charged to whichever q_stream_* runs first). A 1-row rate stream
+    # touches no test data, so no measured query borrows warm state.
+    import uuid as _uuid
+
+    warm = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .option("numPartitions", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName(f"warm_{_uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    warm.awaitTermination()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -644,10 +644,13 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_er_blocked_join",
+    # The oracle verifies on the FULL entity string; the Spark side on
+    # the post-block tail only (see docstring) — the hash match is the
+    # proof that common-prefix stripping preserved every distance.
     oracle="""
     WITH b AS (
       SELECT p_partkey,
-             concat_ws(' ', p_name, p_brand, p_type, CAST(p_size AS VARCHAR))
+             concat_ws(' ', p_name, p_type, p_brand, CAST(p_size AS VARCHAR))
                AS ent,
              p_name, p_type
       FROM part
@@ -661,13 +664,22 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_er_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution as a real blocked fuzzy join: each part record
-    becomes a composite entity string (name + brand + type + size);
+    becomes a composite entity string (name + type + brand + size);
     candidate pairs come from an EQUI-join on a blocking key (name,
     type), and only blocked pairs pay the Levenshtein verify — the
     deployable upgrade of q_string_similarity, whose id-window stands
     in for blocking. Distance ≤ 1 finds records one character apart
     (a brand or size digit — the classic data-entry divergence),
     including exact-duplicate records at distance 0.
+
+    Verify cost: the entity orders the BLOCK fields first, so within a
+    block both entities share the "name type " prefix, and Levenshtein's
+    common-prefix-stripping property (the DP's first rows/cols are the
+    identity diagonal) gives d(P·x, P·y) = d(x, y). The engine therefore
+    runs the verify on the ~10-char "brand size" tail instead of the
+    ~40-char full entity — measured 6.6 s → ~1.5 s at sf0.1 — while the
+    ORACLE computes the full-entity distance: the hash match is the
+    standing proof of the equivalence.
 
     Scale shape: pair cost is Σ block-size², controlled by the blocking
     key's granularity, never corpus² — the same candidate-generation
@@ -677,14 +689,12 @@ def q_er_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, size)) with dropDuplicates on the pair — one pass here keeps
     the oracle readable; the union is mechanical.
     """
-    ent = F.concat_ws(
-        " ", F.col("p_name"), F.col("p_brand"), F.col("p_type"), F.col("p_size")
-    )
+    tail = F.concat_ws(" ", F.col("p_brand"), F.col("p_size"))
     p = table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_type", ent.alias("ent")
+        "p_partkey", "p_name", "p_type", tail.alias("tail")
     )
     a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.ent"), F.col("b.ent"))
+    dist = F.levenshtein(F.col("a.tail"), F.col("b.tail"))
     return (
         a.join(
             b,
