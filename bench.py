@@ -102,6 +102,9 @@ HEADLINE = [
     "q_agg_salted",
     "q_er_blocked_join",
     "q_embedding_project",
+    "q_starjoin_custdist",
+    "q_starjoin_waiting",
+    "q_starjoin_mincost",
 ]
 
 

@@ -15,8 +15,10 @@ l_commitdate/l_receiptdate/l_shipmode, c_phone/comment columns):
   l_quantity) per (part, supplier) — a deterministic per-row double.
 - "late" = l_shipdate > o_orderdate + N days (receipt-vs-commit
   stand-in).
-- Q22's country code stand-in is c_mktsegment; Q13's comment filter
-  stand-in is an o_orderpriority exclusion.
+- Q22's country code stand-in is c_nationkey mod 5 (with a 1998+
+  recency window on the anti join — "never ordered" is empty on this
+  dense testdata); Q13's comment filter stand-in is an o_orderpriority
+  exclusion; Q16's supplier blocklist stand-in is s_suppkey mod 13.
 
 Scale posture (same rules as analytics.py): every single-table predicate
 sits below its join; nation/region broadcast, linear-growth dims never
@@ -274,4 +276,458 @@ def q_starjoin_latecheck(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
         )
         .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q_starjoin_custdist",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def q_starjoin_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count distribution over customers (TPC-H Q13 shape): how
+    many customers placed 0, 1, 2, … qualifying orders — the LEFT join
+    is load-bearing (zero-order customers must appear in the 0 bucket,
+    which an inner join silently drops).
+
+    Two chained hash aggs: per-customer count after the outer join
+    (shuffle on custkey — the join and the first agg share it), then the
+    tiny count-of-counts. The priority exclusion stands in for Q13's
+    comment regex (schema has no comment column) and sits in the JOIN
+    condition, not a WHERE — pushing it to WHERE would turn the outer
+    join inner.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q_starjoin_topsupp",
+    # Q15's view is one quarter of shipped revenue per supplier; the
+    # scalar MAX pick must use the DECIMAL revenue (double equality on
+    # independently-summed floats would be engine-dependent).
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1998-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q_starjoin_topsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): the scalar
+    "= (SELECT MAX(...))" selection, decorrelated as a 1-row aggregate
+    broadcast-joined back onto the revenue table — never a second scan
+    of lineitem and never a single-task global window.
+
+    The max comparison happens on the DECIMAL revenue: two engines
+    summing doubles in different orders can disagree in the last ulp,
+    and a scalar-max filter turns that ulp into a different ROW — the
+    decimal accumulation makes the pick exact. Ties (several suppliers
+    at the max) all emit, exactly as in TPC-H.
+    """
+    l = (  # noqa: E741
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+        )
+        .select("l_suppkey", _revenue().alias("rev"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("rev").cast("decimal(30,8)")).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        .join(s, rev.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+@query(
+    "q_starjoin_smallqty",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey, {o_davg('l_quantity')} AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST({o_dsum('l.l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def q_starjoin_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): the correlated
+    "quantity < 0.2 × this part's average" subquery, hand-decorrelated
+    into a per-part aggregate equi-joined back to lineitem — the plan
+    shape that keeps a per-row nested-loop subquery out of a 100 TB
+    fact table.
+
+    The per-part average is decimal-sum/count (davg) so the 0.2×
+    threshold is identical across engines; the brand filter prunes the
+    part side before its join and reaches the scan.
+    """
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = l.groupBy("l_partkey").agg(davg(F.col("l_quantity")).alias("avg_qty"))
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum(F.col("l_extendedprice")) / 7.0).cast("double").alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_starjoin_waiting",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM late l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q_starjoin_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): late lines
+    on finished multi-supplier orders where this supplier was the ONLY
+    late one — the double-correlated EXISTS / NOT-EXISTS, expressed as
+    a semi join (some other supplier participated) chained with an anti
+    join (no other supplier was late).
+
+    Both correlations become hash joins on l_orderkey with the supplier
+    inequality as a residual condition; "late" (ship > order + 60 days,
+    the schema's receipt/commit stand-in) is computed once and reused by
+    both the driving set and the anti side. Top-10 with name tiebreak is
+    TakeOrderedAndProject.
+    """
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = table(spark, sf_dir, "lineitem").select(  # noqa: E741
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .persist()  # drives the main set AND the anti side; bench owns caches
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    only_late = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        only_late.join(s, only_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "q_starjoin_globalsales",
+    oracle=f"""
+    WITH pool AS (
+      SELECT c_custkey, c_acctbal, CAST(c_nationkey % 5 AS INT) AS cntry
+      FROM customer
+      WHERE c_nationkey % 5 IN (0, 1, 2)
+    ),
+    threshold AS (
+      SELECT {o_davg('c_acctbal')} AS avg_bal FROM pool WHERE c_acctbal > 0
+    )
+    SELECT p.cntry,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {o_dsum('p.c_acctbal')} AS totacctbal
+    FROM pool p, threshold t
+    WHERE p.c_acctbal > t.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = p.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+      )
+    GROUP BY p.cntry
+    """,
+)
+def q_starjoin_globalsales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance prospects (TPC-H Q22 shape): customers in
+    selected country bands with above-average balances and no RECENT
+    orders — scalar-average gating plus an anti join. (TPC-H's "never
+    ordered" predicate is empty on this dense testdata — every customer
+    has orders — so the anti side is the 1998+ window, which keeps the
+    driver's green row non-vacuous at every SF.)
+
+    The scalar average is a 1-row aggregate broadcast onto the pool (no
+    per-row subquery); the NOT EXISTS is a left-anti hash join on
+    custkey against date-pruned orders, which only ships the custkey
+    column. The country band (nationkey mod 5) stands in for Q22's
+    phone-prefix country code. Decimal accumulation keeps the threshold
+    and the sums engine-exact.
+    """
+    pool = (
+        table(spark, sf_dir, "customer")
+        .where((F.col("c_nationkey") % 5).isin(0, 1, 2))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("c_nationkey") % 5).cast("int").alias("cntry"),
+        )
+    )
+    thr = pool.where(F.col("c_acctbal") > 0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "1998-01-01")
+        .select("o_custkey")
+    )
+    return (
+        pool.join(F.broadcast(thr), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntry")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q_starjoin_mincost",
+    # unit cost = l_extendedprice / l_quantity is one IEEE division on
+    # doubles — bit-identical across engines; MIN over exact values is
+    # exact, so the (part, min-cost) equality join is deterministic.
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_cost) AS min_cost FROM cost GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS p_partkey, c.l_suppkey AS s_suppkey,
+           s.s_name, n.n_name AS nation, c.unit_cost AS min_cost
+    FROM cost c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.min_cost
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    ORDER BY min_cost, p_partkey, s_suppkey
+    LIMIT 20
+    """,
+)
+def q_starjoin_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part (TPC-H Q2 shape, partsupp derived from
+    lineitem): the correlated "cost = (SELECT MIN(cost) ... same part)"
+    subquery, decorrelated into a per-part minimum joined back on
+    (part, cost) equality — ties (several suppliers at the minimum) all
+    survive, exactly like Q2.
+
+    The supply cost derives from lineitem (min unit price per
+    part-supplier pair) since the driver's schema has no partsupp; the
+    region filter walks supplier→nation⋈region with both dims broadcast.
+    """
+    l = (  # noqa: E741
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 0)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("uc"),
+        )
+    )
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(F.min("uc").alias("unit_cost"))
+    best = cost.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == F.col("bp")) & (cost.unit_cost == F.col("min_cost")),
+        )
+        .join(s, cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("unit_cost").alias("min_cost"),
+        )
+        .orderBy("min_cost", "p_partkey", "s_suppkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_starjoin_stockshare",
+    oracle=f"""
+    WITH supp_in AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_nationkey % 5 = 0
+    ),
+    val AS (
+      SELECT l.l_partkey, {o_dsum('l.l_extendedprice')} AS part_value
+      FROM lineitem l JOIN supp_in s ON l.l_suppkey = s.s_suppkey
+      GROUP BY l.l_partkey
+    ),
+    total AS (SELECT SUM(part_value) AS tv FROM val)
+    SELECT v.l_partkey AS p_partkey, v.part_value
+    FROM val v, total t
+    WHERE v.part_value > t.tv * 0.001
+    ORDER BY v.part_value DESC, p_partkey
+    LIMIT 20
+    """,
+)
+def q_starjoin_stockshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disproportionate-value parts (TPC-H Q11 shape): parts whose
+    shipped value from one nation band exceeds 0.1% of that band's total
+    — a per-key aggregate gated by a scalar fraction of the SAME
+    aggregate's grand total.
+
+    The grand total re-aggregates the per-part table (tiny), never the
+    fact table twice, and joins back as a broadcast scalar. Value sums
+    are decimal-exact, so the 0.001 threshold picks identical rows on
+    both engines.
+    """
+    supp_in = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") % 5 == 0)
+        .select("s_suppkey")
+    )
+    l = table(spark, sf_dir, "lineitem").select(  # noqa: E741
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    val = (
+        l.join(supp_in, l.l_suppkey == supp_in.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice")).alias("part_value"))
+    )
+    total = val.agg(F.sum("part_value").alias("tv"))
+    return (
+        val.join(F.broadcast(total), F.col("part_value") > F.col("tv") * 0.001)
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_starjoin_suppcnt",
+    oracle="""
+    SELECT p.p_type,
+           CAST(p.p_size % 5 AS INT) AS size_band,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0
+      )
+    GROUP BY p.p_type, size_band
+    """,
+)
+def q_starjoin_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier diversity per part segment (TPC-H Q16 shape): distinct
+    suppliers able to supply each (type, size-band), excluding one brand
+    and a "complaints" supplier blocklist — the NOT-IN anti join over a
+    subquery, composed with COUNT(DISTINCT).
+
+    The blocklist (suppkey mod 13, standing in for Q16's comment LIKE)
+    is an anti join that only ships suppkeys; the distinct count
+    shuffles (type, band, suppkey) once with partial dedup map-side.
+    """
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand") != "Brand#5")
+        .select("p_partkey", "p_type", (F.col("p_size") % 5).cast("int").alias("size_band"))
+    )
+    blocked = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 13 == 0)
+        .select("s_suppkey")
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")  # noqa: E741
+    return (
+        l.join(blocked, l.l_suppkey == blocked.s_suppkey, "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_type", "size_band")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
