@@ -538,3 +538,57 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("jac") >= 0.5).select(
         "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), w -> w <> '')) - 2, 1) + 1),
+               i -> array_to_string(list_filter(string_split(text,' '), w -> w <> '')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+      WHERE doc_id < 1000
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / least(len(a.shingles), len(b.shingles)), 4) AS containment
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / least(len(a.shingles), len(b.shingles)) >= 0.3
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    |A∩B| / min(|A|,|B|) — the metric that catches a document EMBEDDED
+    in a larger one (quotes, concatenated crawls, boilerplate wrappers),
+    which symmetric Jaccard under-scores: a 100-shingle doc fully inside
+    a 10,000-shingle doc has Jaccard ≈ 0.01 but containment 1.0.
+
+    Like q_dedup_ngram_jaccard this is the exact VERIFY stage on a
+    bounded window; at-scale candidate generation reuses the minhash
+    band index keyed on the SMALLER document's signature (containment
+    LSH biases bands toward the contained side). The threshold (0.3)
+    keeps the driver's green row non-vacuous at every SF: the testdata's
+    planted duplicates land at containment 1.0, topical overlap at ~0.3.
+    """
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    sh = d.select("doc_id", _word_shingles(F.col("text"), k=3).alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))).cast(
+        "double"
+    )
+    denom = F.least(F.size(F.col("a.shingles")), F.size(F.col("b.shingles")))
+    cont = inter / denom
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(cont, 4).alias("containment"),
+        )
+        .where(cont >= 0.3)
+    )

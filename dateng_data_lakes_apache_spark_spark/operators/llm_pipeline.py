@@ -840,3 +840,50 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     merges = [(r["left"], r["right"]) for r in bpe_train(d, n_merges=10).collect()]
     return bpe_apply(d, merges)
+
+
+@query(
+    "q_gdpr_erase",
+    oracle="""
+    WITH requests AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(COUNT(*) FILTER (r.user_id IS NOT NULL) AS BIGINT) AS n_erased,
+           CAST(COUNT(*) FILTER (r.user_id IS NULL) AS BIGINT) AS n_after
+    FROM events e LEFT JOIN requests r ON e.user_id = r.user_id
+    GROUP BY e.event_type
+    """,
+)
+def q_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit: apply a deletion-request table to the
+    event stream and account for every row — per event type, rows before,
+    rows erased, rows surviving. The erase itself is a broadcast ANTI
+    join (requests are always tiny relative to the lake); the audit runs
+    the same join as a LEFT join so erased and kept rows are counted in
+    ONE pass — n_before = n_erased + n_after by construction, and the
+    oracle's hash match certifies no row was double-counted or silently
+    dropped.
+
+    At 100 TB this is the compliance sweep run per deletion batch: scan
+    the fact partitions, broadcast the request keys, rewrite surviving
+    rows (the rewrite mechanics are q_merge_upsert / q_compact_files
+    territory); the audit trail emitted here is what the DPO files.
+    Deterministic request set (user_id mod 97) stands in for the real
+    request table.
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    requests = (
+        ev.where(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    )
+    r = F.broadcast(requests).withColumnRenamed("user_id", "r_user")
+    return (
+        ev.join(r, ev.user_id == F.col("r_user"), "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.count("r_user").alias("n_erased"),
+            F.count_if(F.col("r_user").isNull()).alias("n_after"),
+        )
+    )
