@@ -1010,3 +1010,67 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.col("last.ts")).alias("last_ts"),
         F.col("last.value").alias("last_value"),
     )
+
+
+@query(
+    "q_stream_chained",
+    # Two stateful operators in ONE query. Emission prediction: dedup
+    # (append) forwards each first occurrence immediately; the window agg
+    # then emits exactly the windows the FINAL watermark (max purchase ts
+    # − 10 min) closes — the same arithmetic rule as q_stream_append,
+    # applied to the deduplicated row set.
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(ts) AS mts FROM events WHERE event_type = 'purchase'
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS ws,
+             COUNT(*) AS n_events,
+             {o_dsum('value')} AS sum_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT {o_ts_str('ws')} AS window_start, n_events, sum_value
+    FROM agg, mx
+    WHERE ws + INTERVAL 1 HOUR <= mts - INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming: dropDuplicatesWithinWatermark feeding
+    a tumbling-window aggregation inside one streaming query, over the
+    replay where every row arrives twice — the real ingest pipeline
+    (at-least-once source → dedup → metric rollup) as one plan, not two
+    jobs with an intermediate sink.
+
+    Multi-stateful append-mode queries are the strictest watermark-
+    propagation test the engine has: the dedup stage must evict its keys
+    AND forward rows without delaying the downstream watermark, and the
+    agg stage must close windows on the GLOBAL watermark — a propagation
+    bug shows up as missing or extra WINDOWS, which the arithmetic
+    oracle catches exactly. State is bounded on both stages (dedup: keys
+    within the horizon; agg: open windows × keys).
+    """
+    stage = _stage_events_duplicated(spark, sf_dir)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        normalize_nanos_ts(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "value")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("sum_value_dec"),
+        )
+    )
+    result = _run_to_memory(agg, "chained", "append")
+    return result.select(
+        ts_str(F.col("w.start")).alias("window_start"),
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )

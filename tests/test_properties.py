@@ -179,3 +179,91 @@ def test_sessionize_matches_reference(spark, tmp_path_factory, rows):
         .collect()
     )
     assert got == _reference_sessions(rows)
+
+
+@st.composite
+def event_logs(draw):
+    """Random (user, stage, minute) logs over a tiny key space so stage
+    interleavings (purchase-before-view etc.) are actually generated."""
+    return draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=4),           # user
+                st.sampled_from(["view", "click", "purchase"]),  # stage
+                st.integers(min_value=0, max_value=30),          # minute
+            ),
+            min_size=0,
+            max_size=25,
+        )
+    )
+
+
+def _funnel_reference(rows):
+    """Pure-Python first-touch ordered funnel: per user, earliest view,
+    then earliest click strictly after it, then earliest purchase
+    strictly after that. Returns the per-stage user sets."""
+    by_user: dict[int, list[tuple[str, int]]] = {}
+    for u, s, t in rows:
+        by_user.setdefault(u, []).append((s, t))
+    reached = {"view": set(), "click": set(), "purchase": set()}
+    for u, evs in by_user.items():
+        prev = None
+        for stage in ("view", "click", "purchase"):
+            ts = [t for s, t in evs if s == stage and (prev is None or t > prev)]
+            if not ts:
+                break
+            prev = min(ts)
+            reached[stage].add(u)
+    return reached
+
+
+@given(rows=event_logs())
+@settings(**_SETTINGS)
+def test_funnel_matches_reference(spark, rows):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dateng_data_lakes_apache_spark_spark.operators import events_analytics as ea
+
+    if not rows:
+        return
+    data = [
+        (u, s, dt.datetime(2024, 1, 1, 0, m)) for u, s, m in rows
+    ]
+    ev = spark.createDataFrame(data, "user_id long, event_type string, ts timestamp")
+    expected = _funnel_reference(rows)
+    prior = None
+    for stage in ea._FUNNEL_STAGES:
+        cur = ev.where(F.col("event_type") == stage)
+        if prior is not None:
+            cur = cur.join(prior, "user_id").where(F.col("ts") > F.col("t_prev"))
+        reached = cur.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+        got = {r.user_id for r in reached.collect()}
+        assert got == expected[stage], f"stage {stage}: {got} != {expected[stage]}"
+        prior = reached
+
+
+def _triangle_reference(edges):
+    adj: dict[int, set[int]] = {}
+    canon = {(min(u, v), max(u, v)) for u, v in edges}
+    for u, v in canon:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    count = 0
+    for a, b in canon:
+        count += len([c for c in adj[a] & adj[b] if c > b])
+    return count
+
+
+@given(edges=edge_lists())
+@settings(**_SETTINGS)
+def test_triangle_count_matches_reference(spark, edges):
+    from dateng_data_lakes_apache_spark_spark.operators.graph import triangle_count
+
+    canon = sorted({(min(u, v), max(u, v)) for u, v in edges})
+    if not canon:
+        return
+    e = spark.createDataFrame(canon, "a long, b long")
+    got = triangle_count(e).collect()[0][0]
+    assert got == _triangle_reference(edges)
