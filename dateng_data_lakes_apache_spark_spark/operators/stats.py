@@ -176,3 +176,80 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _dec_sum(F.col("value")).alias("sum_value"),
     )
+
+
+@query(
+    "q_outlier_iqr",
+    # Quartiles are EXACT ORDER STATISTICS (row_number-picked elements,
+    # ties broken by event_id), not interpolated quantiles: linear
+    # interpolation composes float ops differently across engines
+    # (a+(b-a)f vs (1-f)a+fb) and an ulp on the fence flips boundary
+    # rows. Element picks + identical fence arithmetic are engine-exact.
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN value END) AS q1,
+             MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN value END) AS q3
+      FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type, q.q1, q.q3,
+           CAST(COUNT(*) FILTER (
+             r.value < q.q1 - 1.5 * (q.q3 - q.q1)
+             OR r.value > q.q3 + 1.5 * (q.q3 - q.q1)
+           ) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM ranked r JOIN q ON r.event_type = q.event_type
+    GROUP BY r.event_type, q.q1, q.q3
+    """,
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per group: values beyond
+    quartile ± 1.5×IQR — the data-cleaning screen run before any
+    aggregate is trusted (and before outliers poison a training set).
+
+    Quartiles are exact order statistics picked by row_number with a
+    full tiebreak, so both engines select the SAME element and the
+    fence arithmetic (two IEEE ops on identical doubles) is exact —
+    see the oracle comment for why interpolated quantiles can't give a
+    cross-engine-stable fence. The per-group sort is one shuffle on
+    event_type (5 keys here; at 100 TB swap the exact rank for
+    approx_percentile fences — the fence CONSUMER is unchanged).
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    q = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.25 * F.col("n")).cast("bigint"), F.col("value"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.75 * F.col("n")).cast("bigint"), F.col("value"))
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        ranked.join(q, "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count_if((F.col("value") < lo) | (F.col("value") > hi)).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select("event_type", "q1", "q3", "n_outliers", "n_total")
+    )

@@ -1074,3 +1074,109 @@ def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_value_dec").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "q_stream_full_outer",
+    # FULL outer = the left-outer emission rule applied to BOTH sides.
+    # A purchase's null row emits once the watermark strictly passes
+    # p_ts (no click with c_ts <= p_ts can arrive); a click's null row
+    # once it strictly passes c_ts + 5 min (no purchase with p_ts in
+    # [c_ts, c_ts + 5 min] can arrive — the condition bounds the click's
+    # buffered lifetime, which is also its state-eviction point).
+    # Watermark = LEAST(max purchase ts, max click ts) − 10 min, per the
+    # multipleWatermarkPolicy="min" rule documented on q_stream_outer_join.
+    oracle="""
+    WITH mx AS (
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+      ) AS mts
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    ),
+    matched AS (
+      SELECT p.purchase_id, c.click_id,
+             p.user_id AS p_user, c.user_id AS c_user
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 5 MINUTE
+       AND c.ts <= p.ts
+    ),
+    p_null AS (
+      SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id,
+             p.user_id AS p_user, CAST(NULL AS BIGINT) AS c_user
+      FROM p, mx
+      WHERE NOT EXISTS (
+        SELECT 1 FROM c
+        WHERE c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+      )
+      AND p.ts < mts - INTERVAL 10 MINUTE
+    ),
+    c_null AS (
+      SELECT CAST(NULL AS BIGINT) AS purchase_id, c.click_id,
+             CAST(NULL AS BIGINT) AS p_user, c.user_id AS c_user
+      FROM c, mx
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+      )
+      AND c.ts + INTERVAL 5 MINUTE < mts - INTERVAL 10 MINUTE
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM p_null
+    UNION ALL SELECT * FROM c_null
+    """,
+)
+def q_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join over the 4-batch
+    monotone replay — completing the streaming join matrix (inner, left
+    outer, full outer): every attribution match, every purchase with no
+    prior click, AND every click that led to no purchase, each null side
+    emitted exactly when the watermark proves no partner can arrive.
+
+    Per side, the emission point IS the state-eviction point (the join
+    condition bounds a click's useful lifetime to c_ts + 5 min, a
+    purchase's to p_ts), so the oracle's two NOT-EXISTS windows verify
+    both halves of the eviction logic arithmetically — on row COUNT,
+    not just values.
+    """
+    stage = _stage_events_ordered(spark, sf_dir)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        s = normalize_nanos_ts(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+        )
+        return (
+            s.where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "10 minutes")
+        )
+
+    purchases = side("purchase", "p")
+    clicks = side("click", "c")
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 5 MINUTES AND c_ts <= p_ts"),
+        "fullOuter",
+    )
+    result = _run_to_memory(joined, "stream_full_outer", "append")
+    return result.select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_user"),
+        F.col("c_user"),
+    )
