@@ -166,3 +166,133 @@ def q_udtf_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.seg_idx, s.seg_tokens, s.seg_text "
         "FROM docs_for_udtf, LATERAL segments(text) s"
     )
+
+
+@query(
+    "q_cogroup_reconcile",
+    # The kernel's output is SQL-expressible (per-customer counts +
+    # decimal totals from two tables merged full-outer), so the cogroup
+    # API surface gets an EXACT oracle, not a rows-only pass.
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT c_custkey AS custkey, COUNT(*) AS n_accounts,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_bal
+      FROM customer WHERE c_acctbal > 5000 GROUP BY c_custkey
+    )
+    SELECT COALESCE(o.custkey, c.custkey) AS custkey,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(o.total_spend, 0.0) AS total_spend,
+           CAST(COALESCE(c.n_accounts, 0) AS BIGINT) AS n_accounts,
+           COALESCE(c.total_bal, 0.0) AS total_bal
+    FROM o FULL OUTER JOIN c ON o.custkey = c.custkey
+    """,
+)
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table grouped reconciliation via ``cogroup().applyInPandas``
+    — the API surface for custom merge logic that needs BOTH sides of a
+    key as pandas frames at once (ledger reconciliation, interleaved
+    event alignment, custom as-of semantics beyond SQL).
+
+    Each key's (orders, accounts) frame pair arrives Arrow-batched in
+    one task after a single co-partitioned shuffle on the key — the
+    same shuffle a join would pay, but the kernel sees whole groups
+    instead of row pairs. The kernel here computes an exactly
+    SQL-expressible reconciliation (counts + decimal totals, full-outer
+    semantics: keys present on either side emit), so the driver gets a
+    hash-checked row for the API surface itself. numpy/decimal math
+    keeps totals engine-exact.
+    """
+    import decimal
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_acctbal")
+    )
+
+    out_schema = (
+        "custkey bigint, n_orders bigint, total_spend double, "
+        "n_accounts bigint, total_bal double"
+    )
+
+    def reconcile(key, orders_pdf: "pd.DataFrame", cust_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # decimal accumulation mirrors the engine's DECIMAL(30,8) sums —
+        # float sums here would diverge from the oracle in the last ulp
+        spend = sum(
+            (decimal.Decimal(str(v)) for v in orders_pdf["o_totalprice"]),
+            decimal.Decimal(0),
+        )
+        bal = sum(
+            (decimal.Decimal(str(v)) for v in cust_pdf["c_acctbal"]),
+            decimal.Decimal(0),
+        )
+        return pd.DataFrame(
+            {
+                "custkey": [int(key[0])],
+                "n_orders": [len(orders_pdf)],
+                "total_spend": [float(spend)],
+                "n_accounts": [len(cust_pdf)],
+                "total_bal": [float(bal)],
+            }
+        )
+
+    return (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .cogroup(c.groupBy(F.col("c_custkey").alias("k")))
+        .applyInPandas(reconcile, schema=out_schema)
+    )
+
+
+@query(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_quantity * 2 AS DOUBLE) AS double_qty,
+           CAST(len(CAST(l_orderkey AS VARCHAR)) AS INT) AS key_digits
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface: the zero-copy sibling of mapInPandas —
+    the kernel receives raw ``pyarrow.RecordBatch``es, skipping the
+    Arrow→pandas conversion entirely. The right slot for kernels that
+    are already columnar (pyarrow.compute, numpy-on-buffers, FFI into
+    native code): per-batch overhead is allocation-free on the Python
+    side.
+
+    The kernel is deliberately SQL-expressible (doubled quantity +
+    digit count via pyarrow.compute) so the API surface itself gets an
+    exact driver oracle. Map-only: no shuffle, pushdown reaches the
+    scan on l_linenumber.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    l = (  # noqa: E741
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_linenumber") == 1)
+        .select("l_orderkey", "l_quantity")
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            keys = batch.column("l_orderkey")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    keys,
+                    pc.multiply(pc.cast(batch.column("l_quantity"), pa.float64()), 2.0),
+                    pc.cast(pc.utf8_length(pc.cast(keys, pa.string())), pa.int32()),
+                ],
+                names=["l_orderkey", "double_qty", "key_digits"],
+            )
+
+    return l.mapInArrow(
+        kernel, schema="l_orderkey bigint, double_qty double, key_digits int"
+    )
