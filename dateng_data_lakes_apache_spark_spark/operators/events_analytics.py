@@ -227,3 +227,57 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "q_sequence_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY src, dst
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n_transitions,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 4) AS p
+    FROM t
+    """,
+)
+def q_sequence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current type) — the behavioral-model
+    prep (next-action prediction, anomalous-flow detection) and the
+    sequence-statistics pass an LLM-agent trace pipeline runs on action
+    logs.
+
+    One shuffle on user_id for the LEAD window (full (ts, event_id)
+    tiebreak so the successor is engine-deterministic), then a hash agg
+    on the (src, dst) pairs — 25 cells here, K² cells generally, so the
+    output never scales with the data. The probability is one bigint÷
+    bigint IEEE division of identical values on both engines, rounded
+    only for display stability.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    wsrc = Window.partitionBy("src")
+    return t.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wsrc), 4
+        ).alias("p"),
+    )

@@ -196,3 +196,59 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.crossJoin(triangle_count(edges))
+
+
+@query(
+    "q_graph_degree",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+      SELECT a.p AS a, b.p AS b
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY node
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg
+    GROUP BY degree
+    """,
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (same
+    support-thresholded edge derivation as q_triangle_count): how many
+    nodes have 1, 2, 3, … neighbors — the first diagnostic run on ANY
+    derived graph, because the Σ degree² it summarizes is exactly what
+    prices every downstream wedge join, and a power-law tail here is
+    the early warning to re-threshold before attempting triangles or
+    label propagation at scale.
+
+    Two chained hash aggs over the doubled edge list; output is bounded
+    by max degree, independent of graph size.
+    """
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    ia, ib = items.alias("ia"), items.alias("ib")
+    edges = (
+        ia.join(ib, (F.col("ia.o") == F.col("ib.o")) & (F.col("ia.p") < F.col("ib.p")))
+        .groupBy(F.col("ia.p").alias("a"), F.col("ib.p").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("a", "b")
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
