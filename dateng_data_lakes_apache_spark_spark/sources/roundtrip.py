@@ -624,3 +624,75 @@ def q_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_custkey").cast("bigint").alias("min_ck"),
         F.max("o_custkey").cast("bigint").alias("max_ck"),
     )
+
+
+def _stage_malformed_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic dirty-CSV fixture: one line per document with
+    doc_id % 5 == 0, fields (doc_id, n_chars, lang) — except rows with
+    doc_id % 15 == 0, whose n_chars field is the unparseable token
+    ``corrupted!`` (a type violation, not a quoting problem, so the
+    PERMISSIVE reader must null the field and capture the raw line).
+    Written with plain file I/O: the corruption must be byte-exact, not
+    whatever a CSV writer would escape it into."""
+    path = _stage_dir(sf_dir, "malformed_csv")
+    marker = os.path.join(path, "_STAGED")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    rows = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "n_chars", "lang")
+        .collect()  # bounded fixture subset (sf0.1: ~1k rows), staged once
+    )
+    with open(os.path.join(path, "part-000.csv"), "w") as f:
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            bad = r["doc_id"] % 15 == 0
+            n = "corrupted!" if bad else str(r["n_chars"])
+            f.write(f"{r['doc_id']},{n},{r['lang']}\n")
+    open(marker, "w").close()
+    return path
+
+
+@query(
+    "q_csv_malformed_audit",
+    # The oracle predicts the PERMISSIVE reader's behavior from the
+    # staging rule: every doc_id % 15 == 0 row is corrupt (n_chars
+    # nulled, raw line captured), everything else parses clean.
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (doc_id % 15 = 0) AS BIGINT) AS n_corrupt,
+           {o_dsum('CASE WHEN doc_id % 15 = 0 THEN NULL ELSE n_chars END')}
+             AS sum_chars_clean
+    FROM documents
+    WHERE doc_id % 5 = 0
+    GROUP BY lang
+    """,
+)
+def q_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data ingestion QA: read a CSV containing malformed rows in
+    PERMISSIVE mode with a corrupt-record column, and audit clean vs
+    corrupt counts per group in one pass — the ingest contract every
+    lake needs (FAILFAST aborts the 100 TB job on row one; DROPMALFORMED
+    silently loses data; PERMISSIVE + audit is the deployable mode:
+    nothing lost, everything accounted).
+
+    The parsed frame is persisted before aggregating — Spark refuses
+    queries that project ONLY the internal corrupt-record column from a
+    streaming parse (the raw-line capture is populated during parsing,
+    not re-derivable), and caching materializes it once for the audit.
+    """
+    path = _stage_malformed_csv(spark, sf_dir)
+    parsed = (
+        spark.read.schema("doc_id bigint, n_chars bigint, lang string, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .persist()
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt").alias("n_corrupt"),
+        dsum(F.col("n_chars")).alias("sum_chars_clean"),
+    )
