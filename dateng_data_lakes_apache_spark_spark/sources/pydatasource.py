@@ -116,3 +116,119 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming Python DataSource: the Spark-4 surface for pure-Python stream
+# sources (REST pollers, internal queues) — no JVM code, exactly-once via
+# offset bookkeeping.
+# --------------------------------------------------------------------------
+
+_TICK_TOTAL = 1000
+_TICK_BATCH = 300
+
+
+class TickStreamReader:
+    """Bounded deterministic tick stream: rows (idx, v = idx mod 7) for
+    idx in [0, TOTAL), served in offset-tracked batches of BATCH.
+
+    ``read`` advances the offset and serves new rows; ``readBetweenOffsets``
+    re-derives any committed range — the REPLAY contract that makes a
+    Python source exactly-once under failure recovery (the engine may
+    re-request any span between committed offsets; a source that cannot
+    re-serve it breaks recovery). Both derive rows from the offset alone:
+    no driver state beyond the integer.
+    """
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def read(self, start):
+        s = int(start["idx"])
+        e = min(s + _TICK_BATCH, _TICK_TOTAL)
+        return (iter([(i, float(i % 7)) for i in range(s, e)]), {"idx": e})
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [(i, float(i % 7)) for i in range(int(start["idx"]), int(end["idx"]))]
+        )
+
+
+class TickStreamSource(DataSource):
+    """``tick_stream`` format (streaming): see TickStreamReader."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tick_stream"
+
+    def schema(self) -> str:
+        return "idx bigint, v double"
+
+    def simpleStreamReader(self, schema) -> "TickStreamReader":
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        # Subclass at call time so module import never requires the
+        # streaming ABC (keeps batch-only environments importable).
+        reader = TickStreamReader()
+        cls = type("_TickSimple", (SimpleDataSourceStreamReader,), {})
+        inst = cls()
+        inst.initialOffset = reader.initialOffset
+        inst.read = reader.read
+        inst.readBetweenOffsets = reader.readBetweenOffsets
+        return inst
+
+
+@query(
+    "q_python_stream_source",
+    # No input table: the oracle re-derives the deterministic stream
+    # (range 0..TOTAL, v = idx mod 7) and aggregates it directly.
+    oracle=f"""
+    SELECT CAST(i % 7 AS DOUBLE) AS v,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(i) AS BIGINT) AS sum_idx
+    FROM range(0, {_TICK_TOTAL}) t(i)
+    GROUP BY 1
+    """,
+)
+def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python DataSource: a pure-Python offset-tracked stream
+    source (the Spark-4 slot where REST feeds and internal queues plug
+    in without JVM code), drained through a micro-batch aggregation.
+
+    AvailableNow isn't supported for Python stream sources (Spark falls
+    back to single-batch), so the runner uses the default trigger and
+    stops on the first zero-input micro-batch — which can only occur
+    after the bounded source is exhausted, making the drain
+    deterministic: ~TOTAL/BATCH micro-batches, complete-mode aggregate
+    equal to the closed-form oracle regardless of batch boundaries.
+    """
+    import time
+    import uuid as _uuid
+
+    spark.dataSource.register(TickStreamSource)
+    agg = (
+        spark.readStream.format("tick_stream")
+        .load()
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("idx").alias("sum_idx"))
+    )
+    sink = f"pyds_stream_{_uuid.uuid4().hex[:8]}"
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        deadline = time.monotonic() + 300
+        while q.isActive and time.monotonic() < deadline:
+            if any(p["numInputRows"] == 0 for p in q.recentProgress):
+                q.stop()
+                break
+            time.sleep(0.2)
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    return spark.table(sink)
