@@ -281,3 +281,73 @@ def q_sequence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wsrc), 4
         ).alias("p"),
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    # Weights are whole-SECOND gaps (exact integer division of the µs
+    # gap) and values round to DECIMAL(18,4): the weighted sum's
+    # unscaled integer then stays below 2^53, so BOTH engines' decimal→
+    # double casts are exact. (µs weights were tried and diverge:
+    # DuckDB casts decimal via (double)unscaled / (double)10^scale —
+    # two roundings once unscaled exceeds 2^53 — while Spark's
+    # BigDecimal cast rounds once; sub-ulp TWA differences followed.)
+    # Sub-second gaps weigh 0 and drop out of both sums consistently.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT user_id, value, (next_us - us) // 1000000 AS gap_s
+      FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(gap_s) AS BIGINT) AS span_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)) * gap_s) AS DOUBLE)
+                / CAST(SUM(gap_s) AS DOUBLE) AS twa
+    FROM g
+    GROUP BY user_id
+    HAVING SUM(gap_s) > 0
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user: each purchase value weighted by
+    how long it remained the latest observation — the aggregation that
+    is CORRECT for irregularly sampled series (sensor states, account
+    balances, position marks), where the plain AVG over-weights bursts.
+
+    One LEAD window (full tiebreak) to get each observation's holding
+    interval, then a hash agg: Σ value×gap_s / Σ gap_s with whole-second
+    integer gaps and decimal products — engine-exact up to the one
+    final IEEE division (see the oracle comment for the 2^53 cast
+    analysis that forces second, not microsecond, weights).
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).where(F.col("next_us").isNotNull())
+    gap_s = F.expr("(next_us - us) div 1000000")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(gap_s).alias("span_s"),
+            # cast each exact decimal/integer sum to double FIRST, then
+            # divide once (decimal÷decimal result scale truncates)
+            (
+                F.sum(F.col("value").cast("decimal(18,4)") * gap_s).cast("double")
+                / F.sum(gap_s).cast("double")
+            ).alias("twa"),
+        )
+        .where(F.col("span_s") > 0)
+    )

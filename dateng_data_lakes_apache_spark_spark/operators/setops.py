@@ -82,3 +82,42 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.unionByName(s).distinct()
+
+
+@query(
+    "q_union_mixed_schema",
+    oracle="""
+    SELECT src, event_id AS id, value, NULL AS o_totalprice
+    FROM (SELECT 'events' AS src, event_id, value FROM events
+          WHERE event_type = 'purchase' AND event_id % 50 = 0)
+    UNION ALL BY NAME
+    SELECT 'orders' AS src, o_orderkey AS id, NULL AS value, o_totalprice
+    FROM orders WHERE o_orderkey % 500 = 0
+    """,
+)
+def q_union_mixed_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: two sources with partially overlapping
+    columns combined with ``unionByName(allowMissingColumns=True)`` —
+    each side's missing columns null-fill, matching by NAME, never by
+    position. This is the union a lake actually performs (v1 and v2 of
+    a feed, two teams' exports): positional unionAll silently pairs
+    unrelated columns the moment one side adds a field.
+
+    Map-only (no shuffle); the oracle is DuckDB's UNION ALL BY NAME
+    with explicit null padding.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("event_id") % 50 == 0))
+        .select(F.lit("events").alias("src"), F.col("event_id").alias("id"), "value")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 500 == 0)
+        .select(
+            F.lit("orders").alias("src"),
+            F.col("o_orderkey").alias("id"),
+            "o_totalprice",
+        )
+    )
+    return ev.unionByName(o, allowMissingColumns=True)
