@@ -105,6 +105,11 @@ HEADLINE = [
     "q_starjoin_custdist",
     "q_starjoin_waiting",
     "q_starjoin_mincost",
+    "q_outlier_iqr",
+    "q_cogroup_reconcile",
+    "q_sequence_transitions",
+    "q_time_weighted_avg",
+    "q_stream_chained",
 ]
 
 
