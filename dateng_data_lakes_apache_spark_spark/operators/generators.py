@@ -246,3 +246,58 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("filled"),
         )
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH d AS (
+      SELECT lang, n_chars,
+             CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096
+                + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256
+                + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16
+                + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1) AS INT) % 4096
+               AS bucket,
+             least(n_chars, 3000) // 2 AS w
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (bucket < w) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) FILTER (bucket < w) AS BIGINT) AS kept_chars
+    FROM d
+    GROUP BY lang
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED deterministic sampling: keep probability proportional to
+    document length (capped) — importance sampling by size, the knob a
+    data mix uses to up-weight substantive documents without an RNG.
+
+    Same hash-threshold discipline as q_sample_stratified (keep iff
+    md5(doc_id) mod M < weight), so the decision is a pure row function:
+    reproducible across engines/runs/layout, map-only, and exactly
+    oracle-able — per-row weights just replace the per-stratum constant.
+    The length cap bounds any single document's inclusion probability
+    at ~37%, keeping the expected sample a weighted blend rather than
+    "all long docs".
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 4096
+    )
+    weight = F.expr("least(n_chars, 3000) div 2")
+    kept = bucket < weight
+    return (
+        d.select("lang", "n_chars", bucket.alias("bucket"), weight.alias("w"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("bucket") < F.col("w")).alias("n_kept"),
+            F.sum(F.when(F.col("bucket") < F.col("w"), F.col("n_chars")))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )
