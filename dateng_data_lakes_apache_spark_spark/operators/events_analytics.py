@@ -351,3 +351,103 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("span_s") > 0)
     )
+
+
+@query(
+    "q_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT {day} AS day,
+           CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+    FROM days JOIN ud ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """.format(day="strftime(days.d, '%Y-%m-%d')"),
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the windowed
+    COUNT(DISTINCT) that a plain window frame cannot express (distinct
+    doesn't decompose over sliding frames), solved the scalable way:
+    collapse events to distinct (user, day) FIRST, then expand each
+    observation into the ≤7 window anchors it serves via a bounded
+    range join, then count distinct per anchor.
+
+    The expansion factor is exactly the window length — cost is
+    users×days×7, independent of raw event volume, and every join is an
+    equi-ish range join on the tiny distinct table. (The alternative —
+    approx via HLL sketch merge — is q_sketch_hll_merge's territory;
+    this is the exact path.)
+    """
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct().select(F.col("d").alias("anchor"))
+    return (
+        days.join(
+            ud,
+            (F.col("d") >= F.date_sub(F.col("anchor"), 6))
+            & (F.col("d") <= F.col("anchor")),
+        )
+        .groupBy(date_str(F.col("anchor")).alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+@query(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT user_id,
+             datediff('day', MAX(CAST(ts AS DATE)), DATE '2024-02-01') AS recency_days,
+             COUNT(*) AS frequency,
+             {o_dsum('value')} AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT CASE WHEN recency_days <= 3 THEN 'active'
+                WHEN recency_days <= 10 THEN 'cooling' ELSE 'dormant' END
+             AS recency_band,
+           CASE WHEN frequency >= 15 THEN 'frequent' ELSE 'occasional' END
+             AS frequency_band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           {o_dsum('monetary')} AS total_value
+    FROM rfm
+    GROUP BY recency_band, frequency_band
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary): the
+    composed marketing-analytics shape — per-user aggregate, then
+    banding, then segment rollup. Bands use FIXED thresholds, not
+    quantiles, deliberately: threshold bands are one map-side CASE
+    (and engine-exact); quantile bands need a global rank and are
+    q_ntile_global's pattern if wanted.
+
+    Two chained hash aggs (user-level then segment-level), monetary
+    decimal-exact through both; the anchor date is fixed so recency is
+    reproducible.
+    """
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    rfm = ev.groupBy("user_id").agg(
+        F.datediff(F.lit("2024-02-01").cast("date"), F.max(F.to_date("ts"))).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("value")).alias("monetary"),
+    )
+    recency_band = (
+        F.when(F.col("recency_days") <= 3, "active")
+        .when(F.col("recency_days") <= 10, "cooling")
+        .otherwise("dormant")
+    )
+    frequency_band = F.when(F.col("frequency") >= 15, "frequent").otherwise("occasional")
+    return (
+        rfm.groupBy(
+            recency_band.alias("recency_band"), frequency_band.alias("frequency_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            dsum(F.col("monetary")).alias("total_value"),
+        )
+    )
