@@ -709,3 +709,93 @@ def q_er_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= 1)
     )
+
+
+@query(
+    "q_pmi_collocations",
+    # PMI = ln(c_xy·T / (c_x·c_y)), computed from identical integer
+    # counts on both engines; the single ln of an identical double plus
+    # ROUND(…,4) keeps the float surface one libm call wide (the same
+    # precedent as q_text_entropy's LN oracle).
+    oracle="""
+    WITH w AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    tokens AS (SELECT unnest(ws) AS tok FROM w),
+    uni AS (SELECT tok, COUNT(*) AS c FROM tokens GROUP BY tok),
+    t AS (SELECT COUNT(*) AS total FROM tokens),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+               AS bigram
+      FROM w WHERE len(ws) >= 2
+    ),
+    bic AS (SELECT bigram, COUNT(*) AS cxy FROM bi GROUP BY bigram HAVING COUNT(*) >= 5)
+    SELECT b.bigram, CAST(b.cxy AS BIGINT) AS n_pair,
+           ROUND(LN(CAST(b.cxy AS DOUBLE) * t.total
+                    / (u1.c * u2.c)), 4) AS pmi
+    FROM bic b, t
+    JOIN uni u1 ON u1.tok = string_split(b.bigram, ' ')[1]
+    JOIN uni u2 ON u2.tok = string_split(b.bigram, ' ')[2]
+    ORDER BY pmi DESC, b.bigram
+    LIMIT 20
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: bigrams whose parts
+    co-occur far more than their unigram frequencies predict — the
+    phrase-mining pass (tokenizer vocab candidates, multi-word entity
+    discovery) that raw bigram counts get wrong because frequent words
+    pair often by chance.
+
+    Three hash aggs (unigrams, bigrams, the 1-row token total) and two
+    joins of the bigram table to the unigram table on its halves — all
+    on vocabulary-sized inputs after map-side fan-in, never the corpus.
+    The support floor (pairs ≥ 5) is what keeps PMI's low-count noise
+    out; the top-20 with tiebreak is TakeOrderedAndProject.
+    """
+    d = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    toks = d.select(F.explode(ws).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    bigrams = (
+        d.select(ws.alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                    ),
+                )
+            ).alias("bigram")
+        )
+    )
+    bic = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 5)
+    )
+    u1 = uni.select(F.col("tok").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("t2"), F.col("c").alias("c2"))
+    return (
+        bic.join(u1, F.split("bigram", " ").getItem(0) == F.col("t1"))
+        .join(u2, F.split("bigram", " ").getItem(1) == F.col("t2"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double")
+                    * F.col("total")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(20)
+    )
