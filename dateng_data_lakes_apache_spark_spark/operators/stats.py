@@ -253,3 +253,29 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "q1", "q3", "n_outliers", "n_total")
     )
+
+
+@query(
+    "q_histogram_2d",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS hour_bin,
+           CAST(FLOOR(value / 100.0) AS BIGINT) AS value_bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY hour_bin, value_bin
+    """,
+)
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (hour-of-day × value band): the heat-map binning
+    primitive behind density plots and drift dashboards. One hash agg on
+    the composed bin key — map-side partial aggregation collapses every
+    partition to its occupied cells, so the shuffle carries at most
+    24×bands rows per task regardless of input volume. Both bin
+    functions are exact integer derivations (hour extraction, floor
+    division), so the cell assignment is engine-identical.
+    """
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.hour("ts").cast("int").alias("hour_bin"),
+        F.floor(F.col("value") / 100.0).cast("bigint").alias("value_bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
