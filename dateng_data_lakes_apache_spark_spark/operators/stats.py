@@ -279,3 +279,90 @@ def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("int").alias("hour_bin"),
         F.floor(F.col("value") / 100.0).cast("bigint").alias("value_bin"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _o_corr(x: str, y: str) -> str:
+    """DuckDB Pearson r from decimal-exact moment sums, rounded to 6."""
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    sx = f"CAST(SUM(CAST({x} AS DECIMAL(30,8))) AS DOUBLE)"
+    sy = f"CAST(SUM(CAST({y} AS DECIMAL(30,8))) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST({x} * {x} AS DECIMAL(30,8))) AS DOUBLE)"
+    syy = f"CAST(SUM(CAST({y} * {y} AS DECIMAL(30,8))) AS DOUBLE)"
+    sxy = f"CAST(SUM(CAST({x} * {y} AS DECIMAL(30,8))) AS DOUBLE)"
+    return (
+        f"ROUND(({n} * {sxy} - {sx} * {sy}) / "
+        f"(SQRT({n} * {sxx} - {sx} * {sx}) * SQRT({n} * {syy} - {sy} * {sy})), 6)"
+    )
+
+
+@query(
+    "q_corr_profile",
+    # corr() builtins disagree across engines (different one-pass update
+    # formulas, different summation orders). Here every moment (Σx, Σx²,
+    # Σxy) accumulates as decimal of IEEE-identical per-row products, so
+    # both engines compute r from the SAME six doubles with the same
+    # expression tree — exact to the final rounding.
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_o_corr('l_quantity', 'l_extendedprice')} AS corr_qty_price,
+           {_o_corr('l_extendedprice', 'l_discount')} AS corr_price_disc,
+           {_o_corr('l_quantity', 'l_tax')} AS corr_qty_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation profile between fact measures, per group —
+    the feature-redundancy screen run before modeling, in ONE
+    aggregation pass (all six moment sums per pair share the same
+    partial-agg shuffle; no per-pair re-scan).
+
+    Engine-exactness: built-in corr() is NOT cross-engine-stable (one-
+    pass co-moment updates differ), so r is assembled from decimal-
+    accumulated moment sums — each per-row product is one IEEE multiply,
+    identical everywhere; the final expression is the same tree of ~10
+    double ops on identical inputs. The n·Sxy − Sx·Sy formulation loses
+    precision when means dwarf variances (catastrophic cancellation);
+    acceptable here and rounded to 6, with Welford-style co-moments the
+    escape hatch when it isn't.
+    """
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+
+    def moments(x: str, y: str, tag: str):
+        dec = lambda c: c.cast("decimal(30,8)")  # noqa: E731
+        return [
+            F.sum(dec(F.col(x))).cast("double").alias(f"sx_{tag}"),
+            F.sum(dec(F.col(y))).cast("double").alias(f"sy_{tag}"),
+            F.sum(dec(F.col(x) * F.col(x))).cast("double").alias(f"sxx_{tag}"),
+            F.sum(dec(F.col(y) * F.col(y))).cast("double").alias(f"syy_{tag}"),
+            F.sum(dec(F.col(x) * F.col(y))).cast("double").alias(f"sxy_{tag}"),
+        ]
+
+    pairs = {
+        "qp": ("l_quantity", "l_extendedprice"),
+        "pd": ("l_extendedprice", "l_discount"),
+        "qt": ("l_quantity", "l_tax"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for tag, (x, y) in pairs.items():
+        aggs.extend(moments(x, y, tag))
+    base = l.groupBy("l_returnflag").agg(*aggs)
+
+    def r(tag: str):
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"sx_{tag}"), F.col(f"sy_{tag}")
+        sxx, syy, sxy = F.col(f"sxx_{tag}"), F.col(f"syy_{tag}"), F.col(f"sxy_{tag}")
+        return F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        )
+
+    return base.select(
+        "l_returnflag",
+        "n",
+        r("qp").alias("corr_qty_price"),
+        r("pd").alias("corr_price_disc"),
+        r("qt").alias("corr_qty_tax"),
+    )
