@@ -159,21 +159,53 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    # Stop the JVM BEFORE printing: async JVM warnings (GC, shutdown) can
-    # otherwise land on stdout after the JSON line and break tail -1
-    # parsing of the one-line contract.
-    spark.stop()
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full-precision per-query detail goes to a repo file — the printed
+    # contract line must fit the driver's 2000-char stdout tail capture
+    # (round 2's 3.5 KB line was truncated mid-stream -> "parsed": null).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
         )
-    )
+        f.write("\n")
+
+    def contract_line(decimals: int, keep: int) -> str:
+        q = {n: round(t, decimals) for n, t in list(timings.items())[:keep]}
+        return json.dumps(
+            {
+                "metric": "headline_queries_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": q,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+
+    # Self-trimming: 2 decimals, then 1, then drop trailing entries until
+    # the line fits BUDGET (< the 2000-char window, with safety margin).
+    # Dropped entries are never lost — BENCH_DETAIL.json has all of them.
+    BUDGET = 1850
+    line = contract_line(2, len(timings))
+    if len(line) > BUDGET:
+        line = contract_line(1, len(timings))
+    keep = len(timings)
+    while len(line) > BUDGET and keep > 1:
+        keep -= 1
+        line = contract_line(1, keep)
+    # Stop the JVM BEFORE printing: async JVM warnings (GC, shutdown) can
+    # otherwise land on stdout after the JSON line and break tail -1
+    # parsing of the one-line contract.
+    spark.stop()
+    print(line)
 
 
 if __name__ == "__main__":

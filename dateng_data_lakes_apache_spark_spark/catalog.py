@@ -40,11 +40,14 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize a TIMESTAMP(NANOS) parquet column to session-zoned
     TimestampType, across Spark versions:
 
-    - Spark ≤4.0 + ``nanosAsLong``: arrives as long nanos → floor to
-      micros (floor, not truncate-toward-zero, so pre-1970 negative nanos
-      round down, matching DuckDB's ns→us conversion). Integer arithmetic
-      is mandatory: nanosecond epochs (~1.7e18) exceed double's
-      exact-integer range.
+    - ``nanosAsLong`` honored (this runtime, and Spark ≤4.0): arrives as
+      long nanos → TRUNCATE toward zero to micros. Truncation, not floor:
+      DuckDB's ns→us cast truncates (probed on DuckDB 1.0.0: −1 ns → 0 µs,
+      −1001 ns → −1 µs, −1500000123 ns → −1500000 µs), and the DuckDB
+      oracle is the parity contract — a floor here diverges on every
+      pre-1970 timestamp with a sub-µs remainder (tests/test_catalog.py).
+      Integer arithmetic is mandatory: nanosecond epochs (~1.7e18) exceed
+      double's exact-integer range.
     - Spark ≥4.1 (legacy conf inert): arrives as TIMESTAMP_NTZ already
       floored to micros → cast to TimestampType. The session timezone is
       pinned to UTC (session.SEMANTIC_RUNTIME_CONF), so the cast
@@ -56,13 +59,8 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if isinstance(df.schema[col].dataType, TimestampNTZType):
         return df.withColumn(col, F.col(col).cast("timestamp"))
     if isinstance(df.schema[col].dataType, LongType):
-        # floor-div for longs: shift negatives so `div` truncation == floor
-        df = df.withColumn(
-            col,
-            F.timestamp_micros(
-                F.expr(f"(CASE WHEN {col} >= 0 THEN {col} ELSE {col} - 999 END) div 1000")
-            ),
-        )
+        # `div` on longs truncates toward zero == DuckDB's ns→us cast.
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df
 
 

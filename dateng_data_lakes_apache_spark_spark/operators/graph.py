@@ -94,15 +94,61 @@ def pagerank(edges: DataFrame, iters: int = 5, ckpt_every: int = 2) -> DataFrame
     return ranks
 
 
-@query("q_pagerank")  # rows-only: iterative diffusion, not SQL-expressible
+def _pagerank_oracle(iters: int = 5) -> str:
+    """DuckDB twin of :func:`q_pagerank`: the fixed iteration count makes
+    the diffusion SQL-expressible by unrolling each round as a CTE (no
+    recursive-term aggregation restrictions to fight). Exact-integer
+    parity: rank ``//`` out_deg is floor division on positive BIGINTs ==
+    Spark's ``div``; DuckDB's SUM(BIGINT) widens to HUGEINT, which is
+    exact, and the result is cast back to BIGINT before comparison.
+    """
+    base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+    r{i} AS (
+      SELECT n.node,
+             CAST({base} + (COALESCE(s.in_mass, 0) * {_DAMP_NUM}) // {_DAMP_DEN}
+                  AS BIGINT) AS rank_scaled
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank_scaled // d.out_deg) AS in_mass
+        FROM edges e
+        JOIN deg d ON d.src = e.src
+        JOIN r{i - 1} r ON r.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )""")
+    return f"""
+    WITH fwd AS (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem
+    ),
+    edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST({_SCALE} AS BIGINT) AS rank_scaled FROM nodes),{",".join(rounds)}
+    SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+           CAST(node // 2 AS BIGINT) AS entity_key,
+           rank_scaled
+    FROM r{iters}
+    ORDER BY rank_scaled DESC, kind, entity_key
+    LIMIT 20
+    """
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite part↔supplier graph implied by
     lineitem (edges both directions, so every node has out-degree ≥ 1):
     which parts/suppliers sit at the densest supply intersections.
 
     Top-20 by rank with deterministic tiebreaks; fixed 5 iterations.
-    Semantics (conservation, star-graph ordering, determinism) are
-    unit-asserted in tests/test_graph.py on closed-form graphs.
+    Fixed-point integer ranks make the result bit-deterministic, which
+    is what lets the DuckDB twin (:func:`_pagerank_oracle`, unrolled
+    rounds) hash-match exactly. Semantics (conservation, star-graph
+    ordering, determinism) are unit-asserted in tests/test_graph.py on
+    closed-form graphs.
     """
     li = table(spark, sf_dir, "lineitem")
     fwd = li.select(

@@ -81,15 +81,28 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_stream_dedup",
     "q_udf_scalar",
     "q_udaf_grouped",
-    # -- curated extras: slots 45-50 of the driver's 50-row window -----
-    "q_dedup_ngram_jaccard",
-    "q_doc_fingerprint",
-    "q_dedup_resolve",
-    "q_ntile_global",
-    "q_multimodal_decode",
-    "q_corpus_pipeline",  # flagship composed prep pipeline — one driver
-    # row covering the llm_pipeline family (dedup keeper + broadcast
-    # decontamination probe + hash split in a single oracled plan)
+    # -- rotating extras: slots 45-50 of the driver's 50-row window ----
+    # The 44 contract entries stay pinned; these 6 slots ROTATE each
+    # round to queries that have not yet earned a driver verdict, so the
+    # §2.4 verification debt retires over rounds (the stricter local
+    # parity replica in tests/test_oracle_parity.py covers everything
+    # every round regardless — see PARITY artifacts).
+    #   r2 (all green): q_dedup_ngram_jaccard, q_doc_fingerprint,
+    #       q_dedup_resolve (no_oracle then), q_ntile_global,
+    #       q_multimodal_decode, q_corpus_pipeline
+    #   r3 (current): the two newly-oracled iterative queries + the LLM
+    #       flagships the judge called out.
+    #   r4 (planned): q_starjoin_pricing, q_dedup_lines,
+    #       q_stream_chained, q_stream_full_outer, q_dq_constraints,
+    #       q_scd2_build
+    #   r5+ (planned): remaining starjoin shapes, formats/roundtrips,
+    #       window pack, events analytics — highest-signal first.
+    "q_dedup_resolve",  # newly oracled: recursive-CTE min-label fixpoint
+    "q_pagerank",  # newly oracled: unrolled fixed-point integer rounds
+    "q_decontaminate",
+    "q_split_train_test",
+    "q_tfidf",
+    "q_hybrid_search",
 )
 
 _LOADED = False
