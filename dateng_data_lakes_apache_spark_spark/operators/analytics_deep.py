@@ -645,15 +645,16 @@ def q_starjoin_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_nationkey % 5 = 0
     ),
     val AS (
-      SELECT l.l_partkey, {o_dsum('l.l_extendedprice')} AS part_value
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))) AS pv_dec
       FROM lineitem l JOIN supp_in s ON l.l_suppkey = s.s_suppkey
       GROUP BY l.l_partkey
     ),
-    total AS (SELECT SUM(part_value) AS tv FROM val)
-    SELECT v.l_partkey AS p_partkey, v.part_value
+    total AS (SELECT SUM(pv_dec) AS tv_dec FROM val)
+    SELECT v.l_partkey AS p_partkey, CAST(v.pv_dec AS DOUBLE) AS part_value
     FROM val v, total t
-    WHERE v.part_value > t.tv * 0.001
-    ORDER BY v.part_value DESC, p_partkey
+    WHERE CAST(v.pv_dec AS DOUBLE) > CAST(t.tv_dec AS DOUBLE) * 0.001
+    ORDER BY part_value DESC, p_partkey
     LIMIT 20
     """,
 )
@@ -664,9 +665,14 @@ def q_starjoin_stockshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate's grand total.
 
     The grand total re-aggregates the per-part table (tiny), never the
-    fact table twice, and joins back as a broadcast scalar. Value sums
-    are decimal-exact, so the 0.001 threshold picks identical rows on
-    both engines.
+    fact table twice, and joins back as a broadcast scalar. Both the
+    per-part values AND the grand total accumulate as DECIMAL(30,8) —
+    summing the per-part doubles would make the total summation-order-
+    dependent and the 0.001 gate could flip a borderline row between
+    engines (ADVICE r2). Each side of the comparison is a single
+    decimal→double cast (+ one IEEE multiply), the same deterministic
+    path every other oracled aggregate rides; doubles only appear in
+    the final projection.
     """
     supp_in = (
         table(spark, sf_dir, "supplier")
@@ -679,12 +685,18 @@ def q_starjoin_stockshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = (
         l.join(supp_in, l.l_suppkey == supp_in.s_suppkey)
         .groupBy("l_partkey")
-        .agg(dsum(F.col("l_extendedprice")).alias("part_value"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,8)")).alias("pv_dec"))
     )
-    total = val.agg(F.sum("part_value").alias("tv"))
+    total = val.agg(F.sum("pv_dec").alias("tv_dec"))
     return (
-        val.join(F.broadcast(total), F.col("part_value") > F.col("tv") * 0.001)
-        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        val.join(
+            F.broadcast(total),
+            F.col("pv_dec").cast("double") > F.col("tv_dec").cast("double") * 0.001,
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("pv_dec").cast("double").alias("part_value"),
+        )
         .orderBy(F.col("part_value").desc(), "p_partkey")
         .limit(20)
     )

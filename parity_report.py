@@ -1,0 +1,93 @@
+"""Full local parity artifact (ADVICE r2): run EVERY registered query
+against its DuckDB oracle at sf0.01 and write PARITY_r{N}.json with a
+per-query machine-readable verdict — the auditable record for the ~160
+queries outside the driver's 50-row correctness window.
+
+Usage: python parity_report.py [round_number]
+Writes PARITY_r{NN}.json next to this file. Rows-only queries (no
+oracle) get {"mode": "rows_only", "rows": N} — their semantics live in
+tests/; oracled queries get rows/schema/values verdicts from the same
+comparator the pytest parity suite uses (elementwise — stricter than
+the driver's value hash).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+from dateng_data_lakes_apache_spark_spark.registry import get_oracles, get_queries
+from dateng_data_lakes_apache_spark_spark.session import get_spark
+from parity import _canon_frame, duck_connection
+
+
+def main() -> None:
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    sf_dir = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"PARITY_r{rnd:02d}.json"
+    )
+    spark = get_spark(app_name="parity-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, oracles = get_queries(), get_oracles()
+
+    report: dict[str, dict] = {}
+    t_start = time.time()
+    for name, fn in queries.items():
+        entry: dict = {}
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+            if name in oracles:
+                con = duck_connection(sf_dir)
+                try:
+                    duck_pdf = con.execute(oracles[name]).df()
+                finally:
+                    con.close()
+                entry = {
+                    "mode": "oracle",
+                    "rows_match": len(spark_pdf) == len(duck_pdf),
+                    "schema_match": sorted(spark_pdf.columns) == sorted(duck_pdf.columns),
+                    "values_match": _canon_frame(spark_pdf) == _canon_frame(duck_pdf),
+                    "spark_rows": len(spark_pdf),
+                    "oracle_rows": len(duck_pdf),
+                }
+            else:
+                entry = {"mode": "rows_only", "spark_rows": len(spark_pdf)}
+            entry["err"] = None
+        except Exception as exc:  # noqa: BLE001 — report, don't abort the sweep
+            entry = {"mode": "error", "err": f"{type(exc).__name__}: {exc}"}
+            traceback.print_exc(file=sys.stderr)
+        entry["sec"] = round(time.time() - t0, 2)
+        report[name] = entry
+        spark.catalog.clearCache()
+        ok = entry.get("values_match", entry.get("spark_rows") is not None)
+        print(f"{name}: {'OK' if ok and not entry['err'] else 'FAIL'} ({entry['sec']}s)", flush=True)
+
+    summary = {
+        "sf_dir": sf_dir,
+        "n_queries": len(report),
+        "n_oracle_green": sum(
+            1 for e in report.values()
+            if e.get("mode") == "oracle"
+            and e.get("rows_match") and e.get("schema_match") and e.get("values_match")
+        ),
+        "n_rows_only": sum(1 for e in report.values() if e.get("mode") == "rows_only"),
+        "n_errors": sum(1 for e in report.values() if e.get("mode") == "error"),
+        "total_sec": round(time.time() - t_start, 1),
+    }
+    with open(out_path, "w") as f:
+        json.dump({"summary": summary, "queries": report}, f, indent=1)
+        f.write("\n")
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
