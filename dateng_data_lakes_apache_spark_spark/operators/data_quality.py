@@ -16,7 +16,7 @@ anti-join; nothing collects.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -153,4 +153,64 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_violations",
             "fk_orphan_lineitems",
         )
+    )
+
+
+@query(
+    "q_gap_detect",
+    oracle="""
+    WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    g AS (SELECT k, LAG(k) OVER (ORDER BY k) AS pk FROM k)
+    SELECT pk + 1 AS gap_start,
+           k - 1 AS gap_end,
+           CAST(k - pk - 1 AS BIGINT) AS gap_len
+    FROM g WHERE k - pk > 1
+    """,
+)
+def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-ID range detection: gaps in lineitem's l_orderkey
+    coverage — the completeness audit run on any ingested ID space
+    ("did the CDC feed drop a range?"). Here the gaps are real:
+    orderkeys with zero line items (the testdata's orders outnumber
+    lineitem's distinct orderkeys), so the driver's green row checks
+    actual gap ranges, not an empty ≡ empty result.
+
+    The naive form is LAG over ALL keys globally ordered — a
+    single-task sort at scale. This version decomposes into:
+    (1) within-bucket gaps: window partitioned by bucket = key div 1024
+        (bounded partitions, full parallelism);
+    (2) boundary gaps: per-bucket (min, max) aggregate — a table 1024×
+        smaller than the key space — then LAG over buckets pairs each
+        bucket's min with the previous PRESENT bucket's max, which also
+        captures entirely-missing buckets.
+    Every consecutive key pair either shares a bucket (case 1) or
+    straddles buckets (case 2), so the union equals the naive LAG
+    result — the oracle states the naive form and the hash match proves
+    the decomposition. The bucket-level window orders ~|keys|/1024 rows
+    (metadata-scale); at 100 TB push one more 1024× level if needed.
+    """
+    bucket_w = 1024
+    keys = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .withColumn("b", F.expr(f"k div {bucket_w}"))
+    )
+    in_w = Window.partitionBy("b").orderBy("k")
+    within = (
+        keys.withColumn("pk", F.lag("k").over(in_w))
+        .where(F.col("k") - F.col("pk") > 1)
+        .select("k", "pk")
+    )
+    bounds = keys.groupBy("b").agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+    b_w = Window.orderBy("b")
+    boundary = (
+        bounds.withColumn("pk", F.lag("hi").over(b_w))
+        .where(F.col("lo") - F.col("pk") > 1)
+        .select(F.col("lo").alias("k"), "pk")
+    )
+    return within.unionByName(boundary).select(
+        (F.col("pk") + 1).alias("gap_start"),
+        (F.col("k") - 1).alias("gap_end"),
+        (F.col("k") - F.col("pk") - 1).cast("bigint").alias("gap_len"),
     )

@@ -16,7 +16,7 @@ expressed as one or two hash aggregations so they hold at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -262,8 +262,6 @@ def q_sequence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint IEEE division of identical values on both engines, rounded
     only for display stability.
     """
-    from pyspark.sql import Window
-
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -450,4 +448,47 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_users"),
             dsum(F.col("monetary")).alias("total_value"),
         )
+    )
+
+
+@query(
+    "q_period_growth",
+    oracle=f"""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             COUNT(*) AS n_orders,
+             {o_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, revenue,
+           round((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month) * 100, 4) AS growth_pct
+    FROM m
+    """,
+)
+def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the period-comparison staple of
+    every BI workload (MoM/YoY), as aggregate → offset window → ratio.
+
+    Scale shape: the heavy lift is ONE hash aggregation of the fact
+    table down to months; the LAG window then runs over the month table
+    — bounded by calendar length, i.e. metadata-sized — so the
+    single-partition global-order window is safe by construction (the
+    same pre-aggregate-then-window contract as q_ntile_global, stated
+    there for data-sized inputs). Growth ratios divide decimal-exact
+    monthly sums cast to double: two IEEE ops on identical operands on
+    both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("growth_pct"),
     )

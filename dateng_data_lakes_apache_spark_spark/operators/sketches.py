@@ -180,3 +180,101 @@ def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.item").alias("word"), F.col("e.count").alias("n"))
         .orderBy(F.desc("n"), F.asc("word"))
     )
+
+
+# Bloom filter geometry: m = 2^18 bits (4096 packed longs), k = 5 hash
+# functions. For n ≈ 1000 build keys: fp ≈ (1 - e^(-kn/m))^k ≈ 2e-9;
+# for n ≈ 10k (sf0.1): fp ≈ 1.2e-4 — the unit test asserts the bound
+# with a 10× margin at every SF.
+BLOOM_M = 1 << 18
+BLOOM_K = 5
+
+
+def bloom_bits(keys: DataFrame, key_col: str) -> DataFrame:
+    """Build a Bloom filter AS A TABLE of packed 64-bit words:
+    (word_idx, word). Each key sets k = BLOOM_K bit positions
+    (seeded xxhash64 mod m); positions pack into longs via
+    groupBy(pos div 64) + bit_or(1 << pos%64) — distributed build with
+    map-side partial OR, mergeable across shards by the same bit_or,
+    ≤ m/64 rows of state (the classic distributed-Bloom layout).
+    """
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(s)), F.lit(BLOOM_M))
+                    for s in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    )
+    return pos.groupBy(F.expr("pos div 64").alias("word_idx")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")).alias("word")
+    )
+
+
+@query("q_bloom_membership")  # rows-only: xxhash64 positions aren't DuckDB-expressible
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe, completing the sketch family
+    (count-min = frequencies, HLL = cardinality, Bloom = membership).
+
+    Build: custkeys holding any open ('O') order → packed-word bit
+    table (:func:`bloom_bits`). Probe: every customer key hashes to its
+    k words, equi-joins the bit table (the filter is KB-sized → Spark
+    broadcasts it), and is flagged when all k bits are set. Returns the
+    audit row: probes, flagged, true members, false positives, and the
+    observed fp rate — zero-false-negative and fp-bound invariants are
+    unit-asserted in tests/test_sketches.py.
+
+    At 100 TB this is the semi-join you run when the build side is too
+    big to broadcast exactly but its BLOOM is not: ship the bit table,
+    pre-filter the probe side to ~fp·|probe| candidates, then exact-join
+    only the survivors (same role as q_join_bloom's runtime filter, but
+    as an explicit, persistable artifact under the engine's control).
+    """
+    orders = table(spark, sf_dir, "orders")
+    build = orders.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    bits = bloom_bits(build, "o_custkey")
+
+    probe = table(spark, sf_dir, "customer").select("c_custkey")
+    probe_pos = probe.select(
+        "c_custkey",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("c_custkey"), F.lit(s)), F.lit(BLOOM_M))
+                    for s in range(BLOOM_K)
+                ]
+            )
+        ).alias("k_i", "pos"),
+    ).select("c_custkey", F.expr("pos div 64").alias("word_idx"), (F.col("pos") % 64).cast("int").alias("bit"))
+    hits = (
+        probe_pos.join(F.broadcast(bits), "word_idx")
+        .where(F.expr("(shiftright(word, bit) & 1) = 1"))
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .where(F.col("n_set") == BLOOM_K)
+        .select("c_custkey")
+    )
+    truth = build.select(F.col("o_custkey").alias("c_custkey")).withColumn(
+        "is_member", F.lit(True)
+    )
+    audit = (
+        probe.join(hits.withColumn("flagged", F.lit(True)), "c_custkey", "left")
+        .join(truth, "c_custkey", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0)).cast("bigint").alias("n_members"),
+            F.sum(
+                F.when(F.col("flagged") & F.col("is_member").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_false_pos"),
+        )
+    )
+    return audit.select(
+        "n_probed",
+        "n_flagged",
+        "n_members",
+        "n_false_pos",
+        F.round(F.col("n_false_pos") / F.col("n_probed"), 4).alias("fp_rate"),
+    )

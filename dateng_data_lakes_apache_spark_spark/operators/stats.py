@@ -366,3 +366,76 @@ def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         r("pd").alias("corr_price_disc"),
         r("qt").alias("corr_qty_tax"),
     )
+
+
+@query(
+    "q_mad_outlier",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    mad AS (
+      SELECT l.l_returnflag,
+             quantile_cont(abs(CAST(l.l_extendedprice AS DOUBLE) - m.med), 0.5) AS mad
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+      GROUP BY l.l_returnflag
+    )
+    SELECT m.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(m.med, 4) AS med,
+           round(d.mad, 4) AS mad,
+           CAST(SUM(CASE WHEN abs(CAST(l.l_extendedprice AS DOUBLE) - m.med)
+                              > 4.4478 * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM lineitem l
+    JOIN med m ON l.l_returnflag = m.l_returnflag
+    JOIN mad d ON l.l_returnflag = d.l_returnflag
+    GROUP BY m.l_returnflag, m.med, d.mad
+    """,
+)
+def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen via Median Absolute Deviation: flag values
+    with |x − median| > 3·1.4826·MAD (the 4.4478 constant is written
+    literally on both sides so no engine re-derives it). MAD tolerates
+    the heavy tails that wreck stddev-based z-scores and complements
+    the Tukey-fence screen (q_outlier_iqr) with a tighter breakdown
+    point (50% vs 25%).
+
+    Two exact-percentile passes (median, then median of deviations) +
+    one counting pass, all joined on the 3-value group key — per-group
+    broadcast scalars, no window. Exact percentile buffers per group
+    (bounded groups here); the 100 TB path swaps pass 1+2 to the GK
+    sketch (q_agg_approx_quantile) and keeps pass 3 as the exact
+    verifier — same consumer, same threshold row.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("v", F.lit(0.5)).alias("med")
+    )
+    dev = li.join(med, "l_returnflag")
+    mad = dev.groupBy("l_returnflag").agg(
+        F.percentile(F.abs(F.col("v") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(mad, "l_returnflag")
+    return (
+        flagged.groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med")) > 4.4478 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+    )

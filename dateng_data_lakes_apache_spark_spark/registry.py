@@ -170,7 +170,7 @@ def load_all() -> None:
     )
     from .functions import scalars, multimodal, udfs  # noqa: F401
     from .pipelines import star_schema  # noqa: F401
-    from .sources import bucketing, pydatasource, roundtrip  # noqa: F401
+    from .sources import bucketing, pydatasource, roundtrip, snapshot  # noqa: F401
     from .streaming import stream_queries  # noqa: F401
 
     _LOADED = True

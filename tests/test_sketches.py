@@ -82,3 +82,30 @@ def test_hll_merge_estimate_within_bound(spark, sf_dir):
     for r in rows:
         err = abs(r.est_customers - r.exact_customers) / max(r.exact_customers, 1)
         assert err < 0.05, (r.n_regionkey, r.est_customers, r.exact_customers)
+
+
+def test_bloom_zero_false_negatives_and_fp_bound(spark, sf_dir):
+    """Every true member must be flagged (Bloom's hard guarantee) and
+    the observed fp rate must stay within 10x of the analytic bound."""
+    import math
+
+    from dateng_data_lakes_apache_spark_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        q_bloom_membership,
+    )
+    from dateng_data_lakes_apache_spark_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    row = q_bloom_membership(spark, sf_dir).collect()[0]
+    n_build = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    # zero false negatives: every member is flagged
+    assert row.n_flagged - row.n_false_pos == row.n_members
+    bound = (1 - math.exp(-BLOOM_K * n_build / BLOOM_M)) ** BLOOM_K
+    assert row.n_false_pos <= max(10 * bound * row.n_probed, 1)

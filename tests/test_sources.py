@@ -234,3 +234,36 @@ def test_manifest_prunes_files(spark, sf_dir):
     kept = manifest.where((F.col("min_ck") <= 199) & (F.col("max_ck") >= 100)).count()
     assert total >= 8
     assert 1 <= kept < total / 2
+
+
+def test_snapshot_cow_is_file_selective_and_isolated(spark, sf_dir):
+    """The v1 commit must rewrite only files intersecting the update
+    predicate (file-granular copy-on-write), and v0 must resolve to the
+    exact original file set — readable and unchanged after the commit."""
+    import json
+    import os
+
+    from dateng_data_lakes_apache_spark_spark.sources.snapshot import (
+        _stage_versioned_orders,
+        _vlog_dir,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    root = _stage_versioned_orders(spark, sf_dir)
+    with open(os.path.join(_vlog_dir(root), "v1.json")) as f:
+        v1 = json.load(f)
+    v0_files = snapshot_files(root, 0)
+    assert len(v0_files) >= 8
+    # selective CoW: a [100,199] custkey predicate over 8 range-disjoint
+    # files touches 1-2 of them, never half the table
+    assert 1 <= len(v1["removed"]) < len(v0_files) / 2
+    assert all(os.path.exists(p) for p in v0_files)  # immutability
+    # carried-forward files are shared by reference between versions
+    shared = set(snapshot_files(root, 0)) & set(snapshot_files(root, 1))
+    assert len(shared) == len(v0_files) - len(v1["removed"])
+    # isolation: v0 read AFTER the commit equals the pristine source
+    from dateng_data_lakes_apache_spark_spark.catalog import table
+
+    n0 = read_snapshot(spark, root, 0).count()
+    assert n0 == table(spark, sf_dir, "orders").count()
