@@ -17,7 +17,7 @@ tiebreaks and plan as TakeOrderedAndProject (never a global sort).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -400,4 +400,74 @@ def q_starjoin_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(part_pruned, l.l_partkey == F.col("p_partkey"))
         .where(full)
         .agg(dsum(_revenue()).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc, l_quantity AS q
+      FROM lineitem
+    ),
+    w AS (
+      SELECT pc, q,
+             MAX(q) OVER (ORDER BY pc
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wmax,
+             MAX(q) OVER (PARTITION BY pc) AS smax
+      FROM p
+    )
+    SELECT pc AS price_cents, q AS quantity, COUNT(*) AS n_items
+    FROM w
+    WHERE (wmax IS NULL OR wmax < q) AND smax <= q
+    GROUP BY pc, q
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): line items not dominated on
+    (price ↓, quantity ↑) — no other item is both no-more-expensive and
+    no-less-bulky with one strict. The classic multi-criteria shortlist
+    query (Börzsönyi et al., ICDE 2001).
+
+    For two dimensions the frontier is a running-max sweep, NOT a
+    pairwise dominance join: sort by price, a row survives iff its
+    quantity beats the max quantity over all strictly-cheaper rows (and
+    no same-price row is strictly bulkier). The naive global RANGE
+    window is a single-task sort at scale, so the sweep decomposes like
+    q_gap_detect: within-band running max (window partitioned by a
+    price band = price_cents div 1e5) combined with a prefix max over
+    the per-band maxima (a table ~1e5× smaller — metadata-scale
+    window). The oracle states the single-window form; the hash match
+    proves the decomposition. Prices scale to integer cents so RANGE
+    "strictly cheaper" is exact (`1 PRECEDING` on a whole-unit axis).
+    """
+    band = 100_000
+    p = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+        F.col("l_quantity").alias("q"),
+    ).withColumn("b", F.expr(f"pc div {band}"))
+    in_w = (
+        Window.partitionBy("b")
+        .orderBy("pc")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same_w = Window.partitionBy("pc")
+    banded = p.select(
+        "pc", "q", "b",
+        F.max("q").over(in_w).alias("wmax"),
+        F.max("q").over(same_w).alias("smax"),
+    )
+    band_max = p.groupBy("b").agg(F.max("q").alias("bmax"))
+    prefix_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    band_prefix = band_max.select(
+        "b", F.max("bmax").over(prefix_w).alias("pmax")
+    )
+    joined = banded.join(band_prefix, "b")
+    best_cheaper = F.greatest(
+        F.coalesce(F.col("wmax"), F.lit(-1.0)), F.coalesce(F.col("pmax"), F.lit(-1.0))
+    )
+    return (
+        joined.where((best_cheaper < F.col("q")) & (F.col("smax") <= F.col("q")))
+        .groupBy(F.col("pc").alias("price_cents"), F.col("q").alias("quantity"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
     )

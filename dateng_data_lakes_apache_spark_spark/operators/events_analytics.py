@@ -492,3 +492,84 @@ def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias("growth_pct"),
     )
+
+
+@query(
+    "q_attribution",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, ts AS v_ts,
+             arg_max(CAST(json_extract_string(props, '$.k') AS INT) % 5, event_id)
+               AS channel
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    ft AS (SELECT user_id, arg_min(channel, v_ts) AS channel FROM v GROUP BY user_id),
+    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    f AS (
+      SELECT COALESCE(ft.channel, -1) AS channel,
+             COUNT(*) AS n_first, {o_dsum('p.value')} AS rev_first
+      FROM p LEFT JOIN ft ON p.user_id = ft.user_id GROUP BY 1
+    ),
+    l AS (
+      SELECT COALESCE(v.channel, -1) AS channel,
+             COUNT(*) AS n_last, {o_dsum('p.value')} AS rev_last
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.v_ts <= p.ts
+      GROUP BY 1
+    )
+    SELECT COALESCE(f.channel, l.channel) AS channel,
+           CAST(COALESCE(f.n_first, 0) AS BIGINT) AS n_first,
+           COALESCE(f.rev_first, 0.0) AS rev_first,
+           CAST(COALESCE(l.n_last, 0) AS BIGINT) AS n_last,
+           COALESCE(l.rev_last, 0.0) AS rev_last
+    FROM f FULL OUTER JOIN l ON f.channel = l.channel
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: purchase revenue credited per acquisition
+    channel under BOTH first-touch (the user's earliest view, a per-user
+    aggregate + equi-join) and last-touch (the latest view at-or-before
+    each purchase — the as-of join, :func:`..asof_pivot_sql.asof_join`)
+    models, side by side per channel. Channel is derived from the view
+    event's props (k mod 5); purchases with no attributable view land
+    in channel −1 so revenue is conserved across models (Σ rev_first =
+    Σ rev_last = total purchase value — asserted in tests).
+
+    Scale shape: channel extraction and dedup are map + one hash agg;
+    first-touch is a per-user min; last-touch is the single-shuffle
+    union+carry-forward as-of; final fan-in is a channel-sized full
+    outer join. Views are deduplicated per (user, ts) with an event_id
+    tiebreak BEFORE the as-of join — as-of ties at equal timestamps are
+    otherwise matched arbitrarily on both engines.
+    """
+    from .asof_pivot_sql import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    channel = (
+        F.get_json_object("props", "$.k").cast("int") % 5
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"), channel.alias("ch"), "event_id")
+        .groupBy("user_id", "v_ts")
+        .agg(F.max_by("ch", "event_id").alias("channel"))
+    )
+    ft = v.groupBy("user_id").agg(F.min_by("channel", "v_ts").alias("channel"))
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    f = (
+        p.join(ft, "user_id", "left")
+        .groupBy(F.coalesce("channel", F.lit(-1)).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_first"), dsum(F.col("value")).alias("rev_first"))
+    )
+    lt = asof_join(p, v, on="user_id", left_ts="ts", right_ts="v_ts", right_cols=["channel"])
+    l = (  # noqa: E741
+        lt.groupBy(F.coalesce("asof_channel", F.lit(-1)).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_last"), dsum(F.col("value")).alias("rev_last"))
+    )
+    fa, la = f.alias("f"), l.alias("l")
+    return fa.join(la, F.col("f.channel") == F.col("l.channel"), "full_outer").select(
+        F.coalesce(F.col("f.channel"), F.col("l.channel")).alias("channel"),
+        F.coalesce(F.col("n_first"), F.lit(0)).cast("bigint").alias("n_first"),
+        F.coalesce(F.col("rev_first"), F.lit(0.0)).alias("rev_first"),
+        F.coalesce(F.col("n_last"), F.lit(0)).cast("bigint").alias("n_last"),
+        F.coalesce(F.col("rev_last"), F.lit(0.0)).alias("rev_last"),
+    )

@@ -114,3 +114,29 @@ def test_mp4_probe_roundtrip():
     ftyp_len = struct.unpack(">I", payload[:4])[0]
     shifted = payload[:ftyp_len] + free + payload[ftyp_len:]
     assert probe_mp4(shifted) == (90000, 90000 * 7 + 41, 640, 368)
+
+
+def test_attribution_conserves_revenue(spark, sf_dir):
+    """First-touch and last-touch models must both attribute EVERY
+    purchase exactly once (channel -1 catches unattributable ones), so
+    per-model totals equal total purchase revenue."""
+    from dateng_data_lakes_apache_spark_spark.catalog import table
+    from dateng_data_lakes_apache_spark_spark.operators.events_analytics import (
+        q_attribution,
+    )
+    from pyspark.sql import functions as F
+
+    rows = q_attribution(spark, sf_dir).collect()
+    total = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .agg(F.sum(F.col("value").cast("decimal(30,8)")).cast("double"))
+        .collect()[0][0]
+    )
+    n_purch = (
+        table(spark, sf_dir, "events").where(F.col("event_type") == "purchase").count()
+    )
+    assert sum(r.n_first for r in rows) == n_purch
+    assert sum(r.n_last for r in rows) == n_purch
+    assert abs(sum(r.rev_first for r in rows) - total) < 1e-6
+    assert abs(sum(r.rev_last for r in rows) - total) < 1e-6
