@@ -110,6 +110,14 @@ HEADLINE = [
     "q_sequence_transitions",
     "q_time_weighted_avg",
     "q_stream_chained",
+    # round 3 additions
+    "q_snapshot_read",
+    "q_period_growth",
+    "q_gap_detect",
+    "q_mad_outlier",
+    "q_bloom_membership",
+    "q_skyline",
+    "q_attribution",
 ]
 
 

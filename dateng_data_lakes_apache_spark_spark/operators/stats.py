@@ -439,3 +439,112 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "q_regression_slope",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           round((CAST(COUNT(*) AS DOUBLE) * {o_dsum('l_quantity * l_extendedprice')}
+                  - {o_dsum('l_quantity')} * {o_dsum('l_extendedprice')})
+                 / (CAST(COUNT(*) AS DOUBLE) * {o_dsum('l_quantity * l_quantity')}
+                    - {o_dsum('l_quantity')} * {o_dsum('l_quantity')}), 4) AS slope,
+           round(({o_dsum('l_extendedprice')}
+                  - ((CAST(COUNT(*) AS DOUBLE) * {o_dsum('l_quantity * l_extendedprice')}
+                      - {o_dsum('l_quantity')} * {o_dsum('l_extendedprice')})
+                     / (CAST(COUNT(*) AS DOUBLE) * {o_dsum('l_quantity * l_quantity')}
+                        - {o_dsum('l_quantity')} * {o_dsum('l_quantity')}))
+                    * {o_dsum('l_quantity')}) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS intercept,
+           round(pow(CAST(COUNT(*) AS DOUBLE) * {o_dsum('l_quantity * l_extendedprice')}
+                     - {o_dsum('l_quantity')} * {o_dsum('l_extendedprice')}, 2)
+                 / ((CAST(COUNT(*) AS DOUBLE) * {o_dsum('l_quantity * l_quantity')}
+                     - {o_dsum('l_quantity')} * {o_dsum('l_quantity')})
+                    * (CAST(COUNT(*) AS DOUBLE) * {o_dsum('l_extendedprice * l_extendedprice')}
+                       - {o_dsum('l_extendedprice')} * {o_dsum('l_extendedprice')})), 4)
+             AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (price ~ quantity): slope, intercept, R²
+    from the same exact decimal power sums as q_agg_stats — one
+    aggregation pass, textbook normal-equation recombination in double.
+    Completes the stats family (moments → correlation → regression);
+    engines agree because every operand is a decimal→double cast and
+    the recombination is the same IEEE expression tree on both sides
+    (native regr_slope/regr_r2 one-pass kernels accumulate in
+    engine-specific order and are exactly what this formulation avoids).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(q).alias("sq"),
+        _dec_sum(p).alias("sp"),
+        _dec_sum(q * q).alias("sqq"),
+        _dec_sum(p * p).alias("spp"),
+        _dec_sum(q * p).alias("sqp"),
+    )
+    n = F.col("n").cast("double")
+    sxy = n * F.col("sqp") - F.col("sq") * F.col("sp")
+    sxx = n * F.col("sqq") - F.col("sq") * F.col("sq")
+    syy = n * F.col("spp") - F.col("sp") * F.col("sp")
+    slope = sxy / sxx
+    intercept = (F.col("sp") - slope * F.col("sq")) / n
+    r2 = F.pow(sxy, 2) / (sxx * syy)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(r2, 4).alias("r2"),
+    )
+
+
+@query(
+    "q_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS p25_disc,
+           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.50), 4) AS p50_disc,
+           round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.99), 4) AS p99_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC semantics — the quantile is an actual member of
+    the data set (lower-nearest rank), vs q_agg_percentile_exact's
+    PERCENTILE_CONT interpolation. The distinction matters whenever the
+    quantile must be a real observed value (a real document length, a
+    real price) rather than a synthetic midpoint; both engines agree
+    exactly because no arithmetic is invented — only rank selection.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE))"
+            ).alias("q25"),
+            F.expr(
+                "percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE))"
+            ).alias("q50"),
+            F.expr(
+                "percentile_disc(0.99) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE))"
+            ).alias("q99"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.round("q25", 4).alias("p25_disc"),
+            F.round("q50", 4).alias("p50_disc"),
+            F.round("q99", 4).alias("p99_disc"),
+        )
+    )
