@@ -312,8 +312,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     By the pigeonhole principle, any pair within Hamming distance 3
     shares at least one of the 4 16-bit blocks, so block keys are the
     LSH bucket keys for near-dup search at scale.
+
+    No spread() here (unlike minhash): with branch-free bit expressions
+    the per-word compute is light enough that the round-robin exchange
+    costs more than the parallelism it buys (cold-measured 2.6 s with
+    vs 2.0 s without at sf0.1; minhash's 16-seed shingle hashing is an
+    order of magnitude heavier per row and keeps it).
     """
-    d = spread(table(spark, sf_dir, "documents"), spark)
+    d = table(spark, sf_dir, "documents")
     # explode_outer keeps zero-word docs as one null row (contributing 0
     # to every balance → simhash 0), matching the empty-array fold result
     words = d.select(
