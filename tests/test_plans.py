@@ -388,3 +388,36 @@ def test_embedding_project_map_only(spark, sf_dir):
     # The projection is map-only: no exchange anywhere in the plan.
     plan = formatted_plan(QS["q_embedding_project"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_gap_detect_windows_are_partitioned_or_tiny(spark, sf_dir):
+    """The data-sized window must be hash-partitioned by bucket; only
+    the bucket-level (1024x smaller) table may use a global-order
+    window — no single-task sort over the full key space."""
+    plan = formatted_plan(QS["q_gap_detect"](spark, sf_dir))
+    # two Window nodes: within-bucket (partitioned) and bucket-level
+    assert _nodes(plan, "Window") == 2
+    # the within-bucket window declares its partition spec on b
+    assert re.search(r"Window .*partition.*b", plan, re.I | re.S) or "hashpartitioning(b" in plan
+
+
+def test_skyline_no_dominance_join(spark, sf_dir):
+    """The 2-D skyline must plan as windows + aggregation, never a
+    pairwise dominance self-join (no nested-loop / cartesian)."""
+    plan = formatted_plan(QS["q_skyline"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_read_scans_only_resolved_files(spark, sf_dir):
+    """Reading snapshot v0 must not touch v1's rewrite file (d1/): the
+    scan's file list comes from the version log, so time travel costs
+    exactly the old snapshot's bytes."""
+    from dateng_data_lakes_apache_spark_spark.sources.snapshot import (
+        _stage_versioned_orders,
+        read_snapshot,
+    )
+
+    root = _stage_versioned_orders(spark, sf_dir)
+    plan = formatted_plan(read_snapshot(spark, root, 0))
+    assert "/d1" not in plan
