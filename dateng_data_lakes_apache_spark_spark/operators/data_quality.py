@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..common import o_dsum
 from ..registry import query
 
 # (column, render-SQL) — render casts min/max to a canonical string per
@@ -213,4 +214,62 @@ def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pk") + 1).alias("gap_start"),
         (F.col("k") - 1).alias("gap_end"),
         (F.col("k") - F.col("pk") - 1).cast("bigint").alias("gap_len"),
+    )
+
+
+@query(
+    "q_observe_metrics",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT)
+             AS n_null_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``df.observe``: data-quality metrics
+    (row count, null count, key range, checksum-style total) accumulate
+    ON THE SAME PASS as the observed job — zero extra scans, which is
+    the entire point at 100 TB (a separate audit query would double the
+    I/O bill; the reference's only QA was df.show, SURVEY §5.1).
+
+    The observed job here is a representative downstream write (noop
+    aggregation over the same rows); the returned DataFrame carries the
+    harvested metrics, and the oracle recomputes them relationally —
+    proving the observation channel reports exactly what a full audit
+    query would.
+    """
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation("orders_audit")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_price"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("sum_price_dec"),
+    )
+    # the observed job: any action over the observed frame populates obs
+    observed.groupBy("o_orderstatus").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_price"],
+                m["min_key"],
+                m["max_key"],
+                float(m["sum_price_dec"]),
+            )
+        ],
+        "n_rows bigint, n_null_price bigint, min_key bigint, max_key bigint, sum_price double",
     )
