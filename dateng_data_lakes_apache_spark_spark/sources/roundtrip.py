@@ -696,3 +696,74 @@ def q_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_corrupt").alias("n_corrupt"),
         dsum(F.col("n_chars")).alias("sum_chars_clean"),
     )
+
+
+@query(
+    "q_dynamic_overwrite",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END AS DECIMAL(30,8))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (SURVEY §4.4): rewrite ONLY the
+    partitions present in the incoming batch, leaving sibling
+    partitions' files untouched — the lake-write semantics that replaces
+    the reference's whole-table ``mode("overwrite")`` (etl.py:112,120,
+    226: every run rewrites everything it ever wrote).
+
+    Staging: orders hive-partitioned by o_orderpriority (5 partitions);
+    the "correction batch" doubles prices for the 1-URGENT partition
+    only and overwrites with partitionOverwriteMode=dynamic — 4/5
+    partitions keep their original files (asserted by mtime in
+    tests/test_sources.py). The read-back aggregate hash-matching the
+    CASE-twin oracle proves exactly one partition changed, exactly
+    once, even on re-runs (the write is idempotent — same input, same
+    partition, same result — which is what makes dynamic overwrite the
+    retry-safe incremental-load primitive at 100 TB).
+    """
+    path = _stage_dir(sf_dir, "orders_dynpart")
+    # Gate on an explicit marker, not _SUCCESS: the dynamic-overwrite
+    # commit below removes the root _SUCCESS marker (probed), which
+    # would re-stage (full-rewrite) the base table on every call.
+    marker = os.path.join(path, ".staged_base")
+    if not os.path.exists(marker):
+        write_parquet(
+            table(spark, sf_dir, "orders"), path, partition_by=["o_orderpriority"]
+        )
+        open(marker, "w").close()
+    # The correction batch derives from the PRISTINE source, not the
+    # staged table — deriving from the overwritten table would compound
+    # the fix on every run (2x, 4x, ...) and break idempotency.
+    urgent_fixed = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    # The SESSION conf is what the path-based parquet writer consults
+    # (the writer-level option is not honored on this build — probed:
+    # with only the option set, every sibling partition was rewritten).
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            urgent_fixed.write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    return (
+        read_parquet(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )

@@ -267,3 +267,28 @@ def test_snapshot_cow_is_file_selective_and_isolated(spark, sf_dir):
 
     n0 = read_snapshot(spark, root, 0).count()
     assert n0 == table(spark, sf_dir, "orders").count()
+
+
+def test_dynamic_overwrite_touches_one_partition(spark, sf_dir):
+    """The dynamic overwrite must rewrite ONLY the 1-URGENT partition
+    (sibling partition files keep their mtimes) and be idempotent
+    across invocations (no compounding of the correction)."""
+    import os
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+    from dateng_data_lakes_apache_spark_spark.sources.roundtrip import _stage_dir
+
+    qs = get_queries()
+    first = {r.o_orderpriority: r.sum_price for r in qs["q_dynamic_overwrite"](spark, sf_dir).collect()}
+    path = _stage_dir(sf_dir, "orders_dynpart")
+
+    def mtimes(part):
+        d = os.path.join(path, f"o_orderpriority={part}")
+        return {f: os.stat(os.path.join(d, f)).st_mtime_ns for f in os.listdir(d)}
+
+    before = {p: mtimes(p) for p in ["2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW"] if os.path.isdir(os.path.join(path, f"o_orderpriority={p}"))}
+    assert before, "expected sibling partitions on disk"
+    second = {r.o_orderpriority: r.sum_price for r in qs["q_dynamic_overwrite"](spark, sf_dir).collect()}
+    after = {p: mtimes(p) for p in before}
+    assert first == second  # idempotent — no compounding
+    assert before == after  # sibling partitions untouched by the rewrite
