@@ -767,3 +767,67 @@ def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice")).alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_text_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           md5(string_agg(text, chr(10) ORDER BY doc_id)) AS corpus_md5
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → line-oriented text sink → ``spark.read.text`` scan →
+    parse → aggregate. Raw text/JSONL lines are how real corpora ARRIVE
+    at a lake (Common Crawl WET, chat logs), so the text reader is the
+    true ingest edge; this round-trips the engine's own corpus through
+    it. Records serialize as ``doc_id\\tlang\\tn_chars\\ttext`` (the
+    corpus is single-line documents — tab/newline-free, asserted by the
+    staging gate), parse back with a limit-4 split, and the per-lang
+    aggregate INCLUDING an order-pinned corpus md5 proves no line was
+    lost, reordered into the wrong doc, or truncated. Text scans are
+    never column-pruned and parse on every read — the documented
+    trade-off vs parquet (SURVEY §1.3); at 100 TB this path exists for
+    INGEST, after which data lives columnar.
+    """
+    d = table(spark, sf_dir, "documents")
+    path = _stage_dir(sf_dir, "documents_text")
+    if not _staged(path):
+        bad = d.where(
+            F.col("text").contains("\t") | F.col("text").contains("\n")
+        ).limit(1).count()
+        if bad:
+            raise ValueError("text corpus must be tab/newline-free for line staging")
+        (
+            d.select(
+                F.concat_ws(
+                    "\t",
+                    F.col("doc_id").cast("string"),
+                    F.col("lang"),
+                    F.col("n_chars").cast("string"),
+                    F.col("text"),
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(path)
+        )
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 4)
+    parsed = lines.select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).cast("bigint").alias("n_chars"),
+        parts.getItem(3).alias("text"),
+    )
+    kept = F.sort_array(F.collect_list(F.struct("doc_id", "text")))
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.md5(
+            F.array_join(F.transform(kept, lambda s: s.getField("text")), "\n")
+        ).alias("corpus_md5"),
+    )
