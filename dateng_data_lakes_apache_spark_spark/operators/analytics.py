@@ -441,11 +441,24 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the decomposition. Prices scale to integer cents so RANGE
     "strictly cheaper" is exact (`1 PRECEDING` on a whole-unit axis).
     """
-    band = 100_000
     p = table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
         F.col("l_quantity").alias("q"),
-    ).withColumn("b", F.expr(f"pc div {band}"))
+    )
+    return (
+        skyline_2d(p, band=100_000)
+        .groupBy(F.col("pc").alias("price_cents"), F.col("q").alias("quantity"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def skyline_2d(points: DataFrame, band: int) -> DataFrame:
+    """Core banded skyline sweep over (pc: long ascending-better,
+    q: descending-better): returns the non-dominated rows of ``points``
+    (columns pc, q preserved; duplicates kept). See q_skyline for the
+    decomposition argument; extracted so property tests can drive it on
+    arbitrary frames against a brute-force dominance reference."""
+    p = points.withColumn("b", F.expr(f"pc div {band}"))
     in_w = (
         Window.partitionBy("b")
         .orderBy("pc")
@@ -462,12 +475,11 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_prefix = band_max.select(
         "b", F.max("bmax").over(prefix_w).alias("pmax")
     )
-    joined = banded.join(band_prefix, "b")
+    joined = banded.join(band_prefix, "b", "left")
     best_cheaper = F.greatest(
-        F.coalesce(F.col("wmax"), F.lit(-1.0)), F.coalesce(F.col("pmax"), F.lit(-1.0))
+        F.coalesce(F.col("wmax"), F.lit(float("-inf"))),
+        F.coalesce(F.col("pmax"), F.lit(float("-inf"))),
     )
-    return (
-        joined.where((best_cheaper < F.col("q")) & (F.col("smax") <= F.col("q")))
-        .groupBy(F.col("pc").alias("price_cents"), F.col("q").alias("quantity"))
-        .agg(F.count(F.lit(1)).alias("n_items"))
-    )
+    return joined.where(
+        (best_cheaper < F.col("q")) & (F.col("smax") <= F.col("q"))
+    ).select("pc", "q")

@@ -190,13 +190,17 @@ def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decomposition. The bucket-level window orders ~|keys|/1024 rows
     (metadata-scale); at 100 TB push one more 1024× level if needed.
     """
-    bucket_w = 1024
-    keys = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("k"))
-        .distinct()
-        .withColumn("b", F.expr(f"k div {bucket_w}"))
-    )
+    keys = table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    return id_gaps(keys, bucket_w=1024)
+
+
+def id_gaps(keys: DataFrame, bucket_w: int) -> DataFrame:
+    """Core bucketed gap sweep over a column ``k``: returns
+    (gap_start, gap_end, gap_len) for every maximal missing range of
+    the distinct key set. See q_gap_detect for the decomposition
+    argument; extracted so property tests can drive it on arbitrary
+    key sets against the naive LAG reference."""
+    keys = keys.distinct().withColumn("b", F.expr(f"k div {bucket_w}"))
     in_w = Window.partitionBy("b").orderBy("k")
     within = (
         keys.withColumn("pk", F.lag("k").over(in_w))

@@ -267,3 +267,66 @@ def test_triangle_count_matches_reference(spark, edges):
     e = spark.createDataFrame(canon, "a long, b long")
     got = triangle_count(e).collect()[0][0]
     assert got == _triangle_reference(edges)
+
+
+@st.composite
+def point_sets(draw):
+    return draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),   # pc
+                st.integers(min_value=0, max_value=20),   # q
+            ),
+            min_size=0,
+            max_size=25,
+        )
+    )
+
+
+@given(pts=point_sets())
+@settings(**_SETTINGS)
+def test_skyline_matches_bruteforce_dominance(spark, pts):
+    from dateng_data_lakes_apache_spark_spark.operators.analytics import skyline_2d
+
+    if not pts:
+        return
+    df = spark.createDataFrame(
+        [(int(pc), float(q)) for pc, q in pts], "pc bigint, q double"
+    )
+    got = sorted((r.pc, r.q) for r in skyline_2d(df, band=8).collect())
+
+    def dominated(a):
+        return any(
+            b[0] <= a[0] and b[1] >= a[1] and (b[0] < a[0] or b[1] > a[1])
+            for b in pts
+        )
+
+    want = sorted((pc, float(q)) for pc, q in pts if not dominated((pc, q)))
+    assert got == want
+
+
+@st.composite
+def key_sets(draw):
+    return draw(
+        st.lists(st.integers(min_value=0, max_value=200), min_size=0, max_size=40)
+    )
+
+
+@given(ks=key_sets())
+@settings(**_SETTINGS)
+def test_id_gaps_matches_naive_lag(spark, ks):
+    from dateng_data_lakes_apache_spark_spark.operators.data_quality import id_gaps
+
+    if not ks:
+        return
+    df = spark.createDataFrame([(int(k),) for k in ks], "k bigint")
+    got = sorted(
+        (r.gap_start, r.gap_end, r.gap_len) for r in id_gaps(df, bucket_w=16).collect()
+    )
+    uniq = sorted(set(ks))
+    want = [
+        (prev + 1, cur - 1, cur - prev - 1)
+        for prev, cur in zip(uniq, uniq[1:])
+        if cur - prev > 1
+    ]
+    assert got == sorted(want)
