@@ -831,3 +831,84 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(kept, lambda s: s.getField("text")), "\n")
         ).alias("corpus_md5"),
     )
+
+
+def _stage_malformed_json(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic dirty-NDJSON fixture (the JSON twin of
+    :func:`_stage_malformed_csv`): one JSON object per line for
+    documents with doc_id % 5 == 0 — except doc_id % 15 == 0 lines,
+    which are truncated mid-object (unclosed brace): a SYNTAX
+    violation, the failure mode raw JSON feeds actually exhibit
+    (truncated uploads, chopped log lines), distinct from the CSV
+    fixture's type violation. Plain file I/O keeps the corruption
+    byte-exact."""
+    path = _stage_dir(sf_dir, "malformed_json")
+    marker = os.path.join(path, "_STAGED")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    rows = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "n_chars", "lang")
+        .collect()  # bounded fixture subset, staged once
+    )
+    import json as _json
+
+    with open(os.path.join(path, "part-000.json"), "w") as f:
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            line = _json.dumps(
+                {"doc_id": r["doc_id"], "n_chars": r["n_chars"], "lang": r["lang"]},
+                separators=(",", ":"),
+            )
+            if r["doc_id"] % 15 == 0:
+                line = line[: len(line) // 2]  # truncated mid-object
+            f.write(line + "\n")
+    open(marker, "w").close()
+    return path
+
+
+@query(
+    "q_json_malformed_audit",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           CAST(0 AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars_clean
+    FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id % 15 <> 0
+    GROUP BY lang
+
+    UNION ALL
+
+    SELECT NULL AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_corrupt,
+           NULL AS sum_chars_clean
+    FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id % 15 = 0
+    """,
+)
+def q_json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE dirty-NDJSON ingest with corrupt-record capture — the
+    JSON reader path's failure-mode contract (the CSV twin is
+    q_csv_malformed_audit; the reference read JSON blind, etl.py:106).
+    Truncated lines parse to all-null rows with the raw line captured
+    in _corrupt (landing in the NULL lang group — corrupt rows' lang is
+    unknown by definition); clean lines parse fully. The oracle derives
+    both groups from the staging rule, so the hash proves the reader
+    dropped nothing, nulled exactly the corrupt lines, and kept clean
+    values exact.
+    """
+    path = _stage_malformed_json(spark, sf_dir)
+    parsed = (
+        spark.read.schema("doc_id bigint, n_chars bigint, lang string, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt").cast("bigint").alias("n_corrupt"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars_clean"),
+    )
