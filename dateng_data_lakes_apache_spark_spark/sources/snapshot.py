@@ -188,3 +188,29 @@ def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = agg(read_snapshot(spark, root, 0), 0)
     v1 = agg(read_snapshot(spark, root, latest_version(root)), 1)
     return v0.unionByName(v1)
+
+
+def vacuum(root: str, keep_from_version: int) -> dict[str, int]:
+    """Delete data files referenced ONLY by snapshots older than
+    ``keep_from_version`` (Delta/Iceberg VACUUM / expire-snapshots).
+    Time travel to vacuumed versions stops working — that is the
+    documented retention trade-off; versions ≥ keep_from_version remain
+    byte-identical. Returns {"deleted": n, "kept": m}.
+
+    Metadata-only planning: the live set is the union of kept
+    snapshots' file lists (log replay, KB-sized); no data file is
+    opened. At 100 TB this is the nightly job that bounds storage at
+    (live bytes × retained-version overlap) instead of all-history.
+    """
+    latest = latest_version(root)
+    keep: set[str] = set()
+    for v in range(keep_from_version, latest + 1):
+        keep.update(snapshot_files(root, v))
+    all_files: set[str] = set()
+    for v in range(latest + 1):
+        all_files.update(snapshot_files(root, v))
+    doomed = sorted(all_files - keep)
+    for p in doomed:
+        if os.path.exists(p):
+            os.remove(p)
+    return {"deleted": len(doomed), "kept": len(keep)}

@@ -292,3 +292,44 @@ def test_dynamic_overwrite_touches_one_partition(spark, sf_dir):
     after = {p: mtimes(p) for p in before}
     assert first == second  # idempotent — no compounding
     assert before == after  # sibling partitions untouched by the rewrite
+
+
+def test_snapshot_vacuum_expires_only_old_versions(spark, tmp_path):
+    """VACUUM(keep_from=1) must delete exactly the files only v0
+    references, keep v1 byte-identical, and leave shared (carried-
+    forward) files alone."""
+    import os
+
+    from dateng_data_lakes_apache_spark_spark.sources.snapshot import (
+        commit,
+        read_snapshot,
+        snapshot_files,
+        vacuum,
+    )
+
+    root = str(tmp_path / "vtab")
+    f_a = os.path.join(root, "a.parquet")
+    f_b = os.path.join(root, "b.parquet")
+    f_b2 = os.path.join(root, "b2.parquet")
+    os.makedirs(root)
+    spark.range(0, 10).coalesce(1).write.mode("overwrite").parquet(root + "/_tmp_a")
+    spark.range(10, 20).coalesce(1).write.mode("overwrite").parquet(root + "/_tmp_b")
+    spark.range(20, 30).coalesce(1).write.mode("overwrite").parquet(root + "/_tmp_b2")
+    import glob
+    import shutil
+
+    for src_dir, dst in [("_tmp_a", f_a), ("_tmp_b", f_b), ("_tmp_b2", f_b2)]:
+        part = glob.glob(os.path.join(root, src_dir, "part-*.parquet"))[0]
+        shutil.copyfile(part, dst)
+        shutil.rmtree(os.path.join(root, src_dir))
+    commit(root, 0, added=[f_a, f_b], removed=[])
+    commit(root, 1, added=[f_b2], removed=[f_b])  # rewrite b, carry a
+
+    before_v1 = sorted(r.id for r in read_snapshot(spark, root, 1).collect())
+    stats = vacuum(root, keep_from_version=1)
+    assert stats["deleted"] == 1  # only b.parquet (v0-exclusive)
+    assert not os.path.exists(f_b)
+    assert os.path.exists(f_a) and os.path.exists(f_b2)  # shared + live kept
+    after_v1 = sorted(r.id for r in read_snapshot(spark, root, 1).collect())
+    assert after_v1 == before_v1 == list(range(0, 10)) + list(range(20, 30))
+    assert set(snapshot_files(root, 1)) == {f_a, f_b2}
