@@ -1,0 +1,87 @@
+"""Registry-wide physical-plan lint: structural scale rules enforced on
+EVERY registered query's plan, not just the hand-picked plan tests.
+
+Rules (SURVEY §4.4 / package design rules):
+- no CartesianProduct anywhere (every join must carry keys or be a
+  deliberate broadcast of a scalar/constants frame, which plans as
+  BroadcastNestedLoopJoin over a 1-row side — allowed);
+- no BatchEvalPython (row-at-a-time Python UDF) — Python in the row
+  path must be Arrow-vectorized (ArrowEvalPython / mapInPandas are
+  allowed).
+
+Queries whose CONSTRUCTION already runs jobs (streaming replays,
+iterative builders with driver-side convergence actions, staged
+fixtures) are skipped here — linting them would re-run minutes of
+work; their plan shapes are covered by dedicated tests instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+QS = get_queries()
+
+# construction runs real jobs (iterative builders, streaming replays,
+# fixture staging with collect) — excluded from the cheap lint sweep
+_HEAVY_CONSTRUCTION_PREFIXES = ("q_stream_",)
+_HEAVY_CONSTRUCTION = {
+    "q_bpe_train",
+    "q_bpe_apply",
+    "q_pagerank",
+    "q_dedup_resolve",
+    "q_ann_ivf",
+    "q_ann_pq",
+    "q_ann_lsh",
+    "q_knn_graph",
+    "q_manifest_pruned_scan",
+    "q_snapshot_read",
+    "q_dynamic_overwrite",
+    "q_csv_malformed_audit",
+    "q_json_malformed_audit",
+    "q_csv_roundtrip",
+    "q_json_roundtrip",
+    "q_orc_roundtrip",
+    "q_xml_roundtrip",
+    "q_text_roundtrip",
+    "q_multipath_scan",
+    "q_partitioned_pruned",
+    "q_join_dpp",
+    "q_zorder_write",
+    "q_clustered_write",
+    "q_compact_files",
+    "q_schema_evolution",
+    "q_join_bucketed",
+    "q_stats_cbo",
+    "q_merge_upsert",
+    "q_incremental_agg",
+    "q_observe_metrics",
+    "q_python_datasource",
+    "q_python_stream_source",
+    "q_multimodal_decode",
+    "q_multimodal_frames",
+    "q_multimodal_audio",
+    "q_multimodal_video",
+    "q_multimodal_resize",
+    "q_multimodal_meta",
+    "q_union_mixed_schema",
+    "q_sketch_hll_merge",
+    "q_udtf_segments",
+    "q_corpus_shuffle",
+}
+
+LINTABLE = sorted(
+    n
+    for n in QS
+    if n not in _HEAVY_CONSTRUCTION
+    and not n.startswith(_HEAVY_CONSTRUCTION_PREFIXES)
+)
+
+
+@pytest.mark.parametrize("name", LINTABLE)
+def test_no_cartesian_and_no_row_python(spark, sf_dir, name):
+    df = QS[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
