@@ -118,6 +118,13 @@ HEADLINE = [
     "q_bloom_membership",
     "q_skyline",
     "q_attribution",
+    "q_regression_slope",
+    "q_percentile_disc",
+    "q_ann_pq",
+    "q_observe_metrics",
+    "q_dynamic_overwrite",
+    "q_text_roundtrip",
+    "q_json_malformed_audit",
 ]
 
 
