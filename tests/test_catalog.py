@@ -57,3 +57,18 @@ def test_nanos_parquet_read_matches_duckdb(spark, tmp_path):
     df = spark.read.parquet(path)
     got = sorted(r.ts for r in normalize_nanos_ts(df).collect())
     assert got == want
+
+
+def test_configure_s3a_sets_hadoop_conf(spark):
+    """S6 surface (reference etl.py:33-36 / Test_S3_Access.py:12-24):
+    the S3A connector config must land in the JVM Hadoop conf via
+    PUBLIC keys — credentials only when given, tuning keys always."""
+    from dateng_data_lakes_apache_spark_spark.session import configure_s3a
+
+    configure_s3a(spark, access_key="AK", secret_key="SK", endpoint="s3.example.com")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AK"
+    assert hconf.get("fs.s3a.secret.key") == "SK"
+    assert hconf.get("fs.s3a.endpoint") == "s3.example.com"
+    assert hconf.get("fs.s3a.fast.upload") == "true"
+    assert int(hconf.get("fs.s3a.connection.maximum")) >= 1
