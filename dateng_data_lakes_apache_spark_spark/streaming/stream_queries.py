@@ -1180,3 +1180,91 @@ def q_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user"),
         F.col("c_user"),
     )
+
+
+@query(
+    "q_stream_restart",
+    oracle=f"""
+    SELECT {o_ts_str("date_trunc('hour', ts)")} AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {o_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery — the production streaming property the rest
+    of the ladder assumes: a query is STOPPED after draining half its
+    input, then a NEW query resumes from the SAME checkpoint when more
+    data lands. The file-source log in the checkpoint remembers which
+    files were processed (no re-read, no double count) and the state
+    store carries the partial aggregates across the restart, so the
+    final result equals one batch pass over everything — which is
+    exactly the oracle. Without this property every driver crash would
+    reprocess or drop data; with it, restarts are invisible in the
+    output.
+
+    Mechanics: the 4 time-ordered staged batches are exposed via a
+    link-dir; phase 1 sees files 0-1, runs availableNow to completion,
+    stops; files 2-3 are then linked in and phase 2 re-starts from the
+    same checkpointLocation. Complete-mode windowed aggregation means
+    phase 2's memory sink holds the full cross-restart result. The
+    checkpoint is rebuilt fresh per invocation (deterministic, and the
+    scratch stays bounded).
+    """
+    stage = _stage_events_ordered(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    src = os.path.join(_SCRATCH, "stream_restart_src", tag)
+    ckpt = os.path.join(_SCRATCH, "checkpoints", f"restart_{uuid.uuid4().hex[:8]}")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+
+    batches = sorted(
+        n for n in os.listdir(stage) if n.startswith("batch-") and n.endswith(".parquet")
+    )
+
+    def link_in(names):
+        for n in names:
+            dst = os.path.join(src, n)
+            if not os.path.exists(dst):
+                os.link(os.path.join(stage, n), dst)
+
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    def run_phase(sink: str) -> None:
+        ev = normalize_nanos_ts(spark.readStream.schema(schema).parquet(src))
+        agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("sum_value_dec"),
+        )
+        out = agg.select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("sum_value_dec").cast("double").alias("sum_value"),
+        )
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    try:
+        link_in(batches[:2])
+        run_phase(f"restart_a_{uuid.uuid4().hex[:8]}")
+        link_in(batches[2:])
+        sink_b = f"restart_b_{uuid.uuid4().hex[:8]}"
+        run_phase(sink_b)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(sink_b)
