@@ -125,6 +125,7 @@ HEADLINE = [
     "q_dynamic_overwrite",
     "q_text_roundtrip",
     "q_json_malformed_audit",
+    "q_stream_restart",
 ]
 
 

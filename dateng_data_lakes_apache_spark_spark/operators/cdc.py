@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..common import o_ts_str, ts_str
+from ..common import dsum, o_dsum, o_ts_str, ts_str
 from ..registry import query
 
 # Deterministic synthetic snapshot pair derived from `orders`: the "old"
@@ -137,4 +137,85 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.col("ts")).alias("effective_from"),
         ts_str(nxt).alias("effective_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
+    "q_scd2_lookup",
+    oracle=f"""
+    WITH activity AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type) OVER w AS prev
+      FROM events WHERE event_type <> 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, event_id, ts, event_type, prev FROM activity
+      ) WHERE prev IS NULL OR event_type <> prev
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state, ts AS from_ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS to_ts
+      FROM changes
+    ),
+    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT COALESCE(d.state, 'none') AS state_at_purchase,
+           COUNT(*) AS n_purchases,
+           {o_dsum('p.value')} AS revenue
+    FROM p
+    LEFT JOIN dim d
+      ON p.user_id = d.user_id
+     AND d.from_ts <= p.ts
+     AND (p.ts < d.to_ts OR d.to_ts IS NULL)
+    GROUP BY 1
+    """,
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against a type-2 dimension — the
+    read side that makes SCD2 worth building (q_scd2_build is the write
+    side): each purchase fact is enriched with the state that was
+    CURRENT AT ITS TIMESTAMP, not the state of today. The dimension
+    here is the user's activity state (last non-purchase event type),
+    effective-dated by the same lag/lead construction as q_scd2_build;
+    purchases before any activity land in 'none' via the left join.
+
+    Join shape: equi-join on user_id with the interval predicate as a
+    residual filter — a hash join whose per-key fan-out is the user's
+    version count (bounded by change frequency, not history length).
+    At 100 TB the dim is also effective-date–partitioned so a
+    time-bounded fact scan prunes dim versions too. Boundary semantics
+    are half-open [from, to): a purchase at the exact change instant
+    belongs to the NEW state on both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    act = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        act.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .drop("prev", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    dim = changes.select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("from_ts"),
+        F.lead("ts").over(w2).alias("to_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = p.join(
+        dim,
+        (p.user_id == dim.d_user_id)
+        & (dim.from_ts <= p.ts)
+        & ((p.ts < dim.to_ts) | dim.to_ts.isNull()),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("state"), F.lit("none")).alias("state_at_purchase")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum(F.col("value")).alias("revenue"),
     )
