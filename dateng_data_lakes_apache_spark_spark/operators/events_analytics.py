@@ -573,3 +573,74 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_last"), F.lit(0)).cast("bigint").alias("n_last"),
         F.coalesce(F.col("rev_last"), F.lit(0.0)).alias("rev_last"),
     )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_TAPS = 8  # truncated kernel length
+
+
+def _ewma_weights() -> list[float]:
+    """Truncated, renormalized EWMA kernel: w_i ∝ α(1−α)^i, i=0..T−1.
+    Computed once in Python and baked as literals, so both engines
+    evaluate the SAME doubles — no pow() in either engine's row path."""
+    raw = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** i for i in range(_EWMA_TAPS)]
+    s = sum(raw)
+    return [w / s for w in raw]
+
+
+def _ewma_oracle() -> str:
+    ws = _ewma_weights()
+    lag_cols = ",\n             ".join(
+        f"LAG(value, {i}) OVER w AS v{i}" for i in range(1, _EWMA_TAPS)
+    )
+    num = " + ".join(
+        f"COALESCE(v{i} * {w!r}, 0)" if i else f"value * {w!r}"
+        for i, w in enumerate(ws)
+    )
+    den = " + ".join(
+        f"(CASE WHEN v{i} IS NULL THEN 0 ELSE {w!r} END)" if i else f"{w!r}"
+        for i, w in enumerate(ws)
+    )
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             {lag_cols}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, round(({num}) / ({den}), 4) AS ewma
+    FROM ordered
+    """
+
+
+@query("q_window_ewma", oracle=_ewma_oracle())
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — the smoothing
+    primitive behind anomaly baselines and trend dashboards — as a
+    TRUNCATED 8-tap FIR kernel over offset windows.
+
+    True recursive EWMA (w_t = αx + (1−α)w_{t−1}) is a sequential
+    dependency no engine-parallel window can express; the standard
+    distributed answer truncates the (geometrically-vanishing) tail —
+    after 8 taps of α=0.3 the dropped mass is (1−α)^8 ≈ 5.8% — and
+    renormalizes over the taps actually present (series heads average
+    their shorter prefix instead of decaying toward zero). The kernel
+    weights are computed ONCE in Python and baked as identical literals
+    into both engines' expressions, and each output is a fixed
+    expression tree over ≤8 lags: one Exchange + one Sort, no pow() in
+    the row path, bit-identical cross-engine.
+    """
+    weights = _ewma_weights()
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("value")] + [
+        F.lag("value", i).over(w) for i in range(1, _EWMA_TAPS)
+    ]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i, (lv, wt) in enumerate(zip(lags, weights)):
+        num = num + F.coalesce(lv * F.lit(wt), F.lit(0.0))
+        den = den + F.when(lv.isNull(), 0.0).otherwise(F.lit(wt))
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", "event_id", F.round(num / den, 4).alias("ewma")
+    )
