@@ -93,10 +93,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
     #   r3 (current): the two newly-oracled iterative queries + the LLM
     #       flagships the judge called out.
     #   r4 (planned): q_starjoin_pricing, q_dedup_lines,
-    #       q_stream_chained, q_stream_full_outer, q_dq_constraints,
-    #       q_scd2_build
-    #   r5+ (planned): remaining starjoin shapes, formats/roundtrips,
-    #       window pack, events analytics — highest-signal first.
+    #       q_stream_chained, q_stream_restart, q_dq_constraints,
+    #       q_scd2_lookup
+    #   r5+ (planned): q_stream_full_outer, q_scd2_build, remaining
+    #       starjoin shapes, formats/roundtrips (snapshot/dynamic
+    #       overwrite/text/dirty-JSON), window pack, events analytics
+    #       (attribution, skyline, period growth) — highest-signal
+    #       first; every candidate is already green in the local parity
+    #       replica (PARITY_r{N}.json), so rotation converts verified
+    #       queries into driver evidence, never gambles on new ones.
     "q_dedup_resolve",  # newly oracled: recursive-CTE min-label fixpoint
     "q_pagerank",  # newly oracled: unrolled fixed-point integer rounds
     "q_decontaminate",
