@@ -319,3 +319,47 @@ def test_stream_merge_upsert_keeps_version_history(spark, sf_dir):
     assert len(versions) >= 2
     for v in versions:
         assert os.path.exists(os.path.join(v, "_SUCCESS"))
+
+
+def test_checkpoint_recovery_no_reread_no_loss(spark, tmp_path):
+    """Closed-form checkpoint-recovery proof: phase A sees 2 files and
+    must count exactly their rows; phase B resumes the SAME checkpoint
+    with 2 more files and must count ALL rows exactly once (the
+    file-source log prevents re-reads; state carries the partials)."""
+    import os
+    import uuid
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def add_file(idx, lo, hi):
+        tmp = str(tmp_path / f"tmp{idx}")
+        spark.range(lo, hi).selectExpr("id", "id % 3 AS grp").coalesce(1)\
+            .write.mode("overwrite").parquet(tmp)
+        import glob
+        import shutil
+
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0], f"{src}/f{idx}.parquet")
+        shutil.rmtree(tmp)
+
+    def run_phase(sink):
+        stream = spark.readStream.schema("id long, grp long").parquet(src)
+        q = (
+            stream.groupBy("grp").count()
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {r.grp: r['count'] for r in spark.table(sink).collect()}
+
+    add_file(0, 0, 30)
+    add_file(1, 30, 60)
+    a = run_phase(f"cra_{uuid.uuid4().hex[:6]}")
+    assert sum(a.values()) == 60  # phase A saw exactly the first 2 files
+    add_file(2, 60, 90)
+    add_file(3, 90, 120)
+    b = run_phase(f"crb_{uuid.uuid4().hex[:6]}")
+    assert sum(b.values()) == 120  # exactly-once across the restart
+    assert b == {0: 40, 1: 40, 2: 40}
