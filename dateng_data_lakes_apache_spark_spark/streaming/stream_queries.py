@@ -1261,10 +1261,14 @@ def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         link_in(batches[:2])
-        run_phase(f"restart_a_{uuid.uuid4().hex[:8]}")
+        sink_a = f"restart_a_{uuid.uuid4().hex[:8]}"
+        run_phase(sink_a)
         link_in(batches[2:])
         sink_b = f"restart_b_{uuid.uuid4().hex[:8]}"
         run_phase(sink_b)
+        # phase A's memory sink served only as the stop point — drop it
+        # so repeated invocations don't accumulate catalog entries
+        spark.catalog.dropTempView(sink_a)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink_b)
