@@ -829,3 +829,96 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = d.select("doc_id").mapInPandas(stage, schema=stage_schema)
     return staged.mapInPandas(probe, schema=_VIDEO_SCHEMA)
+
+
+def webp_bytes(w: int, h: int) -> bytes:
+    """Minimal extended-format WebP container: RIFF/WEBP with a VP8X
+    chunk carrying the canvas size as (width−1, height−1) 24-bit LE —
+    the container-level metadata real WebP probes read before touching
+    any bitstream."""
+    vp8x = bytes([0]) + b"\x00\x00\x00" + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+    chunk = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def probe_webp(payload: bytes) -> tuple[int, int]:
+    """(width, height) from real RIFF chunk walking to the VP8X chunk —
+    same walker discipline as :func:`decode_wav` (chunks located by id,
+    even-offset padding honored), so files with leading metadata chunks
+    (ICCP/EXIF) would parse identically."""
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP payload")
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"VP8X":
+            body = payload[i + 8 : i + 8 + clen]
+            if len(body) < 10:
+                raise ValueError("truncated VP8X chunk")
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return (w, h)
+        i += 8 + clen + (clen & 1)
+    raise ValueError("no VP8X chunk")
+
+
+@query(
+    "q_multimodal_webp",
+    # staging rule: w = 16 + doc_id % 240, h = 16 + (doc_id // 7) % 120
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 240 AS INT) AS width,
+           CAST(16 + (doc_id // 7) % 120 AS INT) AS height,
+           CAST((16 + doc_id % 240) * (16 + (doc_id // 7) % 120) AS BIGINT)
+             AS canvas_px
+    FROM documents
+    WHERE doc_id % 25 = 3
+    """,
+)
+def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP canvas probe over a binary column — fifth image container
+    (PNG/GIF/BMP/JPEG in q_multimodal_decode), exercising the RIFF
+    chunk walk shared with the WAV probe on an image payload: stage
+    real RIFF/WEBP/VP8X bytes, recover the canvas size from the VP8X
+    24-bit fields. Same two-stage Arrow-batched mapInPandas shape as
+    every multimodal kernel: zero shuffle, linear in corpus bytes.
+    """
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 3)
+
+    stage_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("canvas_px", LongType()),
+        ]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rows.append((i, webp_bytes(16 + i % 240, 16 + (i // 7) % 120)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(probe_webp)
+            w = dims.map(lambda d: d[0]).astype("int32")
+            h = dims.map(lambda d: d[1]).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "canvas_px": (w.astype("int64") * h.astype("int64")),
+                }
+            )
+
+    staged = d.select("doc_id").mapInPandas(stage, schema=stage_schema)
+    return staged.mapInPandas(probe, schema=out_schema)
