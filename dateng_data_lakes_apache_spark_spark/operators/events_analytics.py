@@ -644,3 +644,135 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", F.round(num / den, 4).alias("ewma")
     )
+
+
+@query(
+    "q_rolling_zscore",
+    oracle="""
+    WITH w8 AS (
+      SELECT user_id, event_id, value,
+             CAST(SUM(CAST(value AS DECIMAL(30,8)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(30,8)) * CAST(value AS DECIMAL(30,8)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS s2,
+             COUNT(value)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS n
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round((value - s / n)
+                 / sqrt((s2 - s * s / n) / (n - 1)), 4) AS zscore,
+           abs((value - s / n) / sqrt((s2 - s * s / n) / (n - 1))) > 3.0
+             AS is_anomaly
+    FROM w8
+    WHERE n >= 4 AND (s2 - s * s / n) / (n - 1) > 1e-12
+    """,
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly screen: each event's value scored against
+    the mean/std of the user's PREVIOUS up-to-8 events (the trailing
+    baseline never includes the point being judged — using an inclusive
+    frame is the classic self-masking bug where the outlier inflates
+    its own baseline). Warm-up rows (fewer than 4 priors) and
+    degenerate flat baselines are excluded rather than scored against
+    noise.
+
+    Exactness across engines: the frame sums accumulate DECIMAL(30,8)
+    (value and value² both ≤4 decimals), recombined in double with the
+    same expression tree on both sides — the identical discipline as
+    q_agg_stats, applied per window frame. One Exchange + one Sort;
+    frame cost is O(1) per row (running sums, not per-row rescans).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-8, -1)
+    )
+    v_dec = F.col("value").cast("decimal(30,8)")
+    s = F.sum(v_dec).over(w).cast("double")
+    s2 = F.sum(v_dec * v_dec).over(w).cast("double")
+    n = F.count("value").over(w)
+    scored = ev.select(
+        "user_id", "event_id", "value",
+        s.alias("s"), s2.alias("s2"), n.alias("n"),
+    )
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var)
+    return (
+        scored.where((F.col("n") >= 4) & (var > 1e-12))
+        .select(
+            "user_id", "event_id",
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )
+
+
+@query(
+    "q_ltv_curve",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, e.value,
+             CAST(date_diff('day', f.t0, e.ts) AS BIGINT) // 7 AS week_off
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    weekly AS (
+      SELECT week_off, SUM(CAST(value AS DECIMAL(30,8))) AS wrev,
+             COUNT(*) AS n_purch
+      FROM p GROUP BY week_off
+    ),
+    users AS (SELECT COUNT(*) AS n_users FROM first_seen)
+    SELECT week_off, CAST(n_purch AS BIGINT) AS n_purchases,
+           CAST(SUM(wrev) OVER (ORDER BY week_off) AS DOUBLE) AS cum_revenue,
+           round(CAST(SUM(wrev) OVER (ORDER BY week_off) AS DOUBLE) / u.n_users, 4)
+             AS ltv_per_user
+    FROM weekly, users u
+    """,
+)
+def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value curve: cumulative purchase revenue per user-week
+    since first activity, normalized per acquired user — the retention
+    economics companion to q_retention_cohort (that one counts activity;
+    this one prices it).
+
+    Shape: first-seen is one hash agg; week offsets are integer
+    date_diff // 7; the cumulative window runs over the WEEKLY rollup —
+    a calendar-bounded, metadata-scale table (design rule 6) — with
+    decimal week-sums so the running total is summation-order exact.
+    """
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            (F.datediff(F.col("ts"), F.col("t0")).cast("bigint") / 7)
+            .cast("bigint")
+            .alias("week_off"),
+            F.col("value").cast("decimal(30,8)").alias("v"),
+        )
+    )
+    weekly = p.groupBy("week_off").agg(
+        F.sum("v").alias("wrev"), F.count(F.lit(1)).alias("n_purchases")
+    )
+    n_users = first_seen.agg(F.count(F.lit(1)).alias("n_users"))
+    w = Window.orderBy("week_off").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        weekly.crossJoin(F.broadcast(n_users))
+        .select(
+            "week_off",
+            "n_purchases",
+            F.sum("wrev").over(w).cast("double").alias("cum_revenue"),
+            F.round(
+                F.sum("wrev").over(w).cast("double") / F.col("n_users"), 4
+            ).alias("ltv_per_user"),
+        )
+    )
