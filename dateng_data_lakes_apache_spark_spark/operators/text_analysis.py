@@ -799,3 +799,95 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "q_quality_gate",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+    stats AS (
+      SELECT doc_id,
+             SUM(c) AS ntok,
+             COUNT(*) AS nd,
+             SUM(CASE WHEN list_contains({list(STOPWORDS)!r}, w) THEN c ELSE 0 END)
+               AS nstop,
+             ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 4) AS entropy_r
+      FROM wc GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             CASE WHEN COALESCE(s.ntok, 0) < 5 THEN 1 ELSE 0 END AS f_short,
+             CASE WHEN s.ntok IS NOT NULL
+                   AND (CAST(s.nstop AS DOUBLE) / s.ntok < 0.01
+                        OR CAST(s.nstop AS DOUBLE) / s.ntok > 0.9)
+                  THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN s.ntok IS NOT NULL
+                   AND CAST(s.ntok - s.nd AS DOUBLE) / s.ntok > 0.3
+                  THEN 1 ELSE 0 END AS f_rep,
+             CASE WHEN s.ntok IS NOT NULL AND s.entropy_r < 1.5
+                  THEN 1 ELSE 0 END AS f_ent
+      FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id,
+           CAST(f_short + 2 * f_stop + 4 * f_rep + 8 * f_ent AS INT) AS reason_mask,
+           (f_short + f_stop + f_rep + f_ent) = 0 AS keep
+    FROM flags
+    """,
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE filter decision a training-data pipeline actually ships: the
+    individual quality signals (length, stopword ratio, repetition,
+    token entropy — each its own oracled query) composed into one
+    keep/drop verdict with a reason BITMASK per document (bit0 too
+    short, bit1 stopword ratio out of band, bit2 repetitive, bit3 low
+    entropy), so rejected docs are auditable by cause and thresholds
+    can be tuned from the mask histogram without re-running the scan.
+
+    One pass: explode → (doc, word) counts → per-doc aggregate carrying
+    all four signals → flags. Cross-engine determinism: the integer-
+    ratio gates (stopwords, repetition) compare identical IEEE
+    divisions of identical ints; the LN-based entropy gate compares the
+    ROUND(·, 4) value on BOTH engines — the rounded entropy is already
+    proven hash-identical (q_text_entropy), so the threshold can never
+    flip on a libm ulp. Empty docs get only the too-short flag.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("ntok"),
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.when(F.array_contains(stop_arr, F.col("w")), F.col("c")).otherwise(0)).alias("nstop"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 4
+        ).alias("entropy_r"),
+    )
+    j = d.select("doc_id").join(stats, "doc_id", "left")
+    ntok = F.col("ntok")
+    f_short = F.when(F.coalesce(ntok, F.lit(0)) < 5, 1).otherwise(0)
+    f_stop = F.when(
+        ntok.isNotNull()
+        & (
+            (F.col("nstop").cast("double") / ntok < 0.01)
+            | (F.col("nstop").cast("double") / ntok > 0.9)
+        ),
+        1,
+    ).otherwise(0)
+    f_rep = F.when(
+        ntok.isNotNull() & ((ntok - F.col("nd")).cast("double") / ntok > 0.3), 1
+    ).otherwise(0)
+    f_ent = F.when(ntok.isNotNull() & (F.col("entropy_r") < 1.5), 1).otherwise(0)
+    mask = (f_short + f_stop * 2 + f_rep * 4 + f_ent * 8).cast("int")
+    return j.select(
+        "doc_id",
+        mask.alias("reason_mask"),
+        (mask == 0).alias("keep"),
+    )
