@@ -126,6 +126,15 @@ HEADLINE = [
     "q_text_roundtrip",
     "q_json_malformed_audit",
     "q_stream_restart",
+    "q_scd2_lookup",
+    "q_window_ewma",
+    "q_dedup_incremental",
+    "q_multimodal_webp",
+    "q_rolling_zscore",
+    "q_ltv_curve",
+    "q_quality_gate",
+    "q_funnel_windowed",
+    "q_skew_report",
 ]
 
 

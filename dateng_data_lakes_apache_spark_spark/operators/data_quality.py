@@ -277,3 +277,60 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, n_null_price bigint, min_key bigint, max_key bigint, sum_price double",
     )
+
+
+@query(
+    "q_skew_report",
+    oracle="""
+    WITH kc AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+           round(quantile_cont(CAST(cnt AS DOUBLE), 0.5), 4) AS p50_key_rows,
+           round(quantile_cont(CAST(cnt AS DOUBLE), 0.99), 4) AS p99_key_rows,
+           round(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 4)
+             AS imbalance_factor,
+           round(CAST(SUM(cnt * cnt) AS DOUBLE)
+                 / (CAST(SUM(cnt) AS DOUBLE) * SUM(cnt) / COUNT(*)), 4)
+             AS sum_sq_ratio
+    FROM kc
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic — the report you run BEFORE choosing
+    between a plain shuffle, AQE skew-split, or salting (q_join_salted /
+    q_agg_salted are the treatments; this is the diagnosis):
+    per-key-count distribution summary for orders.o_custkey, including
+    the imbalance factor (max key ÷ mean key — the straggler multiplier
+    a plain hash shuffle would suffer) and the Σcnt²/(n·mean) ratio
+    (>1 means a self-join on this key does more work than uniform keys
+    would — the same Σ deg² economics as q_graph_degree).
+
+    Two aggregations: data → per-key counts (map-side combine), then
+    the KEY-COUNT table (bounded by key cardinality) → one summary row.
+    Exact percentiles buffer the key-count table only — at 100 TB swap
+    in the GK sketch (q_agg_approx_quantile) for the same report shape.
+    """
+    kc = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = F.col("cnt").cast("double")
+    return kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.percentile(c, F.lit(0.5)), 4).alias("p50_key_rows"),
+        F.round(F.percentile(c, F.lit(0.99)), 4).alias("p99_key_rows"),
+        F.round(
+            F.max("cnt").cast("double") * F.count(F.lit(1)) / F.sum("cnt"), 4
+        ).alias("imbalance_factor"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (F.sum("cnt").cast("double") * F.sum("cnt") / F.count(F.lit(1))),
+            4,
+        ).alias("sum_sq_ratio"),
+    )
