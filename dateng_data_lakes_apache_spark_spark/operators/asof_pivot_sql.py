@@ -215,3 +215,52 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    SELECT p.event_id,
+           p.user_id,
+           {o_ts_str('p.ts')} AS purchase_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 DAY THEN c.event_id END
+             AS click_id_fresh,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 DAY THEN {o_ts_str('c.ts')} END
+             AS click_ts_fresh
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas merge_asof's
+    ``tolerance``, QuestDB/kdb asof semantics): the latest click
+    at-or-before each purchase counts only if it is at most 1 day old —
+    older matches are nulled, because "the last click, even if it was
+    two years ago" silently attributes ancient context (the same bug
+    windowed funnels exist to avoid, applied to the as-of operator).
+
+    Implementation: the tolerance is a POST-FILTER on the carried
+    match, not a join-condition change — the union+carry-forward
+    window (:func:`asof_join`) is untouched, so the one-shuffle scale
+    shape survives; nulling stale matches is a map-side CASE.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        right_cols=["click_id", "click_ts"],
+    )
+    fresh = F.col("asof_click_ts") >= F.col("ts") - F.expr("INTERVAL 1 DAY")
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("ts")).alias("purchase_ts"),
+        F.when(fresh, F.col("asof_click_id")).alias("click_id_fresh"),
+        F.when(fresh, ts_str(F.col("asof_click_ts"))).alias("click_ts_fresh"),
+    )

@@ -750,3 +750,69 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
         .alias("status"),
     )
+
+
+@query(
+    "q_dedup_normalized",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 20000 AS doc_id, upper(text) || ' !!!' AS text
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     ' +', ' ', 'g'))) AS nh
+      FROM corpus
+    )
+    SELECT nh AS norm_md5,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           COUNT(*) AS n_variants
+    FROM norm
+    GROUP BY nh
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup — the C4-style preprocessing step
+    exact dedup alone misses: casefold, strip non-alphanumerics,
+    collapse whitespace, THEN hash — so "Hello, World!" and "hello
+    world" collapse to one key. Returns only keys with >1 variant (the
+    actionable rows; the all-keys form is q_dedup_exact's shape).
+
+    The corpus has no natural case/punctuation variants, so a
+    deterministic SHOUTED variant of every 11th document (upper-cased,
+    punctuation appended, shifted id) is unioned in — each such pair
+    must collapse to one normalized key, making the driver's green row
+    check real collapses (q_dedup_exact proves these same texts do NOT
+    collapse under raw hashing). Same 32-byte-per-doc shuffle economics
+    as q_dedup_exact; the normalization is three codegen'd string ops
+    on the scan side. The
+    character class and the whitespace-collapse pattern are chosen
+    inside the Java-regex ∩ RE2 common subset (the q_regex_funcs
+    discipline) so both engines normalize byte-identically.
+    """
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.unionByName(
+        base.where(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
+        )
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.groupBy(F.md5(norm).alias("norm_md5"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .where(F.col("n_variants") > 1)
+    )
