@@ -966,3 +966,61 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("approx_d2"), 4).alias("approx_d2"),
         F.round(cos, 4).alias("cosine"),
     ).orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
+
+
+@query(
+    "q_embedding_scaler",
+    oracle="""
+    WITH ex AS (
+      SELECT t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 4) AS mean,
+           round(sqrt(
+             (CAST(SUM(CAST(floor(v * 1000000) AS BIGINT)
+                       * CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE) / 1e12
+              - CAST(SUM(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)
+                * SUM(CAST(floor(v * 1000000) AS BIGINT)) / 1e12 / COUNT(*))
+             / (COUNT(*) - 1)), 4) AS std
+    FROM ex
+    GROUP BY dim
+    """,
+)
+def q_embedding_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    feature-scaler artifact (mean/std per dimension) every ML
+    standardization step materializes before training or indexing
+    (whitening ANN inputs, normalizing features).
+
+    posexplode fans each vector into (dim, value); one hash aggregation
+    per dimension with map-side combine — shuffle is dims × partials,
+    independent of corpus size. Float values quantize to ×1e6
+    fixed-point integers BEFORE summing (the q_vector_centroid
+    discipline) so Σv and Σv² are exact integer arithmetic on both
+    engines; moments recombine in double with the same expression
+    tree. 1e12 rescales the squared fixed-point sums.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.floor(F.col("v").cast("double") * 1_000_000).alias("iv")
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("iv").alias("s"),
+        F.sum(F.col("iv") * F.col("iv")).alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s").cast("double") / (n * 1_000_000.0)
+    var = (
+        (F.col("s2").cast("double") / 1e12)
+        - F.col("s").cast("double") * F.col("s") / 1e12 / n
+    ) / (n - 1)
+    return agg.select(
+        "dim",
+        "n",
+        F.round(mean, 4).alias("mean"),
+        F.round(F.sqrt(var), 4).alias("std"),
+    )

@@ -548,3 +548,62 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("q99", 4).alias("p99_disc"),
         )
     )
+
+
+@query(
+    "q_winsorize",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN l.l_extendedprice < c.lo THEN 1
+                         WHEN l.l_extendedprice > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped,
+           {o_dsum('l.l_extendedprice')} / COUNT(*) AS raw_mean,
+           CAST(SUM(CAST(CASE WHEN l.l_extendedprice < c.lo THEN c.lo
+                              WHEN l.l_extendedprice > c.hi THEN c.hi
+                              ELSE l.l_extendedprice END AS DECIMAL(30,8)))
+                AS DOUBLE) / COUNT(*) AS winsor_mean
+    FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: values clamped to the exact [p05, p95]
+    band before averaging — the robust-estimation alternative to
+    DROPPING outliers (q_outlier_iqr / q_mad_outlier flag them; this
+    keeps the rows, bounds their influence — the standard treatment for
+    heavy-tailed revenue metrics).
+
+    Two passes: exact per-group cuts (bounded groups), then one clamp +
+    decimal-sum pass with the cuts joined back as broadcast scalars.
+    Clamped values are the cut points themselves (exact doubles both
+    engines computed identically via the proven percentile parity), so
+    the winsorized decimal sum stays engine-exact.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
+    )
+    cuts = li.groupBy("l_returnflag").agg(
+        F.percentile("v", F.lit(0.05)).alias("lo"),
+        F.percentile("v", F.lit(0.95)).alias("hi"),
+    )
+    j = li.join(F.broadcast(cuts), "l_returnflag")
+    clamped = (
+        F.when(F.col("v") < F.col("lo"), F.col("lo"))
+        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("v"))
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")), 1).otherwise(0)
+        ).cast("bigint").alias("n_clamped"),
+        (F.sum(F.col("v").cast("decimal(30,8)")).cast("double") / F.count(F.lit(1))).alias("raw_mean"),
+        (F.sum(clamped.cast("decimal(30,8)")).cast("double") / F.count(F.lit(1))).alias("winsor_mean"),
+    )
