@@ -889,3 +889,122 @@ def q_gdpr_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("r_user").isNull()).alias("n_after"),
         )
     )
+
+
+@query(
+    "q_cap_per_source",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':capseed'), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= 100 THEN n_chars END) AS BIGINT) AS kept_chars,
+           md5(string_agg(CASE WHEN rk <= 100 THEN CAST(doc_id AS VARCHAR) END,
+                          ',' ORDER BY doc_id)) AS kept_ids_md5
+    FROM ranked
+    GROUP BY lang
+    """,
+)
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the "at most N documents per domain"
+    step every web-scale corpus applies so one giant source can't
+    dominate the mixture (the hard-cap sibling of q_sample_temperature's
+    soft reweighting). Within each source (lang stands in for domain),
+    documents rank by a deterministic md5 permutation — an unbiased
+    draw that is layout- and engine-independent, the same discipline as
+    q_corpus_shuffle — and only the first 100 survive.
+
+    One window per source partition (bucket size = source size; a
+    pathologically hot source at 100 TB first goes through a count
+    pre-pass and hash-bucket pre-filter so the window never sees more
+    than ~cap × fanout rows). The kept-set md5 pins the EXACT surviving
+    ids, not just their count.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":capseed"))), "doc_id"
+    )
+    ranked = d.select("doc_id", "lang", "n_chars").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    kept_ids = F.sort_array(
+        F.collect_list(F.when(F.col("rk") <= 100, F.struct("doc_id")))
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rk") <= 100, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("rk") <= 100, F.col("n_chars"))).cast("bigint").alias("kept_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(kept_ids, lambda s: s.getField("doc_id").cast("string")),
+                ",",
+            )
+        ).alias("kept_ids_md5"),
+    )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    vocab AS (
+      SELECT w FROM wc ORDER BY c DESC, w LIMIT 1000
+    )
+    SELECT CAST((SELECT COUNT(*) FROM wc) AS BIGINT) AS n_types,
+           CAST((SELECT SUM(c) FROM wc) AS BIGINT) AS n_tokens,
+           CAST((SELECT SUM(c) FROM wc JOIN vocab USING (w)) AS BIGINT)
+             AS covered_tokens,
+           round(CAST((SELECT SUM(c) FROM wc JOIN vocab USING (w)) AS DOUBLE)
+                 / (SELECT SUM(c) FROM wc), 4) AS coverage
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage report: what fraction of corpus TOKENS the
+    top-1000 word types cover — the first number a tokenizer design
+    consults (coverage vs vocab-size curve decides how much BPE has to
+    do; q_bpe_train learns the merges, this prices the need). Type/token
+    distinction matters: coverage is token-weighted, so a few thousand
+    frequent types usually cover >90% of running text (Zipf) — or
+    don't, on synthetic/noisy corpora, which is exactly worth knowing.
+
+    One corpus pass to word counts (map-side combine); the vocabulary
+    is a TakeOrdered top-K of the TYPE table (bounded by vocabulary,
+    not corpus); coverage is a broadcast semi-join of the type table
+    against the 1000-row vocab. Deterministic tie-break on (count desc,
+    word).
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
+    vocab = wc.orderBy(F.col("c").desc(), "w").limit(1000).select("w")
+    totals = wc.agg(
+        F.count(F.lit(1)).alias("n_types"), F.sum("c").alias("n_tokens")
+    )
+    covered = (
+        wc.join(F.broadcast(vocab), "w")
+        .agg(F.sum("c").alias("covered_tokens"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(covered))
+        .select(
+            "n_types",
+            "n_tokens",
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("n_tokens"), 4
+            ).alias("coverage"),
+        )
+    )
