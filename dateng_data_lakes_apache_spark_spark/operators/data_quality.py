@@ -334,3 +334,134 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sum_sq_ratio"),
     )
+
+
+@query(
+    "q_drift_psi",
+    oracle="""
+    WITH banded AS (
+      SELECT CASE WHEN day(ts) < 16 THEN 0 ELSE 1 END AS half,
+             least(CAST(floor(value / 50) AS INT), 9) AS band
+      FROM events
+    ),
+    counts AS (
+      SELECT band,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+      FROM banded GROUP BY band
+    ),
+    tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM counts)
+    SELECT CAST(10 AS INT) AS n_bands,
+           round(SUM(
+             (CAST(c.a + 1 AS DOUBLE) / (t.ta + 10)
+              - CAST(c.b + 1 AS DOUBLE) / (t.tb + 10))
+             * LN((CAST(c.a + 1 AS DOUBLE) / (t.ta + 10))
+                  / (CAST(c.b + 1 AS DOUBLE) / (t.tb + 10)))
+           ), 4) AS psi
+    FROM counts c, tot t
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event month — the ML-monitoring drift metric (PSI < 0.1 stable,
+    > 0.25 retrain): value distribution banded into 10 fixed-width
+    buckets, PSI = Σ (pₐ−p_b)·ln(pₐ/p_b) with add-one smoothing so
+    empty bands never divide by zero, deterministically on both
+    engines (the smoothed proportions are ratios of identical ints).
+
+    One pass to banded counts (the band table is 10 rows — everything
+    after the first aggregate is metadata-scale); ln() appears only in
+    the final 10-row reduction and the result is rounded before
+    reporting, the same libm discipline as q_text_entropy.
+    """
+    ev = table(spark, sf_dir, "events")
+    banded = ev.select(
+        F.when(F.dayofmonth("ts") < 16, 0).otherwise(1).alias("half"),
+        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias("band"),
+    )
+    counts = banded.groupBy("band").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b"),
+    )
+    tot = counts.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    j = counts.crossJoin(F.broadcast(tot))
+    pa = (F.col("a") + 1).cast("double") / (F.col("ta") + 10)
+    pb = (F.col("b") + 1).cast("double") / (F.col("tb") + 10)
+    return j.agg(
+        F.lit(10).cast("int").alias("n_bands"),
+        F.round(F.sum((pa - pb) * F.log(pa / pb)), 4).alias("psi"),
+    )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT grp, COUNT(*) AS n, SUM(converted) AS k
+      FROM u GROUP BY grp
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+             MAX(CASE WHEN grp = 0 THEN k END) AS k0,
+             MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+             MAX(CASE WHEN grp = 1 THEN k END) AS k1
+      FROM g
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(k0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treat, CAST(k1 AS BIGINT) AS conv_treat,
+           round(CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0, 4) AS lift,
+           round((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0)
+                 / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
+    FROM wide
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between experiment arms (user_id parity
+    stands in for assignment): per-user conversion — defined as ≥ 15
+    purchases ("power buyer"), a threshold sized so BOTH arms carry
+    real variance on this corpus (every synthetic user purchases at
+    least once, which would degenerate the pooled variance to zero) —
+    and the pooled-variance z statistic, the significance readout every
+    product experiment ends with.
+
+    Per-user conversion is one hash agg; the arm table is 2 rows;
+    everything after is scalar arithmetic over identical integer counts
+    on both engines, so the z-score is bit-deterministic. At 100 TB the
+    only data-sized stage is the per-user MAX — map-side combinable and
+    assignment-key partitioned.
+    """
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 15, 1
+        ).otherwise(0).alias("converted")
+    ).select((F.col("user_id") % 2).cast("int").alias("grp"), "converted")
+    g = u.groupBy("grp").agg(F.count(F.lit(1)).alias("n"), F.sum("converted").alias("k"))
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("k"))).alias("k1"),
+    )
+    r0 = F.col("k0").cast("double") / F.col("n0")
+    r1 = F.col("k1").cast("double") / F.col("n1")
+    pool = (F.col("k0") + F.col("k1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (r1 - r0) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("k0").cast("bigint").alias("conv_control"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("k1").cast("bigint").alias("conv_treat"),
+        F.round(r1 - r0, 4).alias("lift"),
+        F.round(z, 4).alias("z_score"),
+    )
