@@ -9,7 +9,7 @@ and scale linearly with input bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -890,4 +890,74 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         mask.alias("reason_mask"),
         (mask == 0).alias("keep"),
+    )
+
+
+@query(
+    "q_langid_eval",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {', '.join(
+                 f"len(list_filter(string_split(text, ' '), w -> list_contains({list(m)!r}, w))) AS s_{k}"
+                 for k, m in LANG_MARKERS.items()
+             )}
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS lang_true,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                  WHEN s_fr >= s_es THEN 'fr'
+                  ELSE 'es' END AS lang_pred
+      FROM scored
+    )
+    SELECT lang_true, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang_true), 4) AS frac_of_true
+    FROM pred
+    GROUP BY lang_true, lang_pred
+    """,
+)
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the marker-word language identifier
+    (q_lang_id is the MODEL; this is its EVAL): predicted vs true
+    language with per-true-class fractions — the quality report that
+    decides whether a heuristic classifier is fit to gate a corpus
+    (diagonal mass = recall per language; off-diagonal cells name the
+    confusions to fix). Classifier evaluation as a first-class lake
+    query: one prediction pass (same scoring expressions as the model
+    query) + one (true, pred) hash aggregate, bounded by #languages².
+    Note the testdata's 'zh' documents have no marker set — where they
+    land in the matrix documents the open-class failure mode every
+    closed-class classifier has.
+    """
+    d = table(spark, sf_dir, "documents")
+    def _marker_count(markers):
+        # closure-bound (NOT a lambda default: pyspark counts lambda
+        # params to pick the (x) vs (x, i) HOF form — the dedup.py trap)
+        return F.size(F.filter(F.split("text", " "), lambda w: w.isin(*markers)))
+
+    scores = {k: _marker_count(tuple(m)) for k, m in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    cells = d.select(F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+    w = Window.partitionBy("lang_true")
+    return (
+        cells.groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "frac_of_true",
+            F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4),
+        )
     )
