@@ -135,6 +135,15 @@ HEADLINE = [
     "q_quality_gate",
     "q_funnel_windowed",
     "q_skew_report",
+    "q_join_asof_tolerance",
+    "q_dedup_normalized",
+    "q_winsorize",
+    "q_embedding_scaler",
+    "q_cap_per_source",
+    "q_vocab_coverage",
+    "q_drift_psi",
+    "q_ab_test",
+    "q_langid_eval",
 ]
 
 
