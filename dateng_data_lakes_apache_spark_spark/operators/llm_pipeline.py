@@ -1008,3 +1008,89 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# Content-filter term lists (C4/RefinedWeb-style). HARD terms drop a doc
+# on any occurrence; SOFT terms drop only when their token share exceeds
+# _SOFT_MAX_RATIO — the two-tier policy real corpus filters ship
+# (C4's badwords list is hard; boilerplate markers are ratio-gated).
+_HARD_BLOCK = ("dup",)
+_SOFT_BLOCK = ("slow", "big")
+_SOFT_MAX_RATIO = 0.15
+
+
+@query(
+    "q_content_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, lang,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({list(_HARD_BLOCK)!r}, w))) AS n_hard,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({list(_SOFT_BLOCK)!r}, w))) AS n_soft,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS ntok
+      FROM documents
+    ),
+    verdict AS (
+      SELECT source, lang, n_hard, n_soft,
+             CASE WHEN n_hard > 0 THEN 1
+                  WHEN ntok > 0
+                   AND CAST(n_soft AS DOUBLE) / ntok > {_SOFT_MAX_RATIO}
+                  THEN 1 ELSE 0 END AS dropped
+      FROM scored
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+           round(CAST(SUM(dropped) AS DOUBLE) / COUNT(*), 4) AS drop_rate,
+           CAST(SUM(n_hard) AS BIGINT) AS hard_hits,
+           CAST(SUM(n_soft) AS BIGINT) AS soft_hits
+    FROM verdict
+    GROUP BY source, lang
+    """,
+)
+def q_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist content filter, the corpus-prep gate q_quality_gate
+    does NOT cover: term-based exclusion with the two-tier policy
+    production filters use — HARD terms (any occurrence drops the doc,
+    C4's badword rule) and SOFT terms (dropped only above a token-share
+    ratio, the boilerplate-marker rule), reported per (source, lang) so
+    list tuning is auditable by provenance slice.
+
+    Map-only scan: both term counts come from JVM higher-order
+    ``filter``/``size`` over the split array (no explode, no shuffle
+    until the tiny provenance rollup) — at 100 TB this is a free column
+    alongside the read, and the per-slice report is a ~|sources×langs|
+    aggregate. The ratio gate compares the same IEEE division of the
+    same two ints on both engines, so the verdict can never flip
+    cross-engine.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    n_hard = F.size(F.filter(toks, lambda w: w.isin(*_HARD_BLOCK)))
+    n_soft = F.size(F.filter(toks, lambda w: w.isin(*_SOFT_BLOCK)))
+    scored = d.select(
+        "source",
+        "lang",
+        n_hard.alias("n_hard"),
+        n_soft.alias("n_soft"),
+        F.size(toks).alias("ntok"),
+    )
+    dropped = F.when(F.col("n_hard") > 0, 1).when(
+        (F.col("ntok") > 0)
+        & (F.col("n_soft").cast("double") / F.col("ntok") > _SOFT_MAX_RATIO),
+        1,
+    ).otherwise(0)
+    return (
+        scored.withColumn("dropped", dropped)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dropped").cast("bigint").alias("n_dropped"),
+            F.round(
+                F.sum("dropped").cast("double") / F.count(F.lit(1)), 4
+            ).alias("drop_rate"),
+            F.sum("n_hard").cast("bigint").alias("hard_hits"),
+            F.sum("n_soft").cast("bigint").alias("soft_hits"),
+        )
+    )

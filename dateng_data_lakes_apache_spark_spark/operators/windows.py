@@ -459,3 +459,37 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q_window_percentile",
+    oracle="""
+    SELECT s_nationkey,
+           s_suppkey,
+           round(percent_rank() OVER w, 4) AS pr,
+           round(cume_dist() OVER w, 4) AS cd
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+    """,
+)
+def q_window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions — percent_rank (rank−1)/(n−1)
+    and cume_dist (rows ≤ current)/n per nation, ordered by account
+    balance. Completes the window pack's ranking trio (rank/ntile →
+    this): these are the normalized scores downstream models consume
+    (e.g. feature scaling without a second pass over group extrema).
+
+    Both functions are TIE-AWARE — equal order keys share a value — so
+    no arbitrary tiebreak column is needed for determinism; one shuffle
+    on the partition key, per-group sort, single window pass. Rounded
+    to 4 decimals on both engines: the quotient of two small ints is
+    IEEE-identical, the round only normalizes the textual hash.
+    """
+    s = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    )

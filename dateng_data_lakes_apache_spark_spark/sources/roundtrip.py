@@ -912,3 +912,103 @@ def q_json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_corrupt").cast("bigint").alias("n_corrupt"),
         F.sum("n_chars").cast("bigint").alias("sum_chars_clean"),
     )
+
+
+_CUSTOMER_DDL = (
+    "c_custkey bigint, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+# DuckDB has no base-conv builtin; expand hex→int digit arithmetic for
+# the first 8 md5 hex digits (same value Spark gets from conv(...,16,10)).
+_O_HEX8 = "CAST(" + " + ".join(
+    f"(instr('0123456789abcdef', substr({{h}},{i + 1},1))-1)*{16 ** (7 - i)}"
+    for i in range(8)
+) + " AS BIGINT)"
+
+
+def _canon_customer(df: DataFrame) -> DataFrame:
+    """Canonical per-row checksum frame: every column explicitly cast,
+    the double carried as integer cents so no engine/format ever
+    formats a float into a hash input."""
+    s = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").cast("string"),
+        F.col("c_mktsegment"),
+    )
+    return df.select(
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint").alias("h")
+    )
+
+
+@query(
+    "q_cross_format_parity",
+    oracle=f"""
+    WITH canon AS (
+      SELECT concat_ws('|',
+               CAST(c_custkey AS VARCHAR),
+               c_name,
+               CAST(c_nationkey AS VARCHAR),
+               CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR),
+               c_mktsegment) AS s
+      FROM customer
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM({_O_HEX8.format(h="md5(s)")}) AS BIGINT) AS checksum
+      FROM canon
+    )
+    SELECT f.format, s.n_rows, s.checksum
+    FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) f(format)
+    CROSS JOIN sums s
+    """,
+)
+def q_cross_format_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format fidelity capstone: customer written to CSV, NDJSON
+    and ORC, read back, and reduced to an ORDER-INDEPENDENT content
+    checksum (sum of per-row md5-prefix ints) next to the parquet
+    original — four rows that must be byte-identical. The per-format
+    roundtrips (q_csv_roundtrip etc.) verify one aggregate each; this
+    one pins the whole row contract (every column, every row) across
+    every at-rest format the engine ships, in a single driver-checkable
+    artifact. Any writer/reader defect — quoting, schema application,
+    float formatting, encoding — breaks exactly that format's row.
+
+    The checksum is commutative (SUM of row hashes), so it needs no
+    global sort: each format is scan → map (hash) → partial-agg, and
+    the four legs union into one 4-row result. At 100 TB this is the
+    standard table-fingerprint pattern for migration validation — one
+    pass per replica, constant-size comparison artifact. The double
+    column enters the hash as integer cents on BOTH engines, so no
+    float-to-string formatting ever reaches the hash input.
+    """
+    src = table(spark, sf_dir, "customer")
+    csv_path = _stage_dir(sf_dir, "customer_csv")  # shared with q_csv_roundtrip
+    if not _staged(csv_path):
+        write_csv(src, csv_path)
+    json_path = _stage_dir(sf_dir, "customer_json")
+    if not _staged(json_path):
+        src.write.mode("overwrite").json(json_path)
+    orc_path = _stage_dir(sf_dir, "customer_orc")
+    if not _staged(orc_path):
+        src.write.mode("overwrite").orc(orc_path)
+
+    legs = {
+        "parquet": src,
+        "csv": read_csv(spark, csv_path, schema=_CUSTOMER_DDL),
+        "json": read_json(spark, json_path, schema=_CUSTOMER_DDL),
+        "orc": spark.read.orc(orc_path),
+    }
+    frames = [
+        _canon_customer(df).agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("h").alias("checksum")
+        ).select(F.lit(fmt).alias("format"), "n_rows", "checksum")
+        for fmt, df in legs.items()
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out
