@@ -465,3 +465,46 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r1 - r0, 4).alias("lift"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+_K_ANON = 5
+
+
+@query(
+    "q_kanonymity",
+    oracle=f"""
+    SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 2000) AS INT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < {_K_ANON}
+    """,
+)
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, account-balance band): every equivalence class with
+    fewer than k=5 members is a re-identification risk — the
+    privacy gate a training-data release runs AFTER direct-identifier
+    removal (q_pii_redact strips direct PII; this catches the indirect
+    combination attack, Sweeney 2002). Returned rows are the classes to
+    suppress or generalize before release.
+
+    One groupBy on the quasi-identifier tuple + HAVING — the same
+    map-side-combinable aggregate shape as any distinct-count audit, so
+    the cost at 100 TB is one shuffle of class keys. The balance band
+    uses floor division (negative balances land in negative bands on
+    both engines); k is scale-dependent by design — the at-risk set
+    shrinks as real data grows, which is exactly what the audit reports.
+    """
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") < _K_ANON)
+    )

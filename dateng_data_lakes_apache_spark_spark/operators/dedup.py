@@ -816,3 +816,71 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_variants") > 1)
     )
+
+
+# Provenance preference for q_dedup_priority: lower rank wins. Unlisted
+# sources rank 9 and fall back to (source, doc_id) lexicographic order —
+# the "curated snapshot beats raw crawl" rule real corpus merges use.
+_SOURCE_RANK = {"src2": 0, "src0": 1}
+
+
+@query(
+    "q_dedup_priority",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT md5(text) AS text_md5, source, doc_id,
+             CASE source
+               WHEN 'src2' THEN 0
+               WHEN 'src0' THEN 1
+               ELSE 9 END AS prio,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+             row_number() OVER (
+               PARTITION BY md5(text)
+               ORDER BY CASE source WHEN 'src2' THEN 0 WHEN 'src0' THEN 1
+                        ELSE 9 END, source, doc_id) AS rn
+      FROM documents
+    )
+    SELECT text_md5,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           source AS keeper_source,
+           CAST(doc_id AS BIGINT) AS keeper_doc_id
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with PROVENANCE-priority keeper selection: among
+    byte-identical copies, keep the copy from the most trusted source
+    (rank table above), not the lowest doc_id — the merge rule for
+    multi-snapshot corpora where a curated source should beat a raw
+    crawl even when the crawl was ingested first. q_dedup_exact is the
+    id-deterministic variant; this is the policy-deterministic one.
+
+    Same scale shape as q_dedup_exact: group on md5(text) (~32-byte
+    shuffle keys, never full documents), keeper chosen by a single
+    lexicographic MIN over a (rank, source, doc_id) struct — one
+    map-side-combinable aggregate, no window, no second pass. The
+    oracle states the same choice as a row_number window; both reduce
+    to the identical total order.
+    """
+    d = table(spark, sf_dir, "documents")
+    prio = F.when(F.col("source") == "src2", 0).when(
+        F.col("source") == "src0", 1
+    ).otherwise(9)
+    keeper = F.min(
+        F.struct(
+            prio.alias("p"), F.col("source").alias("s"), F.col("doc_id").alias("d")
+        )
+    )
+    return (
+        d.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            keeper.alias("k"),
+        )
+        .select(
+            "text_md5",
+            "n_copies",
+            F.col("k.s").alias("keeper_source"),
+            F.col("k.d").cast("bigint").alias("keeper_doc_id"),
+        )
+    )

@@ -607,3 +607,60 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("v").cast("decimal(30,8)")).cast("double") / F.count(F.lit(1))).alias("raw_mean"),
         (F.sum(clamped.cast("decimal(30,8)")).cast("double") / F.count(F.lit(1))).alias("winsor_mean"),
     )
+
+
+# Decile boundaries for q_ecdf_normalize (interior cut points).
+_ECDF_PS = [i / 10 for i in range(1, 10)]
+
+
+@query(
+    "q_ecdf_normalize",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT quantile_cont(value, {_ECDF_PS!r}) AS bs FROM events
+    )
+    SELECT event_type,
+           CAST(len(list_filter(b.bs, x -> x <= e.value)) AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(MIN(e.value), 4) AS min_v,
+           round(MAX(e.value), 4) AS max_v
+    FROM events e CROSS JOIN bounds b
+    GROUP BY 1, 2
+    """,
+)
+def q_ecdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-CDF normalization: map every event value to its GLOBAL
+    decile (count of reference cut points ≤ value), then report the
+    per-(event_type, decile) occupancy — the quantile-normalization
+    primitive feature pipelines use to put heavy-tailed signals on a
+    uniform scale, and the drift view that shows which event types sit
+    in which global deciles.
+
+    Two-phase broadcast-scalar shape: pass 1 reduces the data to NINE
+    doubles (exact interpolated percentiles — at 100 TB swap in the GK
+    sketch, same nine numbers); the cut-point array then rides into a
+    map-side higher-order filter/size per row (a 9-element scan beats a
+    range-join for fixed, tiny boundary sets), and the rollup shuffles
+    only (type, decile) pairs. Cross-engine: Spark percentile() and
+    DuckDB quantile_cont() interpolate identically (proven by
+    q_winsorize/q_mad_outlier's raw-threshold parity), and the bucket
+    rule compares identical doubles with the same <= on both sides.
+    """
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.percentile("value", F.array(*[F.lit(p) for p in _ECDF_PS])).alias("bs")
+    )
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.size(F.filter("bs", lambda x: x <= F.col("value"))).alias("decile"),
+            "value",
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+        )
+    )
