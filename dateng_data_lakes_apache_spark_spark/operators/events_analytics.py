@@ -849,3 +849,86 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count(F.lit(1)).alias("n_click_1d"))
     np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_1d"))
     return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+
+
+_BACKTEST_SPLIT = "2024-01-16"  # train < split <= test (30-day window)
+
+
+@query(
+    "q_forecast_backtest",
+    oracle=f"""
+    WITH train AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_train,
+             SUM(CAST(value AS DECIMAL(30,8))) AS s_train
+      FROM events WHERE CAST(ts AS DATE) < DATE '{_BACKTEST_SPLIT}'
+      GROUP BY 1, 2
+    ),
+    test AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             SUM(CAST(value AS DECIMAL(30,8))) AS s_test
+      FROM events WHERE CAST(ts AS DATE) >= DATE '{_BACKTEST_SPLIT}'
+      GROUP BY 1, 2
+    )
+    SELECT t.event_type,
+           CAST(t.hour AS INT) AS hour,
+           t.n_train, e.n_test,
+           round(CAST(t.s_train AS DOUBLE) / t.n_train, 4) AS pred,
+           round(CAST(e.s_test AS DOUBLE) / e.n_test, 4) AS actual,
+           round(abs(CAST(e.s_test AS DOUBLE) / e.n_test
+                     - CAST(t.s_train AS DOUBLE) / t.n_train), 4) AS abs_err,
+           round(abs(CAST(e.s_test AS DOUBLE) / e.n_test
+                     - CAST(t.s_train AS DOUBLE) / t.n_train)
+                 / (CAST(e.s_test AS DOUBLE) / e.n_test), 4) AS ape
+    FROM train t JOIN test e
+      ON t.event_type = e.event_type AND t.hour = e.hour
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline forecast BACKTEST: the hour-of-day profile
+    learned on the first half of the window predicts the second half,
+    and the per-(event_type, hour) error table is the deliverable — the
+    standard sanity baseline every forecasting effort must beat, run
+    entirely as a lake query (temporal train/test split, profile fit,
+    out-of-sample evaluation).
+
+    Two filtered aggregations over the same scan (train and test
+    profiles, both map-side combinable) joined on the tiny
+    (type × 24-hour) profile key — no window, no per-row division:
+    every reported number derives from one IEEE division of
+    DECIMAL-exact sums, so both engines produce bit-identical errors.
+    At 100 TB the profile tables stay |types|×24 regardless of data
+    size; the split predicate prunes on the partition column when
+    events are date-partitioned.
+    """
+    e = table(spark, sf_dir, "events")
+    split = F.lit(_BACKTEST_SPLIT).cast("date")
+    base = e.select(
+        "event_type",
+        F.hour("ts").alias("hour"),
+        F.col("value").cast("decimal(30,8)").alias("v"),
+        (F.col("ts").cast("date") < split).alias("in_train"),
+    )
+    train = (
+        base.where("in_train")
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n_train"), F.sum("v").alias("s_train"))
+    )
+    test = (
+        base.where(~F.col("in_train"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n_test"), F.sum("v").alias("s_test"))
+    )
+    pred = F.col("s_train").cast("double") / F.col("n_train")
+    actual = F.col("s_test").cast("double") / F.col("n_test")
+    return train.join(test, ["event_type", "hour"]).select(
+        "event_type",
+        F.col("hour").cast("int").alias("hour"),
+        "n_train",
+        "n_test",
+        F.round(pred, 4).alias("pred"),
+        F.round(actual, 4).alias("actual"),
+        F.round(F.abs(actual - pred), 4).alias("abs_err"),
+        F.round(F.abs(actual - pred) / actual, 4).alias("ape"),
+    )

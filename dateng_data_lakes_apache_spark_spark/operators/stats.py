@@ -10,7 +10,7 @@ decimals and DECIMAL(30,8) accumulation is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -663,4 +663,83 @@ def q_ecdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 4).alias("min_v"),
             F.round(F.max("value"), 4).alias("max_v"),
         )
+    )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(30,8))) AS s
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(n) AS tn, SUM(s) AS tsum FROM daily
+    ),
+    dev AS (
+      SELECT d.day, d.n,
+             CAST(d.s AS DOUBLE) / d.n AS daily_mean,
+             CAST(CAST(d.s AS DOUBLE) / d.n
+                  - CAST(t.tsum AS DOUBLE) / t.tn AS DECIMAL(20,8)) AS dv
+      FROM daily d CROSS JOIN tot t
+    ),
+    cus AS (
+      SELECT day, n, daily_mean,
+             SUM(dv) OVER (ORDER BY day) AS cusum
+      FROM dev
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           n,
+           round(daily_mean, 4) AS daily_mean,
+           round(CAST(cusum AS DOUBLE), 4) AS cusum,
+           abs(cusum) = (SELECT MAX(abs(cusum)) FROM cus) AS is_changepoint
+    FROM cus
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen over the daily mean of ``events.value``:
+    the running sum of (daily mean − global mean) peaks in magnitude at
+    the most likely level-shift day (Page 1954) — the first-line monitor
+    for "did this metric's level move, and when" on an ingest stream.
+
+    Scale shape: the corpus reduces to one DECIMAL-exact (n, Σv) row
+    per day (map-side combinable), so the CUSUM window runs over a
+    METADATA-scale table (≤ days rows) — design rule 6's reduce-then-
+    window pattern; the data-sized pass is one aggregation. Cross-
+    engine determinism: per-day deviations are single IEEE divisions of
+    exact decimal sums, then re-cast to DECIMAL(20,8) BEFORE the
+    running sum — decimal addition is associative, so the cumulative
+    sum cannot drift with engine summation order; the peak test
+    compares exact decimals.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,8)")).alias("s"),
+    )
+    tot = daily.agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("tsum")
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("daily_mean"),
+        (
+            F.col("s").cast("double") / F.col("n")
+            - F.col("tsum").cast("double") / F.col("tn")
+        ).cast("decimal(20,8)").alias("dv"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cus = dev.select(
+        "day", "n", "daily_mean", F.sum("dv").over(w).alias("cusum")
+    )
+    peak = cus.agg(F.max(F.abs(F.col("cusum"))).alias("mx"))
+    return cus.crossJoin(F.broadcast(peak)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round("daily_mean", 4).alias("daily_mean"),
+        F.round(F.col("cusum").cast("double"), 4).alias("cusum"),
+        (F.abs(F.col("cusum")) == F.col("mx")).alias("is_changepoint"),
     )
