@@ -144,6 +144,15 @@ HEADLINE = [
     "q_drift_psi",
     "q_ab_test",
     "q_langid_eval",
+    "q_content_filter",
+    "q_window_percentile",
+    "q_cross_format_parity",
+    "q_dedup_priority",
+    "q_kanonymity",
+    "q_ecdf_normalize",
+    "q_cusum_changepoint",
+    "q_forecast_backtest",
+    "q_activity_bitmap",
 ]
 
 

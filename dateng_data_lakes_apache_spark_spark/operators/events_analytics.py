@@ -932,3 +932,68 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(actual - pred), 4).alias("abs_err"),
         F.round(F.abs(actual - pred) / actual, 4).alias("ape"),
     )
+
+
+@query(
+    "q_activity_bitmap",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, EXTRACT(day FROM ts) AS d FROM events
+    ),
+    mask AS (
+      SELECT user_id,
+             CAST(bit_or(1::BIGINT << CAST(d - 1 AS INT)) AS BIGINT) AS day_mask,
+             CAST(COUNT(*) AS BIGINT) AS n_active_days
+      FROM days GROUP BY user_id
+    ),
+    islands AS (
+      SELECT user_id, d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ),
+    streak AS (
+      SELECT user_id, CAST(MAX(run) AS BIGINT) AS longest_streak
+      FROM (SELECT user_id, grp, COUNT(*) AS run FROM islands GROUP BY user_id, grp)
+      GROUP BY user_id
+    )
+    SELECT m.user_id, m.day_mask, m.n_active_days, s.longest_streak
+    FROM mask m JOIN streak s ON m.user_id = s.user_id
+    """,
+)
+def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity BITMAP over the month: bit i of one bigint =
+    active on day i+1 — the roaring-bitmap-style encoding that turns
+    retention/overlap questions into bitwise ANDs over fixed-size
+    state (audience intersection at 100 TB is then a bit_and of two
+    64-bit masks per user, not a join of day-level rows). Alongside:
+    n_active_days straight from bit_count, and the longest consecutive
+    streak via the classic gaps-and-islands formulation — two
+    independent derivations whose CONSISTENCY (popcount ≥ streak, both
+    from the same distinct-day set) doubles as a self-check.
+
+    Shape: one distinct on (user, day) — the only data-sized shuffle —
+    then a bit_or aggregate (map-side combinable into one long per
+    user) and an islands window over ≤31 rows per user. The bitmap is
+    the artifact you persist; the oracle re-derives both columns
+    independently in DuckDB.
+    """
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.dayofmonth("ts").alias("d")
+    ).distinct()
+    mask = days.groupBy("user_id").agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(d - 1 AS INT))")).alias("day_mask"),
+        F.count(F.lit(1)).alias("n_active_days"),
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id", (F.col("d") - F.row_number().over(w)).alias("grp")
+    )
+    streak = (
+        islands.groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("user_id")
+        .agg(F.max("run").cast("bigint").alias("longest_streak"))
+    )
+    return mask.join(streak, "user_id").select(
+        "user_id", "day_mask", "n_active_days", "longest_streak"
+    )
