@@ -153,6 +153,8 @@ HEADLINE = [
     "q_cusum_changepoint",
     "q_forecast_backtest",
     "q_activity_bitmap",
+    "q_target_encode",
+    "q_feature_hashing",
 ]
 
 

@@ -743,3 +743,67 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cusum").cast("double"), 4).alias("cusum"),
         (F.abs(F.col("cusum")) == F.col("mx")).alias("is_changepoint"),
     )
+
+
+_TE_SMOOTH = 10  # pseudo-observations of the global mean (empirical Bayes)
+
+
+@query(
+    "q_target_encode",
+    oracle=f"""
+    WITH cat AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_cat,
+             SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS s_cat
+      FROM customer GROUP BY 1
+    ),
+    gtot AS (
+      SELECT SUM(n_cat) AS n_tot, SUM(s_cat) AS s_tot FROM cat
+    )
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           round((CAST(t.s_cat - CAST(c.c_acctbal AS DECIMAL(30,8)) AS DOUBLE)
+                  + {_TE_SMOOTH}.0 * (CAST(g.s_tot AS DOUBLE) / g.n_tot))
+                 / (t.n_cat - 1 + {_TE_SMOOTH}), 4) AS segment_te
+    FROM customer c
+    JOIN cat t ON c.c_mktsegment = t.c_mktsegment
+    CROSS JOIN gtot g
+    """,
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with empirical-Bayes smoothing —
+    the categorical-feature encoder gradient-boosting pipelines ship:
+    each row's category becomes the mean target of the OTHER rows in
+    its category, shrunk toward the global mean by m=10 pseudo-counts
+    (Micci-Barreca 2001). LOO + shrinkage is what prevents the target
+    leakage and rare-category overfit a naive group-mean join causes.
+
+    Shape: one aggregate to |categories| rows, one to a global scalar,
+    both BROADCAST back onto the row scan — encoding is then a pure
+    map-side expression (no second shuffle, no window), which is the
+    whole trick at 100 TB: the encoder table is metadata-sized state.
+    Determinism: category and global sums are DECIMAL-exact; each
+    output is a fixed two-division IEEE tree over those exact values,
+    so both engines emit bit-identical encodings.
+    """
+    c = table(spark, sf_dir, "customer")
+    cat = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cat"),
+        F.sum(F.col("c_acctbal").cast("decimal(30,8)")).alias("s_cat"),
+    )
+    glob = cat.agg(
+        F.sum("n_cat").alias("n_tot"), F.sum("s_cat").alias("s_tot")
+    )
+    enc = (
+        (F.col("s_cat") - F.col("c_acctbal").cast("decimal(30,8)")).cast("double")
+        + float(_TE_SMOOTH) * (F.col("s_tot").cast("double") / F.col("n_tot"))
+    ) / (F.col("n_cat") - 1 + _TE_SMOOTH)
+    return (
+        c.join(F.broadcast(cat), "c_mktsegment")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(enc, 4).alias("segment_te"),
+        )
+    )

@@ -961,3 +961,53 @@ def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4),
         )
     )
+
+
+_FH_BUCKETS = 32  # hashing-trick dimensionality
+
+
+@query(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST((instr('0123456789abcdef', substr(md5(w),1,1))-1)*4096
+              + (instr('0123456789abcdef', substr(md5(w),2,1))-1)*256
+              + (instr('0123456789abcdef', substr(md5(w),3,1))-1)*16
+              + (instr('0123456789abcdef', substr(md5(w),4,1))-1) AS INT)
+              % {_FH_BUCKETS} AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM words
+    GROUP BY 1, 2
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML 2009): words map
+    straight to a FIXED 32-bucket feature space through md5 — no
+    vocabulary table, no fit step, no broadcast dictionary. This is the
+    vectorizer you use at 100 TB when the vocabulary itself would be a
+    scale problem: the feature dimensionality is a constant of the
+    pipeline, collisions are the accepted trade, and encoding
+    distributes as a pure map (sparse (doc, bucket, count) triples,
+    map-side combinable groupBy — same shuffle shape as wordcount).
+
+    Content-hash determinism (md5 mod buckets) means the SAME word maps
+    to the SAME bucket across engines, runs and re-shards — the oracle
+    re-derives the bucket via hex-digit arithmetic exactly like
+    q_split_train_test.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int") % _FH_BUCKETS
+    ).cast("int")
+    return (
+        words.groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
