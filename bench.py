@@ -155,6 +155,7 @@ HEADLINE = [
     "q_activity_bitmap",
     "q_target_encode",
     "q_feature_hashing",
+    "q_dedup_union_signals",
 ]
 
 
