@@ -156,6 +156,8 @@ HEADLINE = [
     "q_target_encode",
     "q_feature_hashing",
     "q_dedup_union_signals",
+    "q_dp_noisy_count",
+    "q_path_analysis",
 ]
 
 

@@ -508,3 +508,72 @@ def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("k"))
         .where(F.col("k") < _K_ANON)
     )
+
+
+_DP_EPS = 1.0  # Laplace scale b = sensitivity/epsilon = 1/eps for counts
+
+
+@query(
+    "q_dp_noisy_count",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ),
+    unif AS (
+      SELECT n_name, true_n,
+             (CAST((instr('0123456789abcdef', substr(md5(n_name),1,1))-1)*268435456
+                 + (instr('0123456789abcdef', substr(md5(n_name),2,1))-1)*16777216
+                 + (instr('0123456789abcdef', substr(md5(n_name),3,1))-1)*1048576
+                 + (instr('0123456789abcdef', substr(md5(n_name),4,1))-1)*65536
+                 + (instr('0123456789abcdef', substr(md5(n_name),5,1))-1)*4096
+                 + (instr('0123456789abcdef', substr(md5(n_name),6,1))-1)*256
+                 + (instr('0123456789abcdef', substr(md5(n_name),7,1))-1)*16
+                 + (instr('0123456789abcdef', substr(md5(n_name),8,1))-1) AS DOUBLE)
+              + 0.5) / 4294967296.0 AS u
+      FROM cnt
+    )
+    SELECT n_name, true_n,
+           round(true_n
+                 + (1.0 / {_DP_EPS}) * (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                   * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noisy_n
+    FROM unif
+    """,
+)
+def q_dp_noisy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release mechanism for counts: per-nation
+    customer counts + Laplace(1/ε) noise via inverse-CDF sampling —
+    completing the privacy family (q_pii_redact strips direct
+    identifiers, q_kanonymity audits indirect ones, q_gdpr_erase
+    deletes on request; this is the aggregate-release side). The
+    uniform draw is a DETERMINISTIC md5 hash of the group key — which
+    makes the mechanism testable/oracle-able and the pipeline
+    reproducible, and is exactly the seeded-noise compromise a nightly
+    released dashboard ships (true ε-DP swaps the hash for a secret
+    per-release seed; every other line is unchanged).
+
+    Shape: one groupBy to |nations| rows; noise is a map-side
+    expression over the tiny aggregate. True counts appear alongside
+    (it is a mechanism demo, not a release). Cross-engine: the uniform
+    is exact integer arithmetic; sign/ln compose the same IEEE tree,
+    and ln-parity at ROUND(·,4) is already proven by q_text_entropy.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    cnt = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    u = (
+        F.conv(F.substring(F.md5("n_name"), 1, 8), 16, 10).cast("double") + 0.5
+    ) / 4294967296.0
+    noise = (1.0 / _DP_EPS) * F.when(u < 0.5, 1.0).otherwise(-1.0) * F.log(
+        1.0 - 2.0 * F.abs(u - 0.5)
+    )
+    return cnt.select(
+        "n_name",
+        "true_n",
+        F.round(F.col("true_n") + noise, 4).alias("noisy_n"),
+    )

@@ -997,3 +997,68 @@ def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mask.join(streak, "user_id").select(
         "user_id", "day_mask", "n_active_days", "longest_streak"
     )
+
+
+@query(
+    "q_path_analysis",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS path
+      FROM events GROUP BY 1, 2
+    )
+    SELECT substr(path, 1, 3) AS prefix3,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           round(CAST(SUM(length(path)) AS DOUBLE) / COUNT(*), 4) AS avg_len,
+           CAST(MAX(length(path)) AS BIGINT) AS max_len
+    FROM paths
+    GROUP BY 1
+    """,
+)
+def q_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: each (user, day) becomes an ORDERED
+    event-type string ("vcp…" = view, click, purchase…), rolled up by
+    opening 3-step prefix — the "how do journeys start, and how long do
+    they run" report that complements q_sequence_transitions' one-step
+    Markov view with actual multi-step trajectories.
+
+    Determinism is the whole trick: collect_list alone has no order
+    contract under parallel merge, so the path is built by sorting an
+    array of (ts, event_id, char) STRUCTS after collection — total
+    order per path, bit-identical across partitionings and engines
+    (the oracle states the same order via string_agg ... ORDER BY).
+    Shape: one shuffle on (user, day) with per-group state bounded by
+    events/user/day; the prefix rollup shuffles ≤|types|³ keys. At
+    100 TB day-bounded paths keep group state small — unbounded
+    lifetime paths would instead go through the sessionizer first.
+    """
+    e = table(spark, sf_dir, "events")
+    seq = (
+        e.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("eid"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sort_array(F.collect_list("s")).alias("seq"))
+        .select(
+            F.concat_ws(
+                "", F.transform("seq", lambda s: s.getField("c"))
+            ).alias("path")
+        )
+    )
+    return (
+        seq.groupBy(F.substring("path", 1, 3).alias("prefix3"))
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.round(
+                F.sum(F.length("path")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_len"),
+            F.max(F.length("path")).cast("bigint").alias("max_len"),
+        )
+    )
