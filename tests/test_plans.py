@@ -421,3 +421,47 @@ def test_snapshot_read_scans_only_resolved_files(spark, sf_dir):
     root = _stage_versioned_orders(spark, sf_dir)
     plan = formatted_plan(read_snapshot(spark, root, 0))
     assert "/d1" not in plan
+
+
+def test_content_filter_map_side_no_explode(spark, sf_dir):
+    # both term counts must come from HOF filter/size over the split
+    # array — no Generate (explode) node, one exchange for the rollup
+    plan = formatted_plan(QS["q_content_filter"](spark, sf_dir))
+    assert _nodes(plan, "Generate") == 0
+    assert _nodes(plan, "Exchange") <= 2  # partial/final agg pair at most
+
+
+def test_target_encode_broadcasts_encoder(spark, sf_dir):
+    # the category and global tables must broadcast back onto the row
+    # scan — a SortMergeJoin would mean the encoder shuffles the data
+    plan = formatted_plan(QS["q_target_encode"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert _nodes(plan, "BroadcastNestedLoopJoin") >= 1  # 1-row global scalar
+
+
+def test_ecdf_normalize_broadcast_scalar_no_window(spark, sf_dir):
+    # cut points ride in as a broadcast 1-row frame; the bucket rule is
+    # a map-side HOF — no Window node anywhere
+    plan = formatted_plan(QS["q_ecdf_normalize"](spark, sf_dir))
+    assert _nodes(plan, "Window") == 0
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_dedup_priority_single_aggregate_no_window(spark, sf_dir):
+    # keeper selection is one struct-MIN aggregate: no window pass, one
+    # hash-partition exchange on the content hash
+    plan = formatted_plan(QS["q_dedup_priority"](spark, sf_dir))
+    assert _nodes(plan, "Window") == 0
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_cross_format_parity_four_scans_partial_agg(spark, sf_dir):
+    # one scan per format, each reduced by a partial/final agg pair —
+    # the checksum must be commutative (no Sort before aggregation)
+    plan = formatted_plan(QS["q_cross_format_parity"](spark, sf_dir))
+    assert _nodes(plan, "Scan parquet") >= 1
+    assert _nodes(plan, "Scan csv") == 1
+    assert _nodes(plan, "Scan json") == 1
+    assert _nodes(plan, "Scan orc") == 1
+    assert _nodes(plan, "Sort") == 0
