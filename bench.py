@@ -158,6 +158,7 @@ HEADLINE = [
     "q_dedup_union_signals",
     "q_dp_noisy_count",
     "q_path_analysis",
+    "q_lateness_audit",
 ]
 
 

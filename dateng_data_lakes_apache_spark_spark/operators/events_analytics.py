@@ -1062,3 +1062,85 @@ def q_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.length("path")).cast("bigint").alias("max_len"),
         )
     )
+
+
+@query(
+    "q_lateness_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT user_id, ts, event_id,
+             event_id + CASE WHEN event_id % 13 = 0 THEN 997 ELSE 0 END
+               AS arrival_seq
+      FROM events
+    ),
+    hwm AS (
+      SELECT user_id, ts,
+             MAX(ts) OVER (PARTITION BY user_id
+                           ORDER BY arrival_seq, event_id
+                           ROWS UNBOUNDED PRECEDING) AS high_water
+      FROM arr
+    ),
+    late AS (
+      SELECT epoch_us(high_water) - epoch_us(ts) AS lateness_us FROM hwm
+    )
+    SELECT CASE WHEN lateness_us = 0 THEN '0_in_order'
+                WHEN lateness_us < 60000000 THEN '1_under_1m'
+                WHEN lateness_us < 600000000 THEN '2_under_10m'
+                WHEN lateness_us < 3600000000 THEN '3_under_1h'
+                ELSE '4_over_1h' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us
+    FROM late
+    GROUP BY 1
+    """,
+)
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the measurement that SIZES a watermark:
+    per user-stream, each event's lateness is the gap between the
+    high-water-mark event time already seen (in arrival order) and its
+    own event time; the bucketed distribution (in-order / <1m / <10m /
+    <1h / worse) is what you read before choosing withWatermark's delay
+    (too small drops the tail, too large holds state — SURVEY's
+    streaming queries all assume a delay someone justified; this query
+    is the justification).
+
+    The synthetic events arrive perfectly ordered, so a deterministic
+    delay is INJECTED (every 13th event arrives 997 sequence positions
+    late — same injected-variant discipline as q_dedup_normalized) to
+    make the audit's buckets non-vacuous; on real data arrival_seq is
+    the ingest offset and the CASE disappears. Shape: one window per
+    user-stream (running MAX with a (arrival, id) total-order
+    tiebreak), then a 5-bucket rollup — integer microsecond arithmetic
+    end to end, no floats anywhere.
+    """
+    e = table(spark, sf_dir, "events")
+    arr = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.col("event_id")
+            + F.when(F.col("event_id") % 13 == 0, 997).otherwise(0)
+        ).alias("arrival_seq"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_seq", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = arr.select(
+        (
+            F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts")
+        ).alias("lateness_us")
+    )
+    bucket = (
+        F.when(F.col("lateness_us") == 0, "0_in_order")
+        .when(F.col("lateness_us") < 60_000_000, "1_under_1m")
+        .when(F.col("lateness_us") < 600_000_000, "2_under_10m")
+        .when(F.col("lateness_us") < 3_600_000_000, "3_under_1h")
+        .otherwise("4_over_1h")
+    )
+    return late.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("lateness_us").cast("bigint").alias("max_lateness_us"),
+    )
