@@ -159,6 +159,7 @@ HEADLINE = [
     "q_dp_noisy_count",
     "q_path_analysis",
     "q_lateness_audit",
+    "q_record_linkage",
 ]
 
 

@@ -1011,3 +1011,125 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("doc_id", bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# Fellegi-Sunter log2(m/u) agreement weights, precomputed in Python and
+# baked as LITERALS into both engines' expressions (no libm in either
+# row path — the q_window_ewma discipline). m = P(agree | match),
+# u = P(agree | non-match).
+import math as _math
+
+_FS_FIELDS = {
+    # field: (m, u)
+    "name": (0.95, 0.0001),
+    "bal": (0.90, 0.0010),
+}
+_FS_W = {
+    f: (
+        round(_math.log2(m / u), 6),            # agreement weight
+        round(_math.log2((1 - m) / (1 - u)), 6)  # disagreement weight
+    )
+    for f, (m, u) in _FS_FIELDS.items()
+}
+_FS_MATCH_T = 8.0     # score > 8  -> match
+_FS_POSSIBLE_T = 0.0  # score > 0  -> possible (clerical review)
+
+
+@query(
+    "q_record_linkage",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_custkey AS b_key,
+             CASE WHEN c_custkey % 14 = 0 THEN upper(c_name) ELSE c_name END
+               AS b_name,
+             c_nationkey AS b_nat, c_mktsegment AS b_seg,
+             CASE WHEN c_custkey % 21 = 0 THEN c_acctbal + 0.01
+                  ELSE c_acctbal END AS b_bal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    pairs AS (
+      SELECT a.c_custkey AS a_key, b.b_key,
+             a.c_name = b.b_name AS agree_name,
+             abs(a.c_acctbal - b.b_bal) < 0.005 AS agree_bal
+      FROM customer a
+      JOIN b ON a.c_nationkey = b.b_nat AND a.c_mktsegment = b.b_seg
+    ),
+    scored AS (
+      SELECT a_key, b_key, agree_name, agree_bal,
+             (CASE WHEN agree_name THEN {_FS_W['name'][0]}
+                   ELSE {_FS_W['name'][1]} END
+              + CASE WHEN agree_bal THEN {_FS_W['bal'][0]}
+                     ELSE {_FS_W['bal'][1]} END) AS score
+      FROM pairs
+    )
+    SELECT agree_name, agree_bal,
+           CASE WHEN score > {_FS_MATCH_T} THEN 'match'
+                WHEN score > {_FS_POSSIBLE_T} THEN 'possible'
+                ELSE 'non_match' END AS verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN a_key = b_key THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_matches
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969) — the
+    SCORING model on top of blocking that q_er_blocked_join's distance
+    threshold lacks: each candidate pair gets a per-field agreement
+    pattern, fields contribute log2(m/u) evidence weights (agreement)
+    or log2((1−m)/(1−u)) penalties (disagreement), and the summed score
+    classifies pairs into match / possible / non-match bands. The
+    output is the AUDIT MATRIX — per agreement pattern and verdict, how
+    many pairs and how many are truly the same record — i.e. exactly
+    the table you read to re-fit m/u or move the thresholds.
+
+    The dirty side is a deterministic re-import of every 7th customer
+    (every 14th name case-mangled, every 21st balance off by a cent —
+    the injected-variant discipline of q_dedup_normalized), so true
+    match status is known by construction. Blocking on (nation,
+    segment) keeps pair cost at Sigma |A_b|x|B_b|, never |A|x|B|; the
+    weights are Python-precomputed literals so neither engine runs log
+    in the row path; scoring is a pure map over the blocked join.
+    """
+    c = table(spark, sf_dir, "customer")
+    b = c.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("b_key"),
+        F.when(F.col("c_custkey") % 14 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.col("c_nationkey").alias("b_nat"),
+        F.col("c_mktsegment").alias("b_seg"),
+        F.when(F.col("c_custkey") % 21 == 0, F.col("c_acctbal") + 0.01)
+        .otherwise(F.col("c_acctbal"))
+        .alias("b_bal"),
+    )
+    pairs = c.join(
+        b,
+        (c.c_nationkey == b.b_nat) & (c.c_mktsegment == b.b_seg),
+    ).select(
+        F.col("c_custkey").alias("a_key"),
+        "b_key",
+        (F.col("c_name") == F.col("b_name")).alias("agree_name"),
+        (F.abs(F.col("c_acctbal") - F.col("b_bal")) < 0.005).alias("agree_bal"),
+    )
+    wn_a, wn_d = _FS_W["name"]
+    wb_a, wb_d = _FS_W["bal"]
+    score = F.when(F.col("agree_name"), wn_a).otherwise(wn_d) + F.when(
+        F.col("agree_bal"), wb_a
+    ).otherwise(wb_d)
+    verdict = (
+        F.when(score > _FS_MATCH_T, "match")
+        .when(score > _FS_POSSIBLE_T, "possible")
+        .otherwise("non_match")
+    )
+    return (
+        pairs.select("a_key", "b_key", "agree_name", "agree_bal", verdict.alias("verdict"))
+        .groupBy("agree_name", "agree_bal", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("a_key") == F.col("b_key"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true_matches"),
+        )
+    )
