@@ -160,6 +160,7 @@ HEADLINE = [
     "q_path_analysis",
     "q_lateness_audit",
     "q_record_linkage",
+    "q_bootstrap_ci",
 ]
 
 

@@ -807,3 +807,123 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(enc, 4).alias("segment_te"),
         )
     )
+
+
+_BOOT_B = 50  # bootstrap replicates
+# Poisson(1) inverse-CDF cutoffs (weights 0..4, tail clamped to 5),
+# precomputed so neither engine runs exp/factorial in the row path.
+_POIS_CDF = (0.367879441, 0.735758882, 0.919698603, 0.981011843, 0.996340153)
+
+
+def _pois_weight(u):
+    """Poisson(1) draw from a uniform column via baked CDF cutoffs."""
+    w = F.when(u < _POIS_CDF[0], 0)
+    for k in range(1, 5):
+        w = w.when(u < _POIS_CDF[k], k)
+    return w.otherwise(5)
+
+
+def _o_pois_weight(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+_O_U32 = (
+    "(CAST("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substr({{h}},{i + 1},1))-1)*{16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + " AS DOUBLE) + 0.5) / 4294967296.0"
+)
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT e.event_type, b.b,
+             {_o_pois_weight(_O_U32.format(h="md5(e.event_id || ':' || b.b)"))}
+               AS w,
+             CAST(e.value AS DECIMAL(30,8)) AS v
+      FROM events e CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+    ),
+    means AS (
+      SELECT event_type, b,
+             CAST(SUM(w * v) AS DOUBLE) / SUM(w) AS mean_b
+      FROM reps GROUP BY event_type, b HAVING SUM(w) > 0
+    ),
+    ranked AS (
+      SELECT event_type, mean_b,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY mean_b, b) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nb
+      FROM means
+    )
+    SELECT event_type,
+           CAST(MAX(nb) AS BIGINT) AS n_replicates,
+           round(MIN(CASE WHEN rn = 2 THEN mean_b END), 4) AS ci_lo,
+           round(MIN(CASE WHEN rn = nb - 1 THEN mean_b END), 4) AS ci_hi
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-type mean of
+    ``events.value`` — uncertainty quantification as a lake query. The
+    classic resample-with-replacement bootstrap needs the row count up
+    front and a global shuffle per replicate; the POISSON bootstrap
+    (Chamandy et al. 2012 — the web-scale formulation) instead gives
+    every row an independent Poisson(1) weight per replicate, making
+    all B replicates one MAP + one aggregation over B×|groups| cells —
+    the only formulation that runs in a single pass at 100 TB.
+
+    Determinism: the per-(row, replicate) uniform is md5 integer
+    arithmetic; the Poisson inverse-CDF cutoffs are baked literals
+    (no exp in the row path); replicate means divide DECIMAL-exact
+    weighted sums once. The CI picks exact ORDER STATISTICS of the B
+    replicate means (2nd and (B−1)th — the q_outlier_iqr discipline:
+    element picks, never interpolation) via a window over B rows per
+    group. B=50 trades CI resolution for bench cost; scale it with
+    budget, not with data size.
+    """
+    e = table(spark, sf_dir, "events")
+    reps = e.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(b) for b in range(_BOOT_B)])).alias("b"),
+        F.col("value").cast("decimal(30,8)").alias("v"),
+        F.col("event_id"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", "event_id", "b")), 1, 8), 16, 10
+        ).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    means = (
+        reps.select("event_type", "b", _pois_weight(u).alias("w"), "v")
+        .groupBy("event_type", "b")
+        .agg(
+            (F.sum(F.col("w") * F.col("v")).cast("double") / F.sum("w")).alias(
+                "mean_b"
+            ),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+    )
+    w = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    ranked = means.select(
+        "event_type",
+        "mean_b",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("nb"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("nb").cast("bigint").alias("n_replicates"),
+        F.round(F.min(F.when(F.col("rn") == 2, F.col("mean_b"))), 4).alias("ci_lo"),
+        F.round(
+            F.min(F.when(F.col("rn") == F.col("nb") - 1, F.col("mean_b"))), 4
+        ).alias("ci_hi"),
+    )
