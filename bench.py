@@ -161,6 +161,8 @@ HEADLINE = [
     "q_lateness_audit",
     "q_record_linkage",
     "q_bootstrap_ci",
+    "q_penny_allocation",
+    "q_interval_coalesce",
 ]
 
 

@@ -1144,3 +1144,96 @@ def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.max("lateness_us").cast("bigint").alias("max_lateness_us"),
     )
+
+
+@query(
+    "q_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS e_us
+      FROM events WHERE event_type = 'view'
+    ),
+    flagged AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN s_us > MAX(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s_us, e_us,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s_us, e_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           CAST(MIN(s_us) AS BIGINT) AS start_us,
+           CAST(MAX(e_us) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM islands
+    GROUP BY user_id, island
+    """,
+)
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (temporal-union): per user, overlapping or
+    touching validity intervals merge into maximal disjoint spans — the
+    temporal-data primitive behind "total covered time", entitlement
+    windows, and meeting-room union, and the OVERLAP-based sibling of
+    q_sessionize's gap-based islands (a session ends after silence; a
+    span ends when coverage actually stops). Intervals here are view
+    events extended by their value in minutes, in exact integer
+    microseconds.
+
+    Classic two-window formulation: a new span starts where the
+    interval's start exceeds the running MAX of all previous ends
+    (UNBOUNDED..1 PRECEDING — an interval swallowed by a long
+    predecessor must not split the span); the island id is the running
+    sum of those flags; spans reduce by one groupBy. Both windows
+    partition by user and ride one shuffle; integer microsecond
+    arithmetic keeps every comparison engine-exact. The first row per
+    user flags 0 (empty preceding MAX is NULL, the > is false), so
+    island ids start at 0 on both engines.
+    """
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 60_000_000).cast("bigint")
+        ).alias("e_us"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.when(F.col("s_us") > F.max("e_us").over(w_prev), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.sum("new_island").over(w_run).alias("island"),
+    )
+    return islands.groupBy("user_id", F.col("island").cast("bigint").alias("island")).agg(
+        F.min("s_us").cast("bigint").alias("start_us"),
+        F.max("e_us").cast("bigint").alias("end_us"),
+        F.count(F.lit(1)).alias("n_merged"),
+    )

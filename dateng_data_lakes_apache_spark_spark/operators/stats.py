@@ -984,3 +984,106 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rn") == F.col("nb") - 1, F.col("mean_b"))), 4
         ).alias("ci_hi"),
     )
+
+
+@query(
+    "q_penny_allocation",
+    oracle="""
+    WITH li AS (
+      -- the testdata carries duplicate (orderkey, linenumber) rows;
+      -- allocation targets must be unique, so quantities pre-aggregate
+      SELECT l_orderkey, l_linenumber, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT l.l_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS t_cents,
+             SUM(l.qty) AS q_sum
+      FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             (t.t_cents * l.qty) // t.q_sum AS base_cents,
+             (t.t_cents * l.qty) % t.q_sum AS rem,
+             t.t_cents
+      FROM li l JOIN tot t ON l.l_orderkey = t.l_orderkey
+    ),
+    short AS (
+      SELECT l_orderkey, t_cents - SUM(base_cents) AS leftover
+      FROM base GROUP BY l_orderkey, t_cents
+    ),
+    ranked AS (
+      SELECT b.l_orderkey, b.l_linenumber, b.base_cents, s.leftover,
+             row_number() OVER (PARTITION BY b.l_orderkey
+                                ORDER BY b.rem DESC, b.l_linenumber) AS rk
+      FROM base b JOIN short s ON b.l_orderkey = s.l_orderkey
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(base_cents + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+    FROM ranked
+    """,
+)
+def q_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder ("penny") allocation: each order's total, in
+    integer cents, is prorated across its line items by quantity share
+    so that the per-order allocations RECONCILE EXACTLY — floor every
+    share, then hand the leftover cents to the largest fractional
+    remainders (ties to the lower line number). This is the financial
+    allocation primitive naive `total * ratio` rounding gets wrong
+    (per-order sums drift by ±n/2 cents, and audits notice); the same
+    shape prorates budgets, token quotas, and sampling allocations.
+
+    Pure INTEGER arithmetic end to end — products bounded by
+    cents × quantity ≈ 2.5e9 (bigint-safe), remainders exact, so both
+    engines agree bit-for-bit with no decimal/float anywhere. Shape:
+    one join to bring order totals, one per-order aggregate for the
+    floor-sum, one remainder-rank window over ≤7-row groups — all
+    hash-partitioned on orderkey, no global order.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")  # dedup PK collisions in testdata
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t_cents"),
+    )
+    tot = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "t_cents")
+        .agg(F.sum("qty").alias("q_sum"))
+    )
+    base = li.join(tot, "l_orderkey").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("(t_cents * qty) div q_sum").alias("base_cents"),
+        ((F.col("t_cents") * F.col("qty")) % F.col("q_sum")).alias("rem"),
+        "t_cents",
+    )
+    short = base.groupBy("l_orderkey", "t_cents").agg(
+        (F.col("t_cents") - F.sum("base_cents")).alias("leftover")
+    ).select("l_orderkey", "leftover")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), F.col("l_linenumber")
+    )
+    return (
+        base.join(short, "l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "base_cents",
+            "leftover",
+            F.row_number().over(w).alias("rk"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.col("base_cents")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("bigint").alias("alloc_cents"),
+        )
+    )
