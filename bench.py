@@ -163,6 +163,7 @@ HEADLINE = [
     "q_bootstrap_ci",
     "q_penny_allocation",
     "q_interval_coalesce",
+    "q_substring_removal_plan",
 ]
 
 

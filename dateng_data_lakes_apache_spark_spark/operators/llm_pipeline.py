@@ -1094,3 +1094,118 @@ def q_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_soft").cast("bigint").alias("soft_hits"),
         )
     )
+
+
+_SRP_K = 8  # rolling shingle width (words) for the removal plan
+
+
+@query(
+    "q_substring_removal_plan",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT d.doc_id, t.i AS pos,
+             md5(array_to_string(list_slice(d.w, t.i, t.i + {_SRP_K - 1}), ' '))
+               AS h
+      FROM docs d,
+           UNNEST(range(1, greatest(len(d.w) - {_SRP_K - 2}, 1))) AS t(i)
+    ),
+    freq AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    hits AS (
+      SELECT s.doc_id, s.pos FROM sh s JOIN freq f ON s.h = f.h
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > MAX(pos + {_SRP_K - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS span_id
+      FROM flagged
+    )
+    SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           CAST(MIN(pos) AS BIGINT) AS start_word,
+           CAST(MAX(pos) + {_SRP_K - 1} AS BIGINT) AS end_word,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles
+    FROM spans GROUP BY doc_id, span_id
+    """,
+)
+def q_substring_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-SUBSTRING removal plan (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    rolling 8-word shingle occurring in more than one document marks a
+    position; per document, overlapping marked positions merge into
+    maximal [start_word, end_word] CUT RANGES — the actionable artifact
+    a corpus rewriter consumes, vs q_span_dedup's per-doc duplication
+    COUNT over non-overlapping spans. (Lee et al. build a suffix array;
+    the rolling-shingle + interval-merge formulation reproduces its
+    ≥k-token repeated ranges with lake-native operators.)
+
+    Scale shape: shingle hashes shuffle as 16-byte md5s (never text);
+    the multi-doc filter is one groupBy(h); positions of surviving
+    shingles merge with the q_interval_coalesce running-max window —
+    per-doc partitions, word-position integers. Output is bounded by
+    |docs with cross-doc repeats|, which is exactly the near-dup
+    population, so the plan table stays small even on clean corpora.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    n = F.size(words)
+    # Guard: Spark's sequence(1, 0) steps BACKWARD ([1, 0]) instead of
+    # returning empty — docs shorter than the shingle width must yield
+    # an empty array explicitly (DuckDB's range(1, 0) is empty).
+    shingles = F.when(
+        n >= _SRP_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (_SRP_K - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, _SRP_K))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select(
+        "doc_id", F.posexplode(shingles).alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h").persist()
+    freq = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    hits = sh.join(freq, "h").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") > F.max(F.col("pos") + (_SRP_K - 1)).over(w_prev), 1
+        ).otherwise(0).alias("new_span"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = flagged.select(
+        "doc_id", "pos", F.sum("new_span").over(w_run).alias("span_id")
+    )
+    return spans.groupBy(
+        "doc_id", F.col("span_id").cast("bigint").alias("span_id")
+    ).agg(
+        F.min("pos").cast("bigint").alias("start_word"),
+        (F.max("pos") + (_SRP_K - 1)).cast("bigint").alias("end_word"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )

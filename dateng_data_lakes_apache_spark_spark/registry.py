@@ -94,7 +94,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     #       flagships the judge called out.
     #   r4 (planned): q_starjoin_pricing, q_dedup_lines,
     #       q_stream_chained, q_stream_restart, q_dq_constraints,
-    #       q_scd2_lookup
+    #       q_scd2_lookup — then fold in the r3 extension wave
+    #       (q_penny_allocation, q_record_linkage, q_bootstrap_ci,
+    #       q_cross_format_parity, q_content_filter, ...) in later
+    #       rounds, highest-signal first
     #   r5+ (planned): q_stream_full_outer, q_scd2_build, remaining
     #       starjoin shapes, formats/roundtrips (snapshot/dynamic
     #       overwrite/text/dirty-JSON), window pack, events analytics
