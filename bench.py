@@ -164,6 +164,7 @@ HEADLINE = [
     "q_penny_allocation",
     "q_interval_coalesce",
     "q_substring_removal_plan",
+    "q_benford_audit",
 ]
 
 

@@ -577,3 +577,110 @@ def q_dp_noisy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n",
         F.round(F.col("true_n") + noise, 4).alias("noisy_n"),
     )
+
+
+import math as _math
+
+# Benford's-law expected first-digit probabilities, baked as literals
+# (log10(1 + 1/d)) so neither engine runs log in the query.
+_BENFORD_P = {d: round(_math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+_CHI2_CRIT_DF8 = 15.507  # alpha = 0.05, df = 8
+
+
+@query(
+    "q_benford_audit",
+    oracle=f"""
+    WITH fd AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS nt FROM fd),
+    expected(digit, p) AS (VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_P.items())}),
+    scored AS (
+      SELECT e.digit,
+             CAST(COALESCE(f.n, 0) AS BIGINT) AS n,
+             round(CAST(COALESCE(f.n, 0) AS DOUBLE) / t.nt, 6) AS observed,
+             e.p AS expected,
+             (CAST(COALESCE(f.n, 0) AS DOUBLE) - t.nt * e.p)
+               * (CAST(COALESCE(f.n, 0) AS DOUBLE) - t.nt * e.p)
+               / (t.nt * e.p) AS chi2_part
+      FROM expected e LEFT JOIN fd f ON e.digit = f.digit
+      CROSS JOIN tot t
+    )
+    SELECT digit, n, observed, expected,
+           round(chi2_part, 4) AS chi2_part,
+           round(CAST(SUM(CAST(chi2_part AS DECIMAL(20,6))) OVER () AS DOUBLE), 4)
+             AS chi2_total,
+           CAST(SUM(CAST(chi2_part AS DECIMAL(20,6))) OVER () AS DOUBLE)
+             <= {_CHI2_CRIT_DF8} AS benford_ok
+    FROM scored
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of ``l_extendedprice`` — the
+    forensic-accounting screen for fabricated or synthetic numbers
+    (naturally-grown monetary amounts follow P(d) = log10(1 + 1/d);
+    uniform/invented figures do not). Per digit: observed count and
+    share, the Benford expectation (literal constants), the chi-square
+    contribution, and the global chi-square verdict against the df=8
+    critical value. On this synthetic testdata the audit correctly
+    REJECTS Benford — which is exactly the kind of signal the screen
+    exists to raise.
+
+    One groupBy over 9 digit keys (map-side combinable) + a broadcast
+    total; first digits come from integer string prefixes of
+    floor(price) — floor on both sides because DuckDB's double→bigint
+    CAST rounds while Spark's truncates. The chi-square is a fixed IEEE
+    tree over integer counts and literal probabilities; the window SUM
+    runs over 9 rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    fd = (
+        li.select(
+            F.substring(
+                F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+            ).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit int, p double"
+    )
+    tot = fd.agg(F.sum("n").alias("nt"))
+    scored = (
+        expected.join(fd, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.round(
+                F.coalesce("n", F.lit(0)).cast("double") / F.col("nt"), 6
+            ).alias("observed"),
+            F.col("p").alias("expected"),
+            (
+                (F.coalesce("n", F.lit(0)).cast("double") - F.col("nt") * F.col("p"))
+                * (F.coalesce("n", F.lit(0)).cast("double") - F.col("nt") * F.col("p"))
+                / (F.col("nt") * F.col("p"))
+            ).alias("chi2_part"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return scored.select(
+        "digit",
+        "n",
+        "observed",
+        "expected",
+        F.round("chi2_part", 4).alias("chi2_part"),
+        # decimal-cast before the 9-row total: double summation order is
+        # engine-specific; decimal addition is associative and exact
+        F.round(
+            F.sum(F.col("chi2_part").cast("decimal(20,6)")).over(w_all).cast("double"), 4
+        ).alias("chi2_total"),
+        (
+            F.sum(F.col("chi2_part").cast("decimal(20,6)")).over(w_all).cast("double")
+            <= _CHI2_CRIT_DF8
+        ).alias("benford_ok"),
+    )
