@@ -165,6 +165,7 @@ HEADLINE = [
     "q_interval_coalesce",
     "q_substring_removal_plan",
     "q_benford_audit",
+    "q_quantile_normalize",
 ]
 
 

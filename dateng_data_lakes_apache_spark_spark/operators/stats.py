@@ -1087,3 +1087,66 @@ def q_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("alloc_cents"),
         )
     )
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, value,
+             row_number() OVER (ORDER BY value, event_id) AS rn
+      FROM events WHERE event_type = 'error'
+    ),
+    ref AS (
+      SELECT value AS ref_value,
+             row_number() OVER (ORDER BY value, event_id) AS rr
+      FROM events WHERE event_type = 'view'
+    ),
+    sizes AS (
+      SELECT (SELECT COUNT(*) FROM src) AS n, (SELECT COUNT(*) FROM ref) AS m
+    )
+    SELECT s.event_id, s.value AS orig_value, r.ref_value AS normalized_value
+    FROM src s CROSS JOIN sizes z
+    JOIN ref r ON r.rr = (s.rn * z.m + z.n - 1) // z.n
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization between two distributions: each 'error'
+    value is replaced by the 'view' value at the SAME relative rank —
+    the microarray-era normalization that calibrates scores across
+    models, datasets, or annotators by forcing identical marginals
+    (Bolstad et al. 2003). q_ecdf_normalize maps values to decile IDs;
+    this maps them onto a full reference DISTRIBUTION.
+
+    Integer-exact end to end: ranks come from total-order windows, the
+    target rank is the ceiling division (rn·m + n − 1) div n in pure
+    bigints (no float ever touches the mapping), and the lookup is a
+    hash equi-join on the integer rank. At 100 TB the global
+    row_number is the one concession — swap it for the q_ntile_global
+    range-partition + offset construction; the mapping join is already
+    metadata-light (rank ints + one double column).
+    """
+    e = table(spark, sf_dir, "events")
+    w_src = Window.orderBy("value", "event_id")
+    src = e.where(F.col("event_type") == "error").select(
+        "event_id", "value", F.row_number().over(w_src).alias("rn")
+    )
+    ref = e.where(F.col("event_type") == "view").select(
+        F.col("value").alias("ref_value"), F.row_number().over(w_src).alias("rr")
+    )
+    # sizes from the raw filters (no window in the count subtrees)
+    sizes = (
+        e.where(F.col("event_type") == "error")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(
+            e.where(F.col("event_type") == "view").agg(F.count(F.lit(1)).alias("m"))
+        )
+    )
+    target = src.crossJoin(F.broadcast(sizes)).select(
+        "event_id",
+        F.col("value").alias("orig_value"),
+        F.expr("(rn * m + n - 1) div n").alias("rr"),
+    )
+    return target.join(ref, "rr").select(
+        "event_id", "orig_value", F.col("ref_value").alias("normalized_value")
+    )
