@@ -947,6 +947,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget, not with data size.
     """
     e = table(spark, sf_dir, "events")
+    # The B-fold explode amplifies each input partition 50x; the events
+    # table arrives in O(row-group) partitions, which would leave the
+    # 5M md5 evaluations on two cores. Spread the INPUT before the
+    # explode (tiny shuffle, value-deterministic aggregate downstream).
+    e = e.repartition(spark.sparkContext.defaultParallelism)
     reps = e.select(
         "event_type",
         F.explode(F.array(*[F.lit(b) for b in range(_BOOT_B)])).alias("b"),
