@@ -1160,6 +1160,10 @@ def q_substring_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     population, so the plan table stays small even on clean corpora.
     """
     d = table(spark, sf_dir, "documents")
+    # The ~145x shingle explode amplifies each input partition; docs
+    # arrive in O(row-group) partitions, so spread the input first
+    # (same fix as q_bootstrap_ci — tiny shuffle, hash-agg downstream).
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     words = F.filter(F.split("text", " "), lambda x: x != "")
     n = F.size(words)
     # Guard: Spark's sequence(1, 0) steps BACKWARD ([1, 0]) instead of
