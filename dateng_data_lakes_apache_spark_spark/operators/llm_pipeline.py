@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..common import spread
 from ..registry import query
 
 #: Fraction boundaries for the 100-bucket hash split: 80/10/10.
@@ -1159,11 +1160,10 @@ def q_substring_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     |docs with cross-doc repeats|, which is exactly the near-dup
     population, so the plan table stays small even on clean corpora.
     """
-    d = table(spark, sf_dir, "documents")
-    # The ~145x shingle explode amplifies each input partition; docs
-    # arrive in O(row-group) partitions, so spread the input first
-    # (same fix as q_bootstrap_ci — tiny shuffle, hash-agg downstream).
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    # The ~145x shingle explode amplifies each input partition; spread()
+    # fixes the single-row-group scan's one-task plan (conditional — a
+    # well-partitioned lake scan keeps its partitioning).
+    d = spread(table(spark, sf_dir, "documents"), spark)
     words = F.filter(F.split("text", " "), lambda x: x != "")
     n = F.size(words)
     # Guard: Spark's sequence(1, 0) steps BACKWARD ([1, 0]) instead of

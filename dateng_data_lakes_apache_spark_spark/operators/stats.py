@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..common import DEC, o_dsum, o_ts_str, ts_str
+from ..common import DEC, o_dsum, o_ts_str, spread, ts_str
 from ..registry import query
 
 
@@ -946,12 +946,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     group. B=50 trades CI resolution for bench cost; scale it with
     budget, not with data size.
     """
-    e = table(spark, sf_dir, "events")
-    # The B-fold explode amplifies each input partition 50x; the events
-    # table arrives in O(row-group) partitions, which would leave the
-    # 5M md5 evaluations on two cores. Spread the INPUT before the
-    # explode (tiny shuffle, value-deterministic aggregate downstream).
-    e = e.repartition(spark.sparkContext.defaultParallelism)
+    # The B-fold explode amplifies each input partition 50x; spread()
+    # fixes the single-row-group scan's one-task plan before the 5M md5
+    # evaluations (conditional — a well-partitioned lake scan keeps its
+    # partitioning; downstream aggregate is placement-independent).
+    e = spread(table(spark, sf_dir, "events"), spark)
     reps = e.select(
         "event_type",
         F.explode(F.array(*[F.lit(b) for b in range(_BOOT_B)])).alias("b"),
