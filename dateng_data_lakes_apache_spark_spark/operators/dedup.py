@@ -277,7 +277,12 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label < node) still delivers m to the whole component while keeping
     the recursion's state space linear in cluster size.
     """
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    # spread() the streamed side: the bounded pairwise verify plans as a
+    # broadcast nested loop, and a single-row-group scan would probe all
+    # ~500k candidate pairs on one core
+    d = spread(
+        table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000), spark
+    )
     sh = d.select("doc_id", _word_shingles(F.col("text"), k=3).alias("shingles"))
     pairs = exact_jaccard_pairs(sh, threshold=0.2).select("doc_a", "doc_b").persist()
     comp = connected_components(pairs)
@@ -438,7 +443,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates fall inside it at every SF: the driver's green row
     checks real pairs, not an empty ≡ empty result.
     """
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    # spread() the streamed side: the bounded pairwise verify plans as a
+    # broadcast nested loop, and a single-row-group scan would probe all
+    # ~500k candidate pairs on one core
+    d = spread(
+        table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000), spark
+    )
     sh = d.select("doc_id", _word_shingles(F.col("text"), k=3).alias("shingles"))
     return exact_jaccard_pairs(sh, threshold=0.2)
 
@@ -585,7 +595,9 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes the block word; production runs do multiple passes with
     rotated keys, each pass this same plan.
     """
-    d = table(spark, sf_dir, "documents")
+    # shingling + per-doc vocab sort dominate and run BEFORE the window
+    # shuffle — spread() the single-row-group scan so they parallelize
+    d = spread(table(spark, sf_dir, "documents"), spark)
     words = F.filter(F.split("text", " "), lambda w: w != "")
     sh = d.select(
         "doc_id",
@@ -661,7 +673,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the driver's green row non-vacuous at every SF: the testdata's
     planted duplicates land at containment 1.0, topical overlap at ~0.3.
     """
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    # spread() the streamed side: the bounded pairwise verify plans as a
+    # broadcast nested loop, and a single-row-group scan would probe all
+    # ~500k candidate pairs on one core
+    d = spread(
+        table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000), spark
+    )
     sh = d.select("doc_id", _word_shingles(F.col("text"), k=3).alias("shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

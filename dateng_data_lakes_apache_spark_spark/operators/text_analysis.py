@@ -407,7 +407,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents")
+    # bigram construction dominates and precedes the first shuffle —
+    # spread() the single-row-group scan so it parallelizes
+    d = spread(table(spark, sf_dir, "documents"), spark)
     w = F.filter(F.split("text", " "), lambda t: t != "")
     sized = d.select(
         "doc_id",
