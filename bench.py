@@ -12,6 +12,7 @@ a cluster run would get.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -213,6 +214,12 @@ def main() -> None:
         # own their cache only for the run — clear between measurements so
         # blocks don't accumulate and no query borrows a predecessor's cache.
         spark.catalog.clearCache()
+        # localCheckpoint blocks (pagerank, resolve, BPE rounds) unpin only
+        # when the DRIVER's DataFrame refs die and ContextCleaner runs —
+        # clearCache can't reach them. Drop the refs explicitly so a long
+        # headline doesn't accumulate block-manager pressure that inflates
+        # late heavyweights.
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
