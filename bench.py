@@ -167,6 +167,7 @@ HEADLINE = [
     "q_substring_removal_plan",
     "q_benford_audit",
     "q_quantile_normalize",
+    "q_events_pipeline",
 ]
 
 

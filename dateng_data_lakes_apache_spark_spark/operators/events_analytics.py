@@ -1237,3 +1237,141 @@ def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e_us").cast("bigint").alias("end_us"),
         F.count(F.lit(1)).alias("n_merged"),
     )
+
+
+_BOT_MAX_EVENTS = 80  # total-volume bot threshold for the composed pipeline
+_SESS_GAP_US = 1800 * 1_000_000
+
+
+@query(
+    "q_events_pipeline",
+    oracle=f"""
+    WITH vol AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    keep AS (SELECT user_id FROM vol WHERE c <= {_BOT_MAX_EVENTS}),
+    e AS (
+      SELECT ev.user_id, ev.event_id, ev.event_type, epoch_us(ev.ts) AS us,
+             CAST(ev.ts AS DATE) AS d
+      FROM events ev JOIN keep k ON ev.user_id = k.user_id
+    ),
+    cohort AS (
+      SELECT user_id,
+             strftime(date_trunc('week', MIN(d)), '%Y-%m-%d') AS cohort_week
+      FROM e GROUP BY user_id
+    ),
+    flagged AS (
+      SELECT user_id, us, event_type,
+             CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, is_new DESC
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ),
+    sstats AS (
+      SELECT user_id, session_seq,
+             COUNT(*) AS n_events,
+             MAX(us) - MIN(us) AS duration_us,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS has_purchase
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT c.cohort_week,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           round(CAST(SUM(s.n_events) AS DOUBLE) / COUNT(*), 4)
+             AS avg_events_per_session,
+           round(CAST(SUM(s.duration_us) AS DOUBLE) / COUNT(*) / 60000000.0, 4)
+             AS avg_session_minutes,
+           round(CAST(SUM(s.has_purchase) AS DOUBLE) / COUNT(*), 4)
+             AS purchase_session_rate
+    FROM sstats s JOIN cohort c ON s.user_id = c.user_id
+    GROUP BY c.cohort_week
+    """,
+)
+def q_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed EVENTS flagship — q_corpus_pipeline's sibling for
+    clickstream data, the end-to-end run a product-analytics user ships
+    as ONE declarative plan: bot filter (total-volume cap) →
+    sessionization (30-min gaps) → per-session stats → signup-cohort
+    attribution → per-cohort-week report (users, sessions,
+    events/session, session minutes, purchase-session rate).
+
+    Composing the registered standalone stages in one plan lets
+    Catalyst optimize ACROSS them: the bot semi-join pushes below the
+    session windows, the cohort aggregate reuses the user_id
+    partitioning the sessionizer already shuffled to, and the final
+    rollup is metadata-sized. Integer-microsecond gap arithmetic and
+    int-ratio divisions keep every reported number engine-exact (the
+    q_sessionize determinism analysis applies stage-for-stage).
+    """
+    ev = table(spark, sf_dir, "events")
+    vol = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    keep = vol.where(F.col("c") <= _BOT_MAX_EVENTS).select("user_id")
+    e = ev.join(keep, "user_id").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("ts").cast("date").alias("d"),
+    )
+    cohort = e.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("week", F.min("d")).cast("date"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.select(
+        "user_id",
+        "us",
+        "event_type",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > _SESS_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("is_new").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.select(
+        "user_id",
+        "us",
+        "event_type",
+        F.sum("is_new").over(w2).alias("session_seq"),
+    )
+    sstats = sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+    )
+    return (
+        sstats.join(cohort, "user_id")
+        .groupBy("cohort_week")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(
+                F.sum("n_events").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_events_per_session"),
+            F.round(
+                F.sum("duration_us").cast("double") / F.count(F.lit(1)) / 60_000_000.0,
+                4,
+            ).alias("avg_session_minutes"),
+            F.round(
+                F.sum("has_purchase").cast("double") / F.count(F.lit(1)), 4
+            ).alias("purchase_session_rate"),
+        )
+    )
