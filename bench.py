@@ -168,6 +168,7 @@ HEADLINE = [
     "q_benford_audit",
     "q_quantile_normalize",
     "q_events_pipeline",
+    "q_join_asof_nearest",
 ]
 
 

@@ -264,3 +264,149 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("asof_click_id")).alias("click_id_fresh"),
         F.when(fresh, ts_str(F.col("asof_click_ts"))).alias("click_ts_fresh"),
     )
+
+
+_NEAREST_TOL_US = 3600 * 1_000_000  # ±1 h matching window
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, epoch_us(ts) AS _ts, 1 AS _side, event_id AS _id
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, epoch_us(ts), 0, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+      SELECT user_id, _ts, _side, _id,
+             last_value(CASE WHEN _side = 0 THEN _id END IGNORE NULLS)
+               OVER wb AS back_id,
+             last_value(CASE WHEN _side = 0 THEN _ts END IGNORE NULLS)
+               OVER wb AS back_us,
+             first_value(CASE WHEN _side = 0 THEN _id END IGNORE NULLS)
+               OVER wf AS fwd_id,
+             first_value(CASE WHEN _side = 0 THEN _ts END IGNORE NULLS)
+               OVER wf AS fwd_us
+      FROM tagged
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY _ts ASC, _side ASC, _id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY _ts ASC, _side DESC, _id ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    scored AS (
+      SELECT user_id, _id AS error_id, _ts AS err_us,
+             CASE WHEN back_us IS NOT NULL
+                   AND _ts - back_us <= {_NEAREST_TOL_US}
+                  THEN back_id END AS bid,
+             CASE WHEN back_us IS NOT NULL
+                   AND _ts - back_us <= {_NEAREST_TOL_US}
+                  THEN _ts - back_us END AS bdelta,
+             CASE WHEN fwd_us IS NOT NULL
+                   AND fwd_us - _ts <= {_NEAREST_TOL_US}
+                  THEN fwd_id END AS fid,
+             CASE WHEN fwd_us IS NOT NULL
+                   AND fwd_us - _ts <= {_NEAREST_TOL_US}
+                  THEN fwd_us - _ts END AS fdelta
+      FROM carried WHERE _side = 1
+    )
+    SELECT user_id, error_id, err_us,
+           CASE WHEN bid IS NOT NULL AND (fid IS NULL OR bdelta <= fdelta)
+                THEN bid ELSE fid END AS nearest_purchase_id,
+           CASE WHEN bid IS NOT NULL AND (fid IS NULL OR bdelta <= fdelta)
+                THEN bdelta ELSE fdelta END AS delta_us,
+           CASE WHEN bid IS NULL AND fid IS NULL THEN NULL
+                WHEN bid IS NOT NULL AND (fid IS NULL OR bdelta <= fdelta)
+                THEN 'back' ELSE 'fwd' END AS direction
+    FROM scored
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event join — the bidirectional completion of the as-of
+    family (q_join_asof = latest-before, q_join_asof_tolerance = staleness
+    -gated; this matches each error event to the CLOSEST purchase in
+    either direction within ±1 h, ties to the earlier side). This is
+    "what was the user buying around the failure" — the diagnostic join
+    monitoring and attribution both need, and one neither ASOF
+    direction alone answers.
+
+    Same one-shuffle interleaved-stream strategy as :func:`asof_join`,
+    run in both directions inside one window pass pair: tag and union
+    the streams, carry the latest purchase forward (frame unbounded
+    ..current, purchases sorting before errors at ties for <=
+    semantics) AND the next purchase backward (current..unbounded,
+    errors sorting first at ties for >=), then pick the smaller
+    integer-microsecond delta. No time-range self-join, no per-row
+    probe: linear window state on one user_id hash partition, the exact
+    cost profile of sessionization. Total (ts, side, id) ordering makes
+    every pick engine-exact.
+    """
+    ev = table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.unix_micros("ts").alias("_nts"),
+        F.lit(1).alias("_nside"),
+        F.col("event_id").alias("_nid"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("_nts"),
+        F.lit(0).alias("_nside"),
+        F.col("event_id").alias("_nid"),
+    )
+    tagged = err.unionByName(pur)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_nts").asc(), F.col("_nside").asc(), F.col("_nid").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_nts").asc(), F.col("_nside").desc(), F.col("_nid").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    is_pur = F.col("_nside") == 0
+    carried = tagged.select(
+        "user_id",
+        "_nts",
+        "_nside",
+        "_nid",
+        F.last(F.when(is_pur, F.col("_nid")), ignorenulls=True).over(wb).alias("back_id"),
+        F.last(F.when(is_pur, F.col("_nts")), ignorenulls=True).over(wb).alias("back_us"),
+        F.first(F.when(is_pur, F.col("_nid")), ignorenulls=True).over(wf).alias("fwd_id"),
+        F.first(F.when(is_pur, F.col("_nts")), ignorenulls=True).over(wf).alias("fwd_us"),
+    )
+    s = carried.where(F.col("_nside") == 1)
+    b_ok = F.col("back_us").isNotNull() & (
+        F.col("_nts") - F.col("back_us") <= _NEAREST_TOL_US
+    )
+    f_ok = F.col("fwd_us").isNotNull() & (
+        F.col("fwd_us") - F.col("_nts") <= _NEAREST_TOL_US
+    )
+    scored = s.select(
+        "user_id",
+        F.col("_nid").alias("error_id"),
+        F.col("_nts").alias("err_us"),
+        F.when(b_ok, F.col("back_id")).alias("bid"),
+        F.when(b_ok, F.col("_nts") - F.col("back_us")).alias("bdelta"),
+        F.when(f_ok, F.col("fwd_id")).alias("fid"),
+        F.when(f_ok, F.col("fwd_us") - F.col("_nts")).alias("fdelta"),
+    )
+    pick_back = F.col("bid").isNotNull() & (
+        F.col("fid").isNull() | (F.col("bdelta") <= F.col("fdelta"))
+    )
+    return scored.select(
+        "user_id",
+        "error_id",
+        "err_us",
+        F.when(pick_back, F.col("bid")).otherwise(F.col("fid")).alias(
+            "nearest_purchase_id"
+        ),
+        F.when(pick_back, F.col("bdelta")).otherwise(F.col("fdelta")).alias("delta_us"),
+        F.when(F.col("bid").isNull() & F.col("fid").isNull(), F.lit(None).cast("string"))
+        .when(pick_back, "back")
+        .otherwise("fwd")
+        .alias("direction"),
+    )
