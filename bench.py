@@ -169,6 +169,7 @@ HEADLINE = [
     "q_quantile_normalize",
     "q_events_pipeline",
     "q_join_asof_nearest",
+    "q_impute_missing",
 ]
 
 

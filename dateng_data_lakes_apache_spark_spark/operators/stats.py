@@ -1154,3 +1154,92 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target.join(ref, "rr").select(
         "event_id", "orig_value", F.col("ref_value").alias("normalized_value")
     )
+
+
+@query(
+    "q_impute_missing",
+    oracle="""
+    WITH holed AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 13 = 0 THEN NULL
+                  ELSE CAST(c_acctbal AS DOUBLE) END AS v
+      FROM customer
+    ),
+    med AS (
+      SELECT c_mktsegment, quantile_disc(v, 0.5) AS seg_median
+      FROM holed WHERE v IS NOT NULL GROUP BY c_mktsegment
+    )
+    SELECT h.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN h.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_imputed,
+           round(m.seg_median, 4) AS seg_median,
+           round(CAST(SUM(CAST(COALESCE(h.v, m.seg_median) AS DECIMAL(30,2)))
+                      AS DOUBLE) / COUNT(*), 4) AS imputed_mean
+    FROM holed h JOIN med m ON h.c_mktsegment = m.c_mktsegment
+    GROUP BY h.c_mktsegment, m.seg_median
+    """,
+)
+def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median missing-value imputation — the feature-prep step
+    between profiling (q_dq_profile counts the nulls) and modeling
+    (q_target_encode consumes complete columns): nulls are filled with
+    their segment's DISCRETE median (a real observed balance, the
+    element-pick discipline), and the report shows per segment how many
+    cells were imputed and the resulting mean. Missingness is injected
+    deterministically (every 13th customer — the q_dedup_normalized
+    variant discipline) since the testdata ships complete.
+
+    Shape: one ranked-window median over the non-null subset per
+    segment (q_percentile_disc formulation), broadcast back onto the
+    row scan for the COALESCE — one shuffle for the window, map-side
+    fill, decimal-exact mean (DECIMAL(30,2): balances are 2-decimal, so
+    the int128 stays under 2^53 where both engines' decimal→double
+    casts round identically).
+    """
+    c = table(spark, sf_dir, "customer")
+    holed = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal").cast("double"))
+        .alias("v"),
+    )
+    nn = holed.where(F.col("v").isNotNull())
+    w = Window.partitionBy("c_mktsegment").orderBy("v", "c_custkey")
+    wc = Window.partitionBy("c_mktsegment")
+    ranked = nn.select(
+        "c_mktsegment",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = ranked.groupBy("c_mktsegment").agg(
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("v"))
+        ).alias("seg_median")
+    )
+    filled = holed.join(F.broadcast(med), "c_mktsegment")
+    return (
+        filled.groupBy("c_mktsegment", "seg_median")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_imputed"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("v"), F.col("seg_median")).cast("decimal(30,2)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("imputed_mean"),
+        )
+        .select(
+            "c_mktsegment",
+            "n",
+            "n_imputed",
+            F.round("seg_median", 4).alias("seg_median"),
+            "imputed_mean",
+        )
+    )
