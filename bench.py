@@ -170,6 +170,7 @@ HEADLINE = [
     "q_events_pipeline",
     "q_join_asof_nearest",
     "q_impute_missing",
+    "q_woe_binning",
 ]
 
 

@@ -1243,3 +1243,106 @@ def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "imputed_mean",
         )
     )
+
+
+@query(
+    "q_woe_binning",
+    oracle="""
+    WITH lab AS (
+      SELECT c.c_custkey,
+             CAST(floor(c.c_acctbal / 2000) AS INT) AS band,
+             CASE WHEN COUNT(o.o_orderkey) >= 12 THEN 1 ELSE 0 END AS y
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    bins AS (
+      SELECT band,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+      FROM lab GROUP BY band
+    ),
+    tot AS (
+      SELECT SUM(n_pos) AS gp, SUM(n_neg) AS gn, COUNT(*) AS k FROM bins
+    ),
+    scored AS (
+      SELECT b.band, b.n, b.n_pos, b.n_neg,
+             ln(((b.n_pos + 0.5) / (t.gp + 0.5 * t.k))
+                / ((b.n_neg + 0.5) / (t.gn + 0.5 * t.k))) AS woe,
+             (((b.n_pos + 0.5) / (t.gp + 0.5 * t.k))
+              - ((b.n_neg + 0.5) / (t.gn + 0.5 * t.k)))
+             * ln(((b.n_pos + 0.5) / (t.gp + 0.5 * t.k))
+                  / ((b.n_neg + 0.5) / (t.gn + 0.5 * t.k))) AS ivc
+      FROM bins b CROSS JOIN tot t
+    )
+    SELECT band, n, n_pos, n_neg,
+           round(woe, 4) AS woe,
+           round(ivc, 4) AS iv_contrib,
+           round(CAST(SUM(CAST(ivc AS DECIMAL(20,8))) OVER () AS DOUBLE), 4)
+             AS iv_total
+    FROM scored
+    """,
+)
+def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning with information value — the
+    credit-scoring feature transform (Siddiqi 2006) that turns a
+    numeric column into supervised log-odds scores: per balance band,
+    WoE = ln(share of positives / share of negatives) with 0.5 Laplace
+    smoothing, plus each band's IV contribution and the feature's
+    total IV (the keep/drop screen: IV < 0.02 = useless predictor —
+    which this synthetic label correctly scores as, the audit working
+    as designed). Completes the supervised-feature trio: target
+    encoding (mean target), WoE (log odds), imputation (completeness).
+
+    Label derivation is one counting join (customer ⟕ orders); bins are
+    a floor-division map; scoring is arithmetic over the |bins|-row
+    table with the same literal-smoothed IEEE tree on both engines
+    (ln-parity at ROUND(·,4) per the q_text_entropy precedent); the
+    total IV decimal-accumulates over bins like q_benford_audit's
+    chi-square so summation order cannot drift.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    lab = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") / 2000).cast("int").alias("band"),
+        )
+        .agg(
+            F.when(F.count("o_orderkey") >= 12, 1).otherwise(0).alias("y")
+        )
+    )
+    bins = lab.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n_neg"),
+    )
+    tot = bins.agg(
+        F.sum("n_pos").alias("gp"),
+        F.sum("n_neg").alias("gn"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    ps = (F.col("n_pos") + 0.5) / (F.col("gp") + 0.5 * F.col("k"))
+    ns = (F.col("n_neg") + 0.5) / (F.col("gn") + 0.5 * F.col("k"))
+    woe = F.log(ps / ns)
+    scored = bins.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n",
+        "n_pos",
+        "n_neg",
+        woe.alias("woe"),
+        ((ps - ns) * woe).alias("ivc"),
+    )
+    w_all = Window.partitionBy()
+    return scored.select(
+        "band",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round("woe", 4).alias("woe"),
+        F.round("ivc", 4).alias("iv_contrib"),
+        F.round(
+            F.sum(F.col("ivc").cast("decimal(20,8)")).over(w_all).cast("double"), 4
+        ).alias("iv_total"),
+    )
