@@ -86,3 +86,73 @@ def test_record_linkage_separates_truth(spark, sf_dir):
         .count()
     )
     assert nm_true == expected_fn
+
+
+def test_asof_nearest_tolerance_and_direction(spark, sf_dir):
+    rows = QS["q_join_asof_nearest"](spark, sf_dir).collect()
+    assert rows
+    matched = [r for r in rows if r.nearest_purchase_id is not None]
+    assert matched  # the window must produce real matches
+    for r in matched:
+        assert 0 <= r.delta_us <= 3600 * 1_000_000
+        assert r.direction in ("back", "fwd")
+    for r in rows:
+        if r.nearest_purchase_id is None:
+            assert r.direction is None and r.delta_us is None
+
+
+def test_quantile_normalize_marginal_is_reference(spark, sf_dir):
+    out = QS["q_quantile_normalize"](spark, sf_dir)
+    ref_vals = {
+        r.value
+        for r in table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .select("value")
+        .collect()
+    }
+    got = out.select("normalized_value").distinct().collect()
+    assert got and all(r.normalized_value in ref_vals for r in got)
+    # row count preserved: every source row gets exactly one mapping
+    n_src = (
+        table(spark, sf_dir, "events").where(F.col("event_type") == "error").count()
+    )
+    assert out.count() == n_src
+
+
+def test_impute_missing_counts(spark, sf_dir):
+    rows = QS["q_impute_missing"](spark, sf_dir).collect()
+    c = table(spark, sf_dir, "customer")
+    expected = (
+        c.where(F.col("c_custkey") % 13 == 0)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .collect()
+    )
+    exp = {r.c_mktsegment: r.k for r in expected}
+    assert {r.c_mktsegment: r.n_imputed for r in rows} == exp
+
+
+def test_woe_iv_total_consistent(spark, sf_dir):
+    rows = QS["q_woe_binning"](spark, sf_dir).collect()
+    assert rows
+    totals = {r.iv_total for r in rows}
+    assert len(totals) == 1  # every band reports the same feature IV
+    iv = totals.pop()
+    assert iv >= 0  # IV is a sum of (p-q)ln(p/q) >= 0 terms
+    assert abs(sum(r.iv_contrib for r in rows) - iv) < 1e-2  # 4dp rounding slack
+
+
+def test_benford_rejects_synthetic_prices(spark, sf_dir):
+    rows = QS["q_benford_audit"](spark, sf_dir).collect()
+    assert len(rows) == 9
+    assert all(r.benford_ok is False for r in rows)  # uniform prices fail
+    assert abs(sum(r.observed for r in rows) - 1.0) < 1e-3
+
+
+def test_substring_removal_plan_spans_valid(spark, sf_dir):
+    rows = QS["q_substring_removal_plan"](spark, sf_dir).collect()
+    assert rows  # planted near-dups guarantee cross-doc repeats
+    for r in rows:
+        assert r.start_word >= 1
+        assert r.end_word >= r.start_word + 7  # at least one 8-word shingle
+        assert r.n_shingles >= 1

@@ -465,3 +465,38 @@ def test_cross_format_parity_four_scans_partial_agg(spark, sf_dir):
     assert _nodes(plan, "Scan json") == 1
     assert _nodes(plan, "Scan orc") == 1
     assert _nodes(plan, "Sort") == 0
+
+
+def test_asof_nearest_single_exchange_two_windows(spark, sf_dir):
+    # both direction windows must share ONE user_id exchange — the
+    # interleaved-stream strategy's entire point
+    plan = formatted_plan(QS["q_join_asof_nearest"](spark, sf_dir))
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "Window") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_coalesce_single_exchange(spark, sf_dir):
+    plan = formatted_plan(QS["q_interval_coalesce"](spark, sf_dir))
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "Window") == 2
+
+
+def test_quantile_normalize_rank_join_is_hash(spark, sf_dir):
+    # the rank-mapping lookup must be a hash equi-join, never a
+    # nested-loop over the reference distribution
+    plan = formatted_plan(QS["q_quantile_normalize"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    joins = _nodes(plan, "BroadcastHashJoin") + _nodes(plan, "SortMergeJoin") + _nodes(
+        plan, "ShuffledHashJoin"
+    )
+    assert joins >= 1
+
+
+def test_bootstrap_no_python_and_partial_agg(spark, sf_dir):
+    # all 50 replicates ride one explode + hash aggregate: no Python
+    # eval anywhere, and the replicate means come from a partial/final
+    # HashAggregate pair (map-side combine before the 250-cell shuffle)
+    plan = formatted_plan(QS["q_bootstrap_ci"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _nodes(plan, "HashAggregate") >= 2
