@@ -171,6 +171,7 @@ HEADLINE = [
     "q_join_asof_nearest",
     "q_impute_missing",
     "q_woe_binning",
+    "q_chi2_independence",
 ]
 
 

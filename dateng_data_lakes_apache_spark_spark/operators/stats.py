@@ -1346,3 +1346,108 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ivc").cast("decimal(20,8)")).over(w_all).cast("double"), 4
         ).alias("iv_total"),
     )
+
+
+# Critical value for the segment×nation table: df = (5-1)(25-1) = 96,
+# alpha = 0.05 (chi-square upper quantile, precomputed literal).
+_CHI2_CRIT_DF96 = 119.871
+
+
+@query(
+    "q_chi2_independence",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, CAST(c_nationkey AS INT) AS nat,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT seg, SUM(n) AS rs FROM cells GROUP BY seg
+    ),
+    cols AS (
+      SELECT nat, SUM(n) AS cs FROM cells GROUP BY nat
+    ),
+    tot AS (SELECT SUM(n) AS nt FROM cells),
+    scored AS (
+      SELECT c.seg, c.nat, c.n,
+             CAST(m.rs AS DOUBLE) * c2.cs / t.nt AS expected,
+             (c.n - CAST(m.rs AS DOUBLE) * c2.cs / t.nt)
+               * (c.n - CAST(m.rs AS DOUBLE) * c2.cs / t.nt)
+               / (CAST(m.rs AS DOUBLE) * c2.cs / t.nt) AS chi2_part
+      FROM cells c
+      JOIN margins m ON c.seg = m.seg
+      JOIN cols c2 ON c.nat = c2.nat
+      CROSS JOIN tot t
+    )
+    SELECT seg,
+           CAST(SUM(n) AS BIGINT) AS n_customers,
+           round(CAST(SUM(CAST(chi2_part AS DECIMAL(20,8))) AS DOUBLE), 4)
+             AS seg_chi2,
+           round(CAST((SELECT SUM(CAST(chi2_part AS DECIMAL(20,8))) FROM scored)
+                      AS DOUBLE), 4) AS chi2_total,
+           CAST((SELECT SUM(CAST(chi2_part AS DECIMAL(20,8))) FROM scored)
+                AS DOUBLE) <= {_CHI2_CRIT_DF96} AS independent
+    FROM scored
+    GROUP BY seg
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square INDEPENDENCE test on the segment × nation contingency
+    table — completing the statistical-test family (q_ab_test =
+    two-proportion z, q_benford_audit = goodness-of-fit; this answers
+    "are two categorical columns associated", the screen run before
+    trusting a categorical feature split or stratification scheme).
+    Expected cell counts are row-margin × column-margin / N; per-segment
+    chi-square contributions and the global verdict against the df=96
+    literal critical value ship in every row.
+
+    Shape: one groupBy to the |seg|×|nation| cell table, two margin
+    aggregates joined back (125 rows — broadcast territory), the
+    decimal-accumulated total (q_benford_audit discipline) so the
+    125-term sum cannot drift with engine summation order. Every
+    expected count is the same three-int IEEE tree on both engines.
+    """
+    c = table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("int").alias("nat"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    margins = cells.groupBy("seg").agg(F.sum("n").alias("rs"))
+    cols = cells.groupBy("nat").agg(F.sum("n").alias("cs"))
+    tot = cells.agg(F.sum("n").alias("nt"))
+    expected = F.col("rs").cast("double") * F.col("cs") / F.col("nt")
+    scored = (
+        cells.join(F.broadcast(margins), "seg")
+        .join(F.broadcast(cols), "nat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "nat",
+            "n",
+            ((F.col("n") - expected) * (F.col("n") - expected) / expected).alias(
+                "chi2_part"
+            ),
+        )
+    )
+    w_all = Window.partitionBy()
+    total_chi2 = (
+        F.sum(F.col("chi2_part").cast("decimal(20,8)")).over(w_all).cast("double")
+    )
+    per_seg = scored.select(
+        "seg",
+        "n",
+        "chi2_part",
+        total_chi2.alias("t_chi2"),
+    )
+    return per_seg.groupBy("seg", "t_chi2").agg(
+        F.sum("n").cast("bigint").alias("n_customers"),
+        F.round(
+            F.sum(F.col("chi2_part").cast("decimal(20,8)")).cast("double"), 4
+        ).alias("seg_chi2"),
+    ).select(
+        "seg",
+        "n_customers",
+        "seg_chi2",
+        F.round("t_chi2", 4).alias("chi2_total"),
+        (F.col("t_chi2") <= _CHI2_CRIT_DF96).alias("independent"),
+    )
