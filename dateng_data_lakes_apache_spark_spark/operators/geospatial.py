@@ -1,0 +1,418 @@
+"""Geospatial operators: grid aggregation, bounding-box search,
+grid-blocked radius joins, nearest-neighbor-within-radius, trajectory
+length, and Morton (Z-order) cell encoding.
+
+The testdata carries no coordinate columns, so every query derives
+deterministic lat/lon from integer keys with pure BIGINT arithmetic
+(multiply / modulo / divide-by-10^6) that Spark and DuckDB evaluate
+identically — the derivation is part of the query contract, not a
+fixture side-channel.
+
+Cross-engine float discipline: the haversine formula is generated ONCE
+as a SQL text (valid in both dialects) and executed via ``F.expr`` on
+the Spark side and verbatim in the DuckDB oracle, so both engines parse
+the same expression tree over the same double inputs. Outputs round to
+2 decimals (km) — libm-vs-java.lang.Math ulp drift is ~1e-13 relative,
+ten orders below the rounding grid.
+
+Scale design (100 TB):
+- grid/Morton aggregation: map-side projection + partial hash agg; the
+  shuffle carries one row per occupied cell, bounded by the grid, not
+  the data.
+- radius join / nearest hub: NEVER a cross join. Points map to coarse
+  grid cells sized >= the search radius; the small side explodes to its
+  3x3 neighbor cells (longitude wraps mod 36) and the candidate set is
+  a broadcast equi-join on the cell key. With two large sides the same
+  plan becomes a shuffle equi-join on cell — O(sum over cells of
+  |A_cell| * |B_cell 3x3|), the standard spatial-bucketing bound. The
+  DuckDB oracle intentionally runs the NAIVE all-pairs filter, proving
+  the blocked plan loses no pairs.
+- trajectory: one shuffle on user_id for the lag window; per-segment
+  distances round to 6 dp and accumulate as DECIMAL(30,8), so the
+  per-user sum is associative and engine-independent.
+
+Reference scope note: the reference ETL (etl.py:91-226) has no spatial
+operators; this family is part of the beyond-contract lake surface
+(SURVEY §2.4 extension wave).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# --- shared SQL-text builders (both dialects parse these verbatim) -----
+
+# lat in [-60, 60): keeps cos(lat) >= 0.5 so a 10-degree longitude cell
+# always spans >= 450 km of great-circle distance — the blocking guarantee.
+_LAT_MOD = 120_000_000
+_LON_MOD = 360_000_000
+
+
+def _lat_sql(key: str, mult: int = 40503) -> str:
+    # CAST AS DOUBLE up front: Spark parses the 1000000.0 literal as
+    # DECIMAL and would otherwise carry exact-decimal lat/lon (DuckDB
+    # promotes to DOUBLE), leaking a Decimal column type into results.
+    # The quotient is an exact 6-dp value <= 1.2e8/1e6, so the one
+    # correctly-rounded double division is identical in both engines.
+    return f"CAST(((({key}) * {mult}) % {_LAT_MOD}) / 1000000.0 AS DOUBLE) - 60.0"
+
+
+def _lon_sql(key: str, mult: int = 65537) -> str:
+    return f"CAST(((({key}) * {mult}) % {_LON_MOD}) / 1000000.0 AS DOUBLE) - 180.0"
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Great-circle distance in km — one text, two engines.
+
+    2R·asin(sqrt(sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2))); the π/180
+    factor is a literal so neither engine substitutes its own pi().
+    """
+    rad = "0.017453292519943295"  # pi / 180
+    sin_dlat = f"sin((({lat2}) - ({lat1})) * {rad} / 2)"
+    sin_dlon = f"sin((({lon2}) - ({lon1})) * {rad} / 2)"
+    h = (
+        f"({sin_dlat} * {sin_dlat}"
+        f" + cos(({lat1}) * {rad}) * cos(({lat2}) * {rad})"
+        f" * {sin_dlon} * {sin_dlon})"
+    )
+    return f"(2.0 * 6371.0 * asin(sqrt({h})))"
+
+
+def _morton_sql(qlat: str, qlon: str, bits: int = 8) -> str:
+    """Interleave two ``bits``-wide non-negative ints into a Z-order key.
+
+    Bit i is tested with pure integer modulo (``x % 2^(i+1) >= 2^i``) —
+    no shift operators, so the one expression text parses identically in
+    Spark SQL and DuckDB.
+    """
+    terms = []
+    for i in range(bits):
+        lo, hi = 1 << i, 1 << (i + 1)
+        terms.append(
+            f"(CASE WHEN ({qlon}) % {hi} >= {lo} THEN {1 << (2 * i)} ELSE 0 END)"
+        )
+        terms.append(
+            f"(CASE WHEN ({qlat}) % {hi} >= {lo} THEN {1 << (2 * i + 1)} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_CUST_LAT = _lat_sql("c_custkey")
+_CUST_LON = _lon_sql("c_custkey")
+_SUPP_LAT = _lat_sql("s_suppkey", 71993)
+_SUPP_LON = _lon_sql("s_suppkey", 91193)
+_EV_LAT = _lat_sql("event_id", 48271)
+_EV_LON = _lon_sql("event_id", 69621)
+
+_RADIUS_KM = 450.0  # < 10-degree cell at |lat| <= 60 (450/55.6 = 8.1 deg)
+_CELL_DEG = 10
+_N_LON_CELLS = 360 // _CELL_DEG  # 36, so neighbor cells wrap mod 36
+
+
+# --- 1. grid density aggregation ---------------------------------------
+
+
+@query(
+    "q_geo_grid_agg",
+    oracle=f"""
+    SELECT CAST(floor(({_CUST_LAT} + 60.0) / 10.0) AS INT) AS cell_lat,
+           CAST(floor(({_CUST_LON} + 180.0) / 10.0) AS INT) AS cell_lon,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY 1, 2
+    ORDER BY cell_lat, cell_lon
+    """,
+)
+def q_geo_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point density + balance mass per 10-degree grid cell.
+
+    Map-side derive + partial hash agg; the shuffle is bounded by the
+    12x36 grid no matter the input size.
+    """
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.expr(f"CAST(floor(({_CUST_LAT} + 60.0) / 10.0) AS INT)").alias("cell_lat"),
+            F.expr(f"CAST(floor(({_CUST_LON} + 180.0) / 10.0) AS INT)").alias("cell_lon"),
+            F.col("c_acctbal"),
+        )
+        .groupBy("cell_lat", "cell_lon")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,8)")).cast("double").alias("sum_bal"),
+        )
+        .orderBy("cell_lat", "cell_lon")
+    )
+
+
+# --- 2. bounding-box filter + top-k by distance ------------------------
+
+_BBOX = "({lat}) BETWEEN -30.0 AND 30.0 AND ({lon}) BETWEEN -60.0 AND 60.0"
+_CENTER_DIST = haversine_sql("0.0", "0.0", _CUST_LAT, _CUST_LON)
+
+
+@query(
+    "q_geo_bbox_topk",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           round({_CUST_LAT}, 6) AS lat,
+           round({_CUST_LON}, 6) AS lon,
+           round({_CENTER_DIST}, 2) AS dist_km
+    FROM customer
+    WHERE {_BBOX.format(lat=_CUST_LAT, lon=_CUST_LON)}
+    ORDER BY round({_CENTER_DIST}, 2), c_custkey
+    LIMIT 100
+    """,
+)
+def q_geo_bbox_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 customers inside a lat/lon box nearest to the box center.
+
+    Box test + distance are codegen'd column arithmetic; the top-k plans
+    as TakeOrderedAndProject (per-partition heaps, no global sort).
+    Ties on the 2-dp distance break by key for cross-engine determinism.
+    """
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.where(F.expr(_BBOX.format(lat=_CUST_LAT, lon=_CUST_LON)))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.expr(f"round({_CUST_LAT}, 6)").alias("lat"),
+            F.expr(f"round({_CUST_LON}, 6)").alias("lon"),
+            F.expr(f"round({_CENTER_DIST}, 2)").alias("dist_km"),
+        )
+        .orderBy("dist_km", "c_custkey")
+        .limit(100)
+    )
+
+
+# --- 3. grid-blocked radius join ---------------------------------------
+
+_PAIR_DIST = haversine_sql("c_lat", "c_lon", "s_lat", "s_lon")
+
+
+def _points(spark: SparkSession, sf_dir: str):
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_CUST_LAT).alias("c_lat"),
+        F.expr(_CUST_LON).alias("c_lon"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(_SUPP_LAT).alias("s_lat"),
+        F.expr(_SUPP_LON).alias("s_lon"),
+    )
+    return c, s
+
+
+def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(customer, supplier, dist_km) pairs within the radius — candidate
+    generation is a cell-key equi-join, exact filter afterward."""
+    c, s = _points(spark, sf_dir)
+    cell = "CAST(floor(({lat} + 60.0) / %d) AS BIGINT) * 64 + CAST(floor(({lon} + 180.0) / %d) AS BIGINT)" % (
+        _CELL_DEG,
+        _CELL_DEG,
+    )
+    c_cells = c.withColumn("cell", F.expr(cell.format(lat="c_lat", lon="c_lon")))
+    # Small side explodes to its 3x3 neighborhood; longitude wraps mod 36.
+    offs = spark.range(9).select(
+        (F.col("id") / 3).cast("long").alias("dr"), (F.col("id") % 3).alias("dc")
+    )
+    s_cells = (
+        s.crossJoin(F.broadcast(offs))
+        .withColumn("r", F.expr(f"CAST(floor((s_lat + 60.0) / {_CELL_DEG}) AS BIGINT) + dr - 1"))
+        .withColumn(
+            "cell",
+            F.expr(
+                f"r * 64 + (CAST(floor((s_lon + 180.0) / {_CELL_DEG}) AS BIGINT)"
+                f" + dc - 1 + {_N_LON_CELLS}) % {_N_LON_CELLS}"
+            ),
+        )
+        .select("s_suppkey", "s_lat", "s_lon", "cell")
+    )
+    return (
+        c_cells.join(F.broadcast(s_cells), "cell")
+        .withColumn("dist_km", F.expr(f"round({_PAIR_DIST}, 2)"))
+        .where(F.col("dist_km") <= _RADIUS_KM)
+    )
+
+
+@query(
+    "q_geo_radius_join",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey, {_CUST_LAT} AS c_lat, {_CUST_LON} AS c_lon FROM customer),
+         s AS (SELECT s_suppkey, {_SUPP_LAT} AS s_lat, {_SUPP_LON} AS s_lon FROM supplier)
+    SELECT s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(MIN(round({_PAIR_DIST}, 2)), 2) AS min_dist_km
+    FROM c JOIN s ON round({_PAIR_DIST}, 2) <= {_RADIUS_KM}
+    GROUP BY s_suppkey
+    ORDER BY s_suppkey
+    """,
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers within 450 km of each supplier: count + nearest distance.
+
+    Spark runs the grid-blocked candidate join; the oracle runs the
+    naive all-pairs distance filter — green parity proves the blocking
+    is lossless (cell span 10 deg >= 8.1-deg worst-case radius arc at
+    |lat| <= 60).
+    """
+    return (
+        _blocked_pairs(spark, sf_dir)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("dist_km"), 2).alias("min_dist_km"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --- 4. nearest hub within radius --------------------------------------
+
+
+@query(
+    "q_geo_nearest_hub",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey, {_CUST_LAT} AS c_lat, {_CUST_LON} AS c_lon FROM customer),
+         s AS (SELECT s_suppkey, {_SUPP_LAT} AS s_lat, {_SUPP_LON} AS s_lon FROM supplier),
+         pairs AS (
+           SELECT c_custkey, s_suppkey, round({_PAIR_DIST}, 2) AS dist_km
+           FROM c JOIN s ON round({_PAIR_DIST}, 2) <= {_RADIUS_KM}
+         ),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) AS rn
+           FROM pairs
+         )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, dist_km
+    FROM ranked WHERE rn = 1
+    ORDER BY c_custkey
+    """,
+)
+def q_geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier within 450 km per customer (ties break by key).
+
+    min(struct(dist, key)) instead of a row_number window: the argmin is
+    a partial-aggregatable hash agg — map-side combine shrinks the
+    shuffle to one row per customer, where a window would shuffle every
+    candidate pair.
+    """
+    best = (
+        _blocked_pairs(spark, sf_dir)
+        .groupBy("c_custkey")
+        .agg(F.min(F.struct("dist_km", "s_suppkey")).alias("best"))
+    )
+    return best.select(
+        "c_custkey",
+        F.col("best.s_suppkey").alias("nearest_suppkey"),
+        F.col("best.dist_km").alias("dist_km"),
+    ).orderBy("c_custkey")
+
+
+# --- 5. per-user trajectory length -------------------------------------
+
+
+@query(
+    "q_geo_trajectory",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, event_id, {_EV_LAT} AS lat, {_EV_LON} AS lon
+      FROM events
+    ),
+    segs AS (
+      SELECT user_id,
+             round({haversine_sql(
+                 "lag(lat) OVER w", "lag(lon) OVER w", "lat", "lon")}, 6) AS seg_km
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(seg_km) AS BIGINT) AS n_segments,
+           CAST(SUM(CAST(seg_km AS DECIMAL(30,8))) AS DOUBLE) AS path_km
+    FROM segs
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_geo_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total great-circle path length per user over their event sequence.
+
+    One shuffle (user_id) feeds both the lag window and the final agg —
+    the window's output partitioning is reused, so the groupBy adds no
+    second exchange. Segments round to 6 dp then sum as DECIMAL(30,8):
+    associative, so partition order can't change the answer.
+    """
+    from pyspark.sql import Window
+
+    pts = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(_EV_LAT).alias("lat"),
+        F.expr(_EV_LON).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    segs = (
+        pts.withColumn("p_lat", F.lag("lat").over(w))
+        .withColumn("p_lon", F.lag("lon").over(w))
+        .select(
+            "user_id",
+            F.expr(f"round({haversine_sql('p_lat', 'p_lon', 'lat', 'lon')}, 6)").alias(
+                "seg_km"
+            ),
+        )
+    )
+    return (
+        segs.groupBy("user_id")
+        .agg(
+            F.count("seg_km").alias("n_segments"),
+            # No final 2-dp round: the 6-dp decimal sum can land exactly
+            # on a .xx5 tie, where Spark (HALF_UP) and DuckDB (HALF_EVEN)
+            # round apart. The exact-decimal → double cast is tie-free.
+            F.sum(F.col("seg_km").cast("decimal(30,8)")).cast("double").alias("path_km"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- 6. Morton / Z-order cells -----------------------------------------
+
+_QLAT = f"CAST(floor(({_CUST_LAT} + 60.0) / 120.0 * 256) AS BIGINT)"
+_QLON = f"CAST(floor(({_CUST_LON} + 180.0) / 360.0 * 256) AS BIGINT)"
+_MORTON = _morton_sql(_QLAT, _QLON)
+
+
+@query(
+    "q_geo_morton_cells",
+    oracle=f"""
+    SELECT CAST({_MORTON} AS BIGINT) AS morton,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM customer
+    GROUP BY 1
+    ORDER BY n_points DESC, morton
+    LIMIT 50
+    """,
+)
+def q_geo_morton_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 densest Morton (Z-order) cells at 8 bits per dimension.
+
+    The interleave is 16 integer-modulo CASE terms generated from one
+    builder — no shift operators, so Spark and DuckDB execute the same
+    expression text. Z-order keys are what the engine's Z-order layout
+    writer (sources/roundtrip.py) sorts by; this query exposes the
+    encoding itself as a queryable operator.
+    """
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select(F.expr(f"CAST({_MORTON} AS BIGINT)").alias("morton"))
+        .groupBy("morton")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy(F.desc("n_points"), "morton")
+        .limit(50)
+    )

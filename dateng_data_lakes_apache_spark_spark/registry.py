@@ -163,6 +163,7 @@ def load_all() -> None:
         dedup,
         events_analytics,
         generators,
+        geospatial,
         graph,
         joins,
         llm_pipeline,
