@@ -1451,3 +1451,98 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("t_chi2", 4).alias("chi2_total"),
         (F.col("t_chi2") <= _CHI2_CRIT_DF96).alias("independent"),
     )
+
+
+# --- deterministic mode ------------------------------------------------
+
+
+@query(
+    "q_mode_agg",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity DESC) AS rn
+      FROM counts
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, CAST(cnt AS BIGINT) AS n_occurrences
+    FROM ranked WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+)
+def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie rule (largest value wins).
+
+    Built-in ``mode()`` is free to return any modal value on ties —
+    useless under an exact-parity contract — so the argmax runs as
+    max(struct(cnt, value)): two partial-aggregatable hash aggs, no
+    window, shuffle bounded by |group x distinct value| then |group|.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = counts.groupBy("l_returnflag").agg(
+        F.max(F.struct("cnt", "l_quantity")).alias("b")
+    )
+    return best.select(
+        "l_returnflag",
+        F.col("b.l_quantity").alias("mode_qty"),
+        F.col("b.cnt").alias("n_occurrences"),
+    ).orderBy("l_returnflag")
+
+
+# --- weighted median ---------------------------------------------------
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS rf, l_quantity AS qty,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT rf, qty,
+             SUM(w) OVER (PARTITION BY rf ORDER BY qty) AS cum,
+             SUM(w) OVER (PARTITION BY rf) AS tot
+      FROM g
+    )
+    SELECT rf AS l_returnflag, MIN(qty) AS wmedian_qty
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY rf ORDER BY rf
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-weighted median quantity per return flag: the smallest qty
+    whose cumulative weight reaches half the group total.
+
+    Weights pre-aggregate per (group, value) — the window then runs over
+    |distinct values| rows, not the data — and accumulate as
+    DECIMAL(30,8), so the 2*cum >= tot cut is exact in both engines
+    (a double cumsum would make the boundary row engine-dependent).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_quantity").alias("qty")
+    ).agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("w"))
+    w_cum = Window.partitionBy("rf").orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("rf")
+    c = g.select(
+        "rf",
+        "qty",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("tot"),
+    )
+    return (
+        c.where(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy(F.col("rf").alias("l_returnflag"))
+        .agg(F.min("qty").alias("wmedian_qty"))
+        .orderBy("l_returnflag")
+    )

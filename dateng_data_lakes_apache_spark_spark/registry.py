@@ -175,6 +175,7 @@ def load_all() -> None:
         stats,
         subquery,
         text_analysis,
+        web_network,
         windows,
     )
     from .functions import scalars, multimodal, udfs  # noqa: F401

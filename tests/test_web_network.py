@@ -1,0 +1,90 @@
+"""Wave-B extension ops: LPM routing, URL parse, deterministic mode,
+weighted median (value parity is covered by the oracle sweep; these pin
+semantics and plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dateng_data_lakes_apache_spark_spark.plans.explain import formatted_plan
+from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+from .conftest import SF_SMALL
+
+QS = get_queries()
+
+
+def test_lpm_prefers_longest_prefix(spark):
+    """Any event matching both a /16 and a /8 must land on the /16."""
+    out = QS["q_lpm_route_join"](spark, SF_SMALL)
+    rows = {(r["owner_nation"], r["prefix_len"]): r["n_flows"] for r in out.collect()}
+    assert rows, "LPM join returned no routes"
+    # The /16s are subsets of some /8 space: whenever both lengths match
+    # an IP, plen=16 wins, so no (owner, 8) bucket may contain an event
+    # whose p16 also matched. Re-derive and assert directly.
+    from dateng_data_lakes_apache_spark_spark.catalog import table
+    from dateng_data_lakes_apache_spark_spark.operators.web_network import (
+        _IP_P8,
+        _IP_P16,
+        _R_P8,
+        _R_P16,
+    )
+
+    ev = table(spark, SF_SMALL, "events").select(
+        "event_id", F.expr(_IP_P8).alias("p8"), F.expr(_IP_P16).alias("p16")
+    )
+    nat = table(spark, SF_SMALL, "nation")
+    r16 = nat.select(F.expr(_R_P16).alias("pfx16"))
+    both = ev.join(r16, ev.p16 == r16.pfx16, "left_semi")
+    n16_events = both.count()
+    n16_routed = sum(v for (o, plen), v in rows.items() if plen == 16)
+    assert n16_routed == n16_events
+
+
+def test_lpm_plan_broadcasts_routes(spark):
+    plan = formatted_plan(QS["q_lpm_route_join"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_url_parse_roundtrips_every_doc(spark):
+    """id_param == doc_id on every row: parse inverts synthesis."""
+    out = QS["q_url_parse"](spark, SF_SMALL).collect()
+    assert sum(r["n_urls"] for r in out) == sum(r["n_id_roundtrip"] for r in out)
+
+
+def test_mode_tie_breaks_to_largest_value(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 0.5)],
+        "l_returnflag string, l_quantity double",
+    )
+    counts = df.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = counts.groupBy("l_returnflag").agg(
+        F.max(F.struct("cnt", "l_quantity")).alias("b")
+    )
+    row = best.select(F.col("b.l_quantity").alias("m")).first()
+    assert row["m"] == 2.0  # 1.0 and 2.0 tie at 2 occurrences
+
+
+def test_weighted_median_reaches_half_total(spark):
+    """The reported median's cumulative weight is >= half the group's
+    total, and the previous distinct value's is < half (minimality)."""
+    from dateng_data_lakes_apache_spark_spark.catalog import table
+
+    med = {
+        r["l_returnflag"]: r["wmedian_qty"]
+        for r in QS["q_weighted_median"](spark, SF_SMALL).collect()
+    }
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_quantity", F.col("l_extendedprice").cast("decimal(30,8)").alias("w")
+    )
+    for rf, m in med.items():
+        grp = li.where(F.col("l_returnflag") == rf)
+        tot = grp.agg(F.sum("w")).first()[0]
+        at = grp.where(F.col("l_quantity") <= m).agg(F.sum("w")).first()[0]
+        below = grp.where(F.col("l_quantity") < m).agg(F.sum("w")).first()[0] or 0
+        assert 2 * at >= tot
+        assert 2 * below < tot
