@@ -500,3 +500,31 @@ def test_bootstrap_no_python_and_partial_agg(spark, sf_dir):
     plan = formatted_plan(QS["q_bootstrap_ci"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert _nodes(plan, "HashAggregate") >= 2
+
+
+def test_geo_trajectory_window_feeds_agg_one_user_exchange(spark, sf_dir):
+    # the lag window's user_id hash partitioning must be reused by the
+    # per-user aggregation — one data exchange, plus only the final
+    # rangepartitioning for the presentation sort
+    plan = formatted_plan(QS["q_geo_trajectory"](spark, sf_dir))
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
+    assert _nodes(plan, "Window") == 1
+
+
+def test_geo_grid_agg_partial_aggregation(spark, sf_dir):
+    # grid cells partial-aggregate map-side: two HashAggregate phases
+    # around one exchange, shuffle bounded by the 12x36 grid
+    plan = formatted_plan(QS["q_geo_grid_agg"](spark, sf_dir))
+    assert _nodes(plan, "HashAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_weighted_median_windows_over_distinct_values_only(spark, sf_dir):
+    # the cumsum windows must consume the (group, value) pre-aggregate,
+    # not raw lineitem: HashAggregate appears BELOW the Window nodes
+    plan = formatted_plan(QS["q_weighted_median"](spark, sf_dir))
+    assert _nodes(plan, "Window") >= 1
+    details = plan.split("\n\n")
+    win_idx = plan.index("Window")
+    agg_idx = plan.index("HashAggregate")
+    assert agg_idx < win_idx or "HashAggregate" in plan[:win_idx]
