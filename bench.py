@@ -172,6 +172,12 @@ HEADLINE = [
     "q_impute_missing",
     "q_woe_binning",
     "q_chi2_independence",
+    "q_geo_radius_join",
+    "q_geo_nearest_hub",
+    "q_geo_trajectory",
+    "q_geo_morton_cells",
+    "q_lpm_route_join",
+    "q_weighted_median",
 ]
 
 

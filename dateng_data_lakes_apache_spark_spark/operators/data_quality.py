@@ -684,3 +684,123 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= _CHI2_CRIT_DF8
         ).alias("benford_ok"),
     )
+
+
+# --- anti-entropy block diff ------------------------------------------
+
+# Commutative 48-bit row checksum: md5 over the canonical row string,
+# first 12 hex digits as an integer, SUMmed per block. Sums are
+# order-independent (integer addition), so two engines / partitionings
+# / shards agree bit-for-bit. 2^48 × rows-per-block stays far under
+# int64. The canonical string uses integer CENTS via explicit
+# floor(x*100 + 0.5): a bare CAST(double AS BIGINT) truncates in Spark
+# but ROUNDS in DuckDB, and string-formatting a DOUBLE is not a
+# cross-engine canonical form either — floor is the one conversion both
+# engines define identically.
+_ROW_CANON = (
+    "concat(CAST(o_orderkey AS STRING), '|',"
+    " CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING))"
+)
+_N_DIFF_BLOCKS = 256
+
+
+def _hex12_to_int_sql(hexpr: str) -> str:
+    """DuckDB-dialect first-12-hex-digits → BIGINT (no base-conv builtin
+    there; same instr-arithmetic pattern as q_split_train_test)."""
+    terms = [
+        f"(instr('0123456789abcdef', substr({hexpr}, {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# v1 simulates drift against v0=orders with pure key arithmetic (shared
+# text): ~0.1% of rows get a price bump, ~0.1% are deleted.
+_V1_SQL = """
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 997 = 7 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 997 <> 13
+"""
+
+
+@query(
+    "q_table_diff",
+    oracle=f"""
+    WITH v0 AS (SELECT o_orderkey, o_totalprice FROM orders),
+    v1 AS ({_V1_SQL}),
+    c0 AS (
+      SELECT o_orderkey % {_N_DIFF_BLOCKS} AS block_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows_v0,
+             SUM({_hex12_to_int_sql(f"md5({_ROW_CANON})")}) AS sum_v0
+      FROM v0 GROUP BY 1
+    ),
+    c1 AS (
+      SELECT o_orderkey % {_N_DIFF_BLOCKS} AS block_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows_v1,
+             SUM({_hex12_to_int_sql(f"md5({_ROW_CANON})")}) AS sum_v1
+      FROM v1 GROUP BY 1
+    )
+    SELECT COALESCE(c0.block_id, c1.block_id) AS block_id,
+           COALESCE(n_rows_v0, 0) AS n_rows_v0,
+           COALESCE(n_rows_v1, 0) AS n_rows_v1,
+           CAST(COALESCE(sum_v0, 0) AS BIGINT) AS sum_v0,
+           CAST(COALESCE(sum_v1, 0) AS BIGINT) AS sum_v1
+    FROM c0 FULL OUTER JOIN c1 ON c0.block_id = c1.block_id
+    WHERE COALESCE(sum_v0, -1) <> COALESCE(sum_v1, -1)
+       OR COALESCE(n_rows_v0, 0) <> COALESCE(n_rows_v1, 0)
+    ORDER BY block_id
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy diff between two table versions: which key-blocks
+    changed, without comparing a single row pair.
+
+    Each side reduces to ≤{N} (block, count, checksum) rows — a
+    map-side-combined hash agg over a narrow projection — and the diff
+    is a {N}-row full-outer join. At 100 TB this is the cheap first
+    pass of replica reconciliation / CDC validation: row-level work
+    happens only inside blocks this query flags (and block granularity
+    is a knob: o_orderkey % N here, file/partition ids in a real lake).
+    The commutative SUM-of-md5 checksum is what makes the block
+    signature independent of partitioning, shard order, and engine.
+    """.replace("{N}", str(_N_DIFF_BLOCKS))
+    v0 = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = (
+        table(spark, sf_dir, "orders")
+        .where(F.expr("o_orderkey % 997 <> 13"))
+        .select(
+            "o_orderkey",
+            F.expr(
+                "CASE WHEN o_orderkey % 997 = 7 THEN o_totalprice + 1.0"
+                " ELSE o_totalprice END"
+            ).alias("o_totalprice"),
+        )
+    )
+
+    def block_sums(df: DataFrame, n_col: str, s_col: str) -> DataFrame:
+        rowhash = F.conv(F.substring(F.md5(F.expr(_ROW_CANON)), 1, 12), 16, 10).cast(
+            "long"
+        )
+        return (
+            df.select(
+                (F.col("o_orderkey") % _N_DIFF_BLOCKS).alias("block_id"),
+                rowhash.alias("rh"),
+            )
+            .groupBy("block_id")
+            .agg(F.count(F.lit(1)).alias(n_col), F.sum("rh").alias(s_col))
+        )
+
+    c0 = block_sums(v0, "n_rows_v0", "sum_v0")
+    c1 = block_sums(v1, "n_rows_v1", "sum_v1")
+    joined = c0.join(c1, "block_id", "full_outer").select(
+        "block_id",
+        F.coalesce("n_rows_v0", F.lit(0)).alias("n_rows_v0"),
+        F.coalesce("n_rows_v1", F.lit(0)).alias("n_rows_v1"),
+        F.coalesce("sum_v0", F.lit(0)).alias("sum_v0"),
+        F.coalesce("sum_v1", F.lit(0)).alias("sum_v1"),
+    )
+    return joined.where(
+        (F.col("sum_v0") != F.col("sum_v1"))
+        | (F.col("n_rows_v0") != F.col("n_rows_v1"))
+    ).orderBy("block_id")

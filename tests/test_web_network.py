@@ -88,3 +88,28 @@ def test_weighted_median_reaches_half_total(spark):
         below = grp.where(F.col("l_quantity") < m).agg(F.sum("w")).first()[0] or 0
         assert 2 * at >= tot
         assert 2 * below < tot
+
+
+def test_table_diff_flags_exactly_the_changed_blocks(spark):
+    """Every flagged block contains a modified/deleted key; every
+    modified/deleted key's block is flagged; identical versions diff
+    empty (checked by construction: blocks with no %997 hits)."""
+    from dateng_data_lakes_apache_spark_spark.catalog import table
+    from dateng_data_lakes_apache_spark_spark.operators.data_quality import (
+        _N_DIFF_BLOCKS,
+    )
+
+    flagged = {
+        r["block_id"] for r in QS["q_table_diff"](spark, SF_SMALL).collect()
+    }
+    orders = table(spark, SF_SMALL, "orders")
+    changed = {
+        r["b"]
+        for r in orders.where(
+            (F.col("o_orderkey") % 997 == 7) | (F.col("o_orderkey") % 997 == 13)
+        )
+        .select((F.col("o_orderkey") % _N_DIFF_BLOCKS).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert flagged == changed
