@@ -1375,3 +1375,92 @@ def q_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_session_rate"),
         )
     )
+
+
+# --- clamped running balance (non-associative stateful scan) -----------
+
+# delta in integer CENTS: floor(v*100 + 0.5) is the one double→int
+# conversion Spark and DuckDB define identically (bare CAST truncates in
+# Spark, rounds in DuckDB). 5000 cents of drain per event makes deltas
+# mixed-sign (values average ~4963 cents).
+_BAL_DELTA = "CAST(floor(value * 100 + 0.5) AS BIGINT) - 5000"
+
+
+@query(
+    "q_clamped_balance",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, {_BAL_DELTA} AS delta,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, 1 AS rn,
+             GREATEST(delta, 0) AS bal,
+             CASE WHEN delta < 0 THEN 1 ELSE 0 END AS clamps,
+             GREATEST(delta, 0) AS maxbal
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT w.user_id, w.rn + 1,
+             GREATEST(w.bal + e.delta, 0),
+             w.clamps + CASE WHEN w.bal + e.delta < 0 THEN 1 ELSE 0 END,
+             GREATEST(w.maxbal, GREATEST(w.bal + e.delta, 0))
+      FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT w.user_id,
+           CAST(bal AS BIGINT) AS final_cents,
+           CAST(maxbal AS BIGINT) AS max_cents,
+           CAST(clamps AS BIGINT) AS n_clamps
+    FROM walk w
+    JOIN (SELECT user_id, MAX(rn) AS mx FROM ev GROUP BY user_id) last
+      ON last.user_id = w.user_id AND last.mx = w.rn
+    ORDER BY w.user_id
+    """,
+)
+def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-clamped running balance per user — the canonical
+    NON-associative scan (b_i = max(0, b_{i-1} + delta_i)): no window
+    frame or aggregate expresses it, the textbook case for a custom
+    stateful kernel.
+
+    Spark side: one shuffle on user_id into applyInPandas, and inside
+    the kernel the scan is CLOSED-FORM vectorized — b = S - min(0,
+    running_min(S)) over the plain cumsum S (the reflection identity) —
+    so the "sequential" state costs two numpy accumulations, zero
+    Python-level row iteration. Integer cents end-to-end: the kernel is
+    exact, which is what lets a recursive-CTE oracle hash-match it.
+
+    At 100 TB: per-user history is the unit of work (bounded here at
+    ~100 events; real ledgers partition by (user, epoch) to bound it),
+    groups process independently, Arrow moves the batches.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr(_BAL_DELTA).alias("delta")
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("event_id")
+        d = pdf["delta"].to_numpy(dtype="int64")
+        s = np.cumsum(d)
+        floor_ = np.minimum(np.minimum.accumulate(s), 0)
+        b = s - floor_  # reflection identity for max(0, .)-clamped scan
+        prev = np.concatenate(([0], b[:-1]))
+        clamps = int(np.sum(prev + d < 0))
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "final_cents": [int(b[-1])],
+                "max_cents": [int(b.max())],
+                "n_clamps": [clamps],
+            }
+        )
+
+    out_schema = (
+        "user_id bigint, final_cents bigint, max_cents bigint, n_clamps bigint"
+    )
+    return ev.groupBy("user_id").applyInPandas(kernel, schema=out_schema).orderBy(
+        "user_id"
+    )

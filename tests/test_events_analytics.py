@@ -140,3 +140,20 @@ def test_attribution_conserves_revenue(spark, sf_dir):
     assert sum(r.n_last for r in rows) == n_purch
     assert abs(sum(r.rev_first for r in rows) - total) < 1e-6
     assert abs(sum(r.rev_last for r in rows) - total) < 1e-6
+
+
+def test_clamped_balance_reflection_identity_vs_brute_loop():
+    """b = S - min(0, running_min(S)) equals the sequential
+    max(0, b+d) recurrence on adversarial delta sequences."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for _ in range(50):
+        d = rng.randint(-100, 80, size=rng.randint(1, 200)).astype("int64")
+        s = np.cumsum(d)
+        b_vec = s - np.minimum(np.minimum.accumulate(s), 0)
+        bal, brute = 0, []
+        for x in d:
+            bal = max(0, bal + int(x))
+            brute.append(bal)
+        assert b_vec.tolist() == brute
