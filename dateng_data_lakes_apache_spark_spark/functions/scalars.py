@@ -305,3 +305,75 @@ def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json("parsed").alias("rebuilt"),
         )
     )
+
+
+# --- business-day arithmetic ------------------------------------------
+
+# Closed-form weekday count: g(n) = number of weekdays among epoch days
+# [0, n). 1970-01-01 is a Thursday, so day k's Monday-based weekday is
+# (k+3) % 7 and g(n) = h(n+3) - 3 with h(m) = 5*(m div 7) + min(m mod
+# 7, 5). Business days in (a, b] = g(b+1) - g(a+1) — O(1) arithmetic
+# per row, no calendar dim, no join; property-tested against a
+# datetime loop in tests/test_web_network.py.
+def _g_spark(day_col: str) -> str:
+    m = f"({day_col} + 4)"  # n + 3 with n = day + 1
+    return f"(5 * ({m} div 7) + least({m} % 7, 5) - 3)"
+
+
+def _g_duck(day_col: str) -> str:
+    m = f"({day_col} + 4)"
+    return f"(5 * ({m} // 7) + least({m} % 7, 5) - 3)"
+
+
+@query(
+    "q_business_days",
+    oracle=f"""
+    WITH spans AS (
+      SELECT o_orderpriority,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS a,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({_g_duck('b')} - {_g_duck('a')}) AS BIGINT) AS total_busdays,
+           CAST(SUM({_g_duck('b')} - {_g_duck('a')}) AS DOUBLE) / COUNT(*)
+             AS avg_busdays
+    FROM spans WHERE b >= a
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average business days (weekends excluded) from order to line
+    shipment, per order priority.
+
+    The weekday count is a CLOSED FORM over epoch-day numbers — O(1)
+    codegen'd arithmetic per row, no calendar dimension, no range join
+    — so at 100 TB it rides the fact scan for free. (Holiday calendars
+    would add a pre-aggregated cumulative-holiday lookup dim; the
+    weekend term stays closed-form.) Integer day sums make the average
+    exact: BIGINT total / COUNT, one double division at the end.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("a"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01")).alias("b"),
+    )
+    busdays = F.expr(f"{_g_spark('b')} - {_g_spark('a')}")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("b") >= F.col("a"))
+        .select("o_orderpriority", busdays.alias("bd"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("bd").cast("bigint").alias("total_busdays"),
+            (F.sum("bd").cast("double") / F.count(F.lit(1))).alias("avg_busdays"),
+        )
+        .orderBy("o_orderpriority")
+    )

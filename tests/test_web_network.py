@@ -113,3 +113,24 @@ def test_table_diff_flags_exactly_the_changed_blocks(spark):
         .collect()
     }
     assert flagged == changed
+
+
+def test_business_day_closed_form_vs_datetime_loop(spark):
+    """The _g helper (weekdays in [0, day]) equals a brute datetime
+    weekday loop; differences of it are the query's business-day count."""
+    import datetime
+
+    rows = spark.range(1, 15000, 997).selectExpr(
+        "id AS day", "(5 * ((id + 4) div 7) + least((id + 4) % 7, 5) - 3) AS g"
+    ).collect()
+
+    def brute_weekdays_through(day: int) -> int:
+        base = datetime.date(1970, 1, 1)
+        return sum(
+            1
+            for k in range(day + 1)
+            if (base + datetime.timedelta(days=k)).weekday() < 5
+        )
+
+    for r in rows:
+        assert r["g"] == brute_weekdays_through(r["day"])
