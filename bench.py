@@ -178,6 +178,11 @@ HEADLINE = [
     "q_geo_morton_cells",
     "q_lpm_route_join",
     "q_weighted_median",
+    "q_table_diff",
+    "q_clamped_balance",
+    "q_ewma_smooth",
+    "q_business_days",
+    "q_geo_pipeline",
 ]
 
 

@@ -1464,3 +1464,81 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(kernel, schema=out_schema).orderBy(
         "user_id"
     )
+
+
+# --- fixed-point EWMA (sequential recurrence) --------------------------
+
+_EWMA_X = "CAST(floor(value * 100 + 0.5) AS BIGINT)"  # cents, engine-identical
+
+
+@query(
+    "q_ewma_smooth",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, {_EWMA_X} AS x,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, 1 AS rn, x AS ew, x AS mx FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT w.user_id, w.rn + 1,
+             (9 * w.ew + e.x) // 10,
+             GREATEST(w.mx, (9 * w.ew + e.x) // 10)
+      FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT w.user_id,
+           CAST(w.rn AS BIGINT) AS n_events,
+           CAST(ew AS BIGINT) AS final_ewma_cents,
+           CAST(mx AS BIGINT) AS max_ewma_cents
+    FROM walk w
+    JOIN (SELECT user_id, MAX(rn) AS mx_rn FROM ev GROUP BY user_id) last
+      ON last.user_id = w.user_id AND last.mx_rn = w.rn
+    ORDER BY w.user_id
+    """,
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point EWMA (α=0.1) per user event stream: ew_i =
+    (9·ew_{i-1} + x_i) div 10 over integer cents.
+
+    Float EWMA can never exact-match across engines (each step rounds
+    differently); the truncating integer recurrence is bit-deterministic
+    and stays within half a cent of the real thing — the same
+    fixed-point discipline as q_pagerank. The recurrence truncates at
+    EVERY step, so unlike q_clamped_balance there is no vectorizable
+    closed form: the kernel loops over the (bounded, ~100-event) user
+    history inside applyInPandas — per-GROUP sequential state, the
+    irreducible core of the operator, with groups spread across
+    executors and Arrow moving the batches.
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr(_EWMA_X).alias("x")
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("event_id")
+        xs = pdf["x"].tolist()
+        ew = xs[0]
+        mx = ew
+        for x in xs[1:]:
+            ew = (9 * ew + x) // 10
+            if ew > mx:
+                mx = ew
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(xs)],
+                "final_ewma_cents": [int(ew)],
+                "max_ewma_cents": [int(mx)],
+            }
+        )
+
+    schema = (
+        "user_id bigint, n_events bigint, final_ewma_cents bigint,"
+        " max_ewma_cents bigint"
+    )
+    return ev.groupBy("user_id").applyInPandas(kernel, schema=schema).orderBy(
+        "user_id"
+    )

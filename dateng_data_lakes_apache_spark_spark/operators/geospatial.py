@@ -416,3 +416,127 @@ def q_geo_morton_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_points"), "morton")
         .limit(50)
     )
+
+
+# --- composed geo flagship ---------------------------------------------
+
+_EV_CELL = (
+    f"CAST(floor(({_EV_LAT} + 60.0) / 10.0) AS BIGINT) * 64"
+    f" + CAST(floor(({_EV_LON} + 180.0) / 10.0) AS BIGINT)"
+)
+_N_HOTSPOTS = 20
+
+
+@query(
+    "q_geo_pipeline",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, event_id, {_EV_LAT} AS lat, {_EV_LON} AS lon,
+             {_EV_CELL} AS cell
+      FROM events
+    ),
+    hot AS (
+      SELECT cell FROM (
+        SELECT cell, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, cell) AS rn
+        FROM pts GROUP BY cell
+      ) WHERE rn <= {_N_HOTSPOTS}
+    ),
+    segs AS (
+      SELECT user_id,
+             round({haversine_sql(
+                 "lag(lat) OVER w", "lag(lon) OVER w", "lat", "lon")}, 6) AS seg_km
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    per_user AS (
+      SELECT p.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(CASE WHEN h.cell IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hot
+      FROM pts p LEFT JOIN hot h ON p.cell = h.cell
+      GROUP BY p.user_id
+    ),
+    paths AS (
+      SELECT user_id,
+             CAST(SUM(CAST(seg_km AS DECIMAL(30,8))) AS DOUBLE) AS path_km
+      FROM segs GROUP BY user_id
+    )
+    SELECT u.user_id, u.n_points, u.n_hot,
+           CAST(u.n_hot AS DOUBLE) / u.n_points AS hot_share,
+           p.path_km
+    FROM per_user u JOIN paths p ON u.user_id = p.user_id
+    ORDER BY u.user_id
+    """,
+)
+def q_geo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed geo flagship: event positions → global hotspot cells
+    (top-{_N_HOTSPOTS} densest) → per-user hotspot exposure + total
+    travel distance, in one plan.
+
+    Composition shape: the point projection feeds THREE consumers
+    (hotspot agg, exposure join, trajectory window) — persist() keeps
+    the derived positions from being recomputed per branch. The hotspot
+    table is {_N_HOTSPOTS} rows → broadcast; the trajectory branch's
+    user_id shuffle is shared by its window and aggregation (the plan
+    property pinned for q_geo_trajectory); the final join is
+    user-keyed. One corpus scan, two shuffles of point-scale data,
+    everything else metadata-scale.
+    """
+    pts = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(_EV_LAT).alias("lat"),
+            F.expr(_EV_LON).alias("lon"),
+            F.expr(_EV_CELL).alias("cell"),
+        )
+        .persist()
+    )
+    hot = (
+        pts.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "cell")
+        .limit(_N_HOTSPOTS)
+        .select("cell")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    paths = (
+        pts.withColumn("p_lat", F.lag("lat").over(w))
+        .withColumn("p_lon", F.lag("lon").over(w))
+        .select(
+            "user_id",
+            F.expr(f"round({haversine_sql('p_lat', 'p_lon', 'lat', 'lon')}, 6)").alias(
+                "seg_km"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("seg_km").cast("decimal(30,8)")).cast("double").alias("path_km")
+        )
+    )
+    per_user = (
+        pts.join(F.broadcast(hot.withColumnRenamed("cell", "h_cell")),
+                 F.col("cell") == F.col("h_cell"), "left")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.when(F.col("h_cell").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hot"),
+        )
+    )
+    return (
+        per_user.join(paths, "user_id")
+        .select(
+            "user_id",
+            "n_points",
+            "n_hot",
+            (F.col("n_hot").cast("double") / F.col("n_points")).alias("hot_share"),
+            "path_km",
+        )
+        .orderBy("user_id")
+    )
