@@ -157,3 +157,22 @@ def test_clamped_balance_reflection_identity_vs_brute_loop():
             bal = max(0, bal + int(x))
             brute.append(bal)
         assert b_vec.tolist() == brute
+
+
+def test_ewma_fixed_point_recurrence_hand_computed():
+    """(9*ew + x) div 10 recurrence matches hand arithmetic."""
+    xs = [1000, 2000, 0, 500]
+    ew = xs[0]
+    expect = [1000]
+    for x in xs[1:]:
+        ew = (9 * ew + x) // 10
+        expect.append(ew)
+    assert expect == [1000, 1100, 990, 941]
+
+
+def test_ewma_constant_series_is_fixed_point():
+    """A constant input is a fixed point of the integer recurrence."""
+    ew = 4200
+    for _ in range(50):
+        ew = (9 * ew + 4200) // 10
+    assert ew == 4200

@@ -107,3 +107,29 @@ def test_trajectory_segments_count(spark):
     }
     for uid, n in counts.items():
         assert traj[uid] == n - 1
+
+
+def test_geo_pipeline_exposure_invariants(spark):
+    """hot_share in [0,1], n_hot <= n_points, and summed exposure equals
+    the hotspot cells' total point count."""
+    from dateng_data_lakes_apache_spark_spark.operators.geospatial import _N_HOTSPOTS
+
+    rows = QS["q_geo_pipeline"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hot"] <= r["n_points"]
+        assert 0.0 <= r["hot_share"] <= 1.0
+    # total in-hotspot points across users == sum of the top-N cells
+    from dateng_data_lakes_apache_spark_spark.catalog import table
+    from dateng_data_lakes_apache_spark_spark.operators.geospatial import _EV_CELL
+
+    cells = (
+        table(spark, SF_SMALL, "events")
+        .selectExpr(f"{_EV_CELL} AS cell")
+        .groupBy("cell")
+        .count()
+        .orderBy(F.desc("count"), "cell")
+        .limit(_N_HOTSPOTS)
+        .collect()
+    )
+    assert sum(r["n_hot"] for r in rows) == sum(c["count"] for c in cells)
