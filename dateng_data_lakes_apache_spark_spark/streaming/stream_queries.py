@@ -1272,3 +1272,55 @@ def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink_b)
+
+
+# --- streaming x geospatial: hot-zone detection ------------------------
+
+# Same derived-position contract as operators/geospatial.py (_EV_LAT):
+# the latitude BAND (12 x 10-degree rows) keeps per-window state coarse.
+_GEO_BAND = "CAST(floor((((event_id * 48271) % 120000000) / 1000000.0) / 10.0) AS BIGINT)"
+_HOT_MIN = 3  # events per (hour, band) to flag — non-vacuous at sf0.001
+
+
+@query(
+    "q_stream_geo_hotspot",
+    oracle=f"""
+    SELECT {o_ts_str("date_trunc('hour', ts)")} AS window_start,
+           CAST({_GEO_BAND} AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_HOT_MIN}
+    ORDER BY window_start, band
+    """,
+)
+def q_stream_geo_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hot-zone detector: tumbling 1-hour windows per derived
+    latitude band, emitting (window, band) cells that cross an activity
+    threshold — the continuous sibling of q_geo_grid_agg.
+
+    State is (window x 12 bands) counters bounded by the watermark; the
+    threshold filter runs post-aggregation so late-arriving events can
+    still push a zone over the line within the horizon. The batch
+    date_trunc twin is the oracle (same alignment: Spark windows and
+    date_trunc both anchor to epoch).
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.expr(_GEO_BAND).alias("band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    result = _run_to_memory(agg, "geo_hotspot", "complete")
+    return (
+        result.where(F.col("n_events") >= _HOT_MIN)
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "band",
+            "n_events",
+        )
+        .orderBy("window_start", "band")
+    )
