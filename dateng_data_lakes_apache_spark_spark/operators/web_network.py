@@ -168,3 +168,70 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# --- URL canonicalization dedup ----------------------------------------
+
+# Crawl variant synth: the page identity is (source, lang, doc_id % 500)
+# but each fetch carries a volatile tracking param — the thing URL
+# canonicalization exists to strip.
+_CRAWL_URL = (
+    "concat('https://', source, '.example.com/', lang, '/p',"
+    " CAST(doc_id % 500 AS STRING), '?sid=', CAST(doc_id AS STRING))"
+)
+_CANON = f"regexp_replace({_CRAWL_URL}, '[?&]sid=[0-9]+', '')"
+
+
+@query(
+    "q_url_dedup",
+    oracle=f"""
+    WITH canon AS (
+      SELECT doc_id, {_CANON} AS curl,
+             regexp_extract({_CANON}, '^https://([^/]+)/', 1) AS host
+      FROM documents
+    ),
+    keep AS (
+      SELECT host, curl, MIN(doc_id) AS keeper, COUNT(*) AS n_fetches
+      FROM canon GROUP BY host, curl
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(n_fetches) AS BIGINT) AS n_fetches,
+           CAST(SUM(n_fetches) - COUNT(*) AS BIGINT) AS n_dropped,
+           CAST(MIN(keeper) AS BIGINT) AS first_keeper
+    FROM keep
+    GROUP BY host
+    ORDER BY host
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl dedup by canonical URL: strip volatile tracking params,
+    group fetch variants to one page, keep the first-seen doc.
+
+    The canonical key is a pure string expression (regexp_replace —
+    codegen, no UDF), so dedup is one hash agg on the canonical URL
+    with map-side combine, then a per-host rollup: the standard first
+    stage of crawl ingestion at 100 TB (before any content hashing),
+    where stripping session/tracking params routinely drops 30-60% of
+    fetches. min(doc_id) is the deterministic keeper rule shared with
+    the content-dedup ladder (operators/dedup.py).
+    """
+    docs = table(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        F.expr(_CANON).alias("curl"),
+        F.expr(f"regexp_extract({_CANON}, '^https://([^/]+)/', 1)").alias("host"),
+    )
+    keep = canon.groupBy("host", "curl").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_fetches")
+    )
+    return (
+        keep.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_fetches").cast("bigint").alias("n_fetches"),
+            (F.sum("n_fetches") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+            F.min("keeper").alias("first_keeper"),
+        )
+        .orderBy("host")
+    )
