@@ -540,3 +540,145 @@ def q_geo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- grid-DBSCAN clustering --------------------------------------------
+
+# Density fixture with real clumping: each USER is a cluster center
+# (md5-derived cell), each event jitters +-1 cell around its user's
+# center — so hot cells form multi-cell blobs, the structure DBSCAN
+# exists to find. md5 is the one cross-engine hash (conv() on Spark,
+# hex-digit instr arithmetic on DuckDB, the q_split_train_test pattern).
+
+
+def _duck4(expr: str, off: int) -> str:
+    h = f"md5(CAST({expr} AS STRING))"
+    return ("(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {off + i}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)) + ")")
+
+
+def _spark4(expr: str, off: int) -> str:
+    return f"CAST(conv(substring(md5(CAST({expr} AS STRING)), {off}, 4), 16, 10) AS BIGINT)"
+
+
+def _cell_rc(h4) -> tuple[str, str]:
+    ucr = f"({h4('user_id', 1)} % 12)"
+    ucc = f"({h4('user_id', 5)} % 36)"
+    dr = f"({h4('event_id', 1)} % 3 - 1)"
+    dc = f"({h4('event_id', 5)} % 3 - 1)"
+    return (
+        f"greatest(least({ucr} + {dr}, 11), 0)",
+        f"(({ucc} + {dc} + 36) % 36)",
+    )
+
+
+_DUCK_R, _DUCK_C = _cell_rc(_duck4)
+_SPARK_R, _SPARK_C = _cell_rc(_spark4)
+_N_CELLS = 12 * 36
+_THR = "ceil(t / 432.0 + 2 * sqrt(t / 432.0))"  # mean + 2 sigma
+
+
+@query(
+    "q_geo_cluster",
+    oracle=f"""
+    WITH cells AS (
+      SELECT {_DUCK_R} AS r, {_DUCK_C} AS c,
+             {_DUCK_R} * 64 + {_DUCK_C} AS cell,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT SUM(n) AS t FROM cells),
+    hot AS (
+      SELECT r, c, cell, n FROM cells, tot WHERE n >= {_THR}
+    ),
+    pairs AS (
+      SELECT a.cell AS u, b.cell AS v
+      FROM hot a JOIN hot b
+        ON abs(a.r - b.r) <= 1
+       AND least(abs(a.c - b.c), 36 - abs(a.c - b.c)) <= 1
+       AND a.cell < b.cell
+    ),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    labels AS (
+      -- min cell id reachable within 24 hops = component min (the cell
+      -- graph has <= 432 nodes; 24 > any grid-path diameter here)
+      SELECT node, MIN(label) AS label FROM (
+        WITH RECURSIVE cc AS (
+          SELECT u AS node, u AS label, 0 AS depth FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.v AS node, c.label, c.depth + 1
+          FROM cc c JOIN edges e ON e.u = c.node
+          WHERE c.label < e.v AND c.depth < 24
+        )
+        SELECT node, label FROM cc
+      ) GROUP BY node
+    )
+    SELECT CAST(COALESCE(l.label, h.cell) AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(h.n) AS BIGINT) AS n_points
+    FROM hot h LEFT JOIN labels l ON l.node = h.cell
+    GROUP BY 1
+    ORDER BY cluster_id
+    """,
+)
+def q_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN: dense cells (mean + 2 sigma of grid density) merged
+    into clusters by 8-neighbor adjacency (longitude wraps) —
+    density-based spatial clustering with the data pass reduced to ONE
+    grid aggregation.
+
+    Scale split: the corpus-sized work is the 432-cell histogram
+    (map-side partial agg). Everything after runs on the CELL table,
+    which is bounded by the grid (<= 432 rows) — i.e. metadata-scale —
+    so component resolution is a driver-side union-find over the
+    collected hot-cell adjacency (same bounded-driver-state discipline
+    as BPE's vocab merges, llm_pipeline.py): exact, O(cells * alpha),
+    no iterative joins. This is how DBSCAN survives 100 TB — cluster
+    the density grid, not the points; only the grid resolution, never
+    the data, bounds the clustering cost. The density threshold is
+    self-tuning (mean + 2 sigma), and the DuckDB twin expresses the
+    same components as a depth-bounded recursive CTE.
+    """
+    ev = table(spark, sf_dir, "events")
+    cells = (
+        ev.select(F.expr(_SPARK_R).alias("r"), F.expr(_SPARK_C).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cell", F.col("r") * 64 + F.col("c"))
+    )
+    tot = cells.agg(F.sum("n").alias("t"))
+    hot = (
+        cells.crossJoin(F.broadcast(tot))
+        .where(F.col("n") >= F.expr(_THR))
+        .select("r", "c", "cell", "n")
+    )
+    # Metadata-scale from here: <= 432 hot cells.
+    rows = hot.collect()
+    parent = {r["cell"]: r["cell"] for r in rows}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_rc = {(r["r"], r["c"]): r["cell"] for r in rows}
+    for r in rows:
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                nb = by_rc.get((r["r"] + dr, (r["c"] + dc + 36) % 36))
+                if nb is not None:
+                    ra, rb = find(r["cell"]), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    agg: dict[int, list[int]] = {}
+    for r in rows:
+        lbl = find(r["cell"])
+        cur = agg.setdefault(lbl, [0, 0])
+        cur[0] += 1
+        cur[1] += int(r["n"])
+    out = [(int(k), v[0], v[1]) for k, v in sorted(agg.items())]
+    return spark.createDataFrame(
+        out, "cluster_id bigint, n_cells bigint, n_points bigint"
+    ).orderBy("cluster_id")

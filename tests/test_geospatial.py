@@ -133,3 +133,60 @@ def test_geo_pipeline_exposure_invariants(spark):
         .collect()
     )
     assert sum(r["n_hot"] for r in rows) == sum(c["count"] for c in cells)
+
+
+def test_geo_cluster_partition_and_maximality(spark):
+    """Clusters partition the hot-cell set, and no two distinct
+    clusters contain adjacent cells (DBSCAN maximality)."""
+    from dateng_data_lakes_apache_spark_spark.operators.geospatial import (
+        _SPARK_C,
+        _SPARK_R,
+        _THR,
+    )
+    from dateng_data_lakes_apache_spark_spark.catalog import table
+
+    out = QS["q_geo_cluster"](spark, SF_SMALL).collect()
+    cells = (
+        table(spark, SF_SMALL, "events")
+        .selectExpr(f"{_SPARK_R} AS r", f"{_SPARK_C} AS c")
+        .groupBy("r", "c")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    )
+    tot = sum(r["n"] for r in cells)
+    import math
+
+    thr = math.ceil(tot / 432.0 + 2 * math.sqrt(tot / 432.0))
+    hot = {(r["r"], r["c"]): r["r"] * 64 + r["c"] for r in cells if r["n"] >= thr}
+    assert sum(r["n_cells"] for r in out) == len(hot)
+
+    # rebuild cluster membership by union-find to check adjacency split
+    label = {}
+    def neighbors(rc):
+        r, c = rc
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if (dr, dc) != (0, 0) and (r + dr, (c + dc + 36) % 36) in hot:
+                    yield (r + dr, (c + dc + 36) % 36)
+    # BFS components
+    seen = set()
+    comps = []
+    for rc in hot:
+        if rc in seen:
+            continue
+        comp, stack = set(), [rc]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            comp.add(x)
+            stack.extend(neighbors(x))
+        comps.append(comp)
+    assert len(comps) == len(out)
+    expected = sorted(
+        (min(hot[rc] for rc in comp), len(comp)) for comp in comps
+    )
+    got = sorted((r["cluster_id"], r["n_cells"]) for r in out)
+    assert expected == got
