@@ -1,0 +1,235 @@
+"""Model-evaluation operators: confusion-matrix metrics, calibration
+bins, and inter-annotator agreement — the measurement half of a
+training-data pipeline (every classifier/labeler feeding a corpus needs
+exactly these three reports).
+
+Predictions/scores are derived deterministically from md5 of the doc id
+(the engine's cross-engine hash: ``conv`` on Spark, hex-digit instr
+arithmetic on DuckDB — the q_split_train_test pattern), simulating a
+noisy labeler against the ``lang`` column as ground truth. The
+derivation is part of the query contract; every ratio is a single
+BIGINT/BIGINT → DOUBLE division, so both engines agree bit-for-bit.
+
+Scale design: each metric is ONE hash aggregation over a narrow
+projection (truth, prediction) — map-side combined, shuffle bounded by
+|classes|² or |bins|, never by the corpus. At 100 TB these reports ride
+a corpus scan for free.
+
+Reference scope: the reference ETL (etl.py:91-226) has no evaluation
+operators; beyond-contract lake surface (SURVEY §2.4 extension wave).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+def _duck4(expr: str, off: int) -> str:
+    h = f"md5(CAST({expr} AS STRING))"
+    return ("(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {off + i}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)) + ")")
+
+
+def _spark4(expr: str, off: int) -> str:
+    return f"CAST(conv(substring(md5(CAST({expr} AS STRING)), {off}, 4), 16, 10) AS BIGINT)"
+
+
+_LANGS = "'de','en','es','fr','zh'"
+
+
+def _pred_sql(h4) -> str:
+    """Noisy labeler: ~10% of docs get a uniformly-chosen other class."""
+    flip = f"({h4('doc_id', 1)} % 10 = 0)"
+    other = f"[{_LANGS}][CAST({h4('doc_id', 5)} % 5 AS INT) + 1]"
+    return f"(CASE WHEN {flip} THEN {other} ELSE lang END)"
+
+
+# DuckDB list indexing is [..][i]; Spark's is array(..)[i-1] — build per
+# dialect from the same recipe.
+_PRED_DUCK = _pred_sql(_duck4)
+_PRED_SPARK = (
+    f"(CASE WHEN ({_spark4('doc_id', 1)} % 10 = 0)"
+    f" THEN array({_LANGS})[CAST({_spark4('doc_id', 5)} % 5 AS INT)]"
+    f" ELSE lang END)"
+)
+
+
+@query(
+    "q_eval_confusion",
+    oracle=f"""
+    WITH scored AS (SELECT lang AS truth, {_PRED_DUCK} AS pred FROM documents),
+    tp AS (
+      SELECT truth AS class, COUNT(*) AS n_tp FROM scored
+      WHERE truth = pred GROUP BY truth
+    ),
+    t AS (SELECT truth AS class, COUNT(*) AS n_true FROM scored GROUP BY truth),
+    p AS (SELECT pred AS class, COUNT(*) AS n_pred FROM scored GROUP BY pred)
+    SELECT t.class,
+           CAST(t.n_true AS BIGINT) AS n_true,
+           CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(COALESCE(tp.n_tp, 0) AS BIGINT) AS n_tp,
+           CAST(COALESCE(tp.n_tp, 0) AS DOUBLE) / p.n_pred AS precision_,
+           CAST(COALESCE(tp.n_tp, 0) AS DOUBLE) / t.n_true AS recall_
+    FROM t LEFT JOIN p ON t.class = p.class LEFT JOIN tp ON t.class = tp.class
+    ORDER BY t.class
+    """,
+)
+def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall of a simulated noisy labeler against
+    the lang ground truth.
+
+    Three tiny hash aggs over one (truth, pred) projection, joined on
+    the |classes|-row class table — the corpus is scanned once and the
+    shuffle carries class counts only. Ratios are single BIGINT→DOUBLE
+    divisions (no float accumulation to diverge on).
+    """
+    scored = table(spark, sf_dir, "documents").select(
+        F.col("lang").alias("truth"), F.expr(_PRED_SPARK).alias("pred")
+    )
+    tp = (
+        scored.where(F.col("truth") == F.col("pred"))
+        .groupBy(F.col("truth").alias("class"))
+        .agg(F.count(F.lit(1)).alias("n_tp"))
+    )
+    t = scored.groupBy(F.col("truth").alias("class")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    p = scored.groupBy(F.col("pred").alias("class")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    return (
+        t.join(p, "class", "left")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            "n_true",
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_tp", F.lit(0)).alias("n_tp"),
+            (F.coalesce("n_tp", F.lit(0)).cast("double") / F.col("n_pred")).alias(
+                "precision_"
+            ),
+            (F.coalesce("n_tp", F.lit(0)).cast("double") / F.col("n_true")).alias(
+                "recall_"
+            ),
+        )
+        .orderBy("class")
+    )
+
+
+@query(
+    "q_eval_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_duck4('doc_id', 1)} % 1000 AS s1000,
+             CASE WHEN {_duck4('doc_id', 9)} % 1000 < {_duck4('doc_id', 1)} % 1000
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    )
+    SELECT CAST((s1000 - s1000 % 100) / 100 AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(s1000) AS DOUBLE) / (1000.0 * COUNT(*)) AS mean_score,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS observed_rate,
+           abs(CAST(SUM(s1000) AS DOUBLE) / (1000.0 * COUNT(*))
+               - CAST(SUM(y) AS DOUBLE) / COUNT(*)) AS gap
+    FROM scored
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram: decile bins of predicted score vs observed
+    positive rate, with the per-bin calibration gap.
+
+    Scores stay INTEGER micro-units (s/1000) until the final division,
+    so bin sums are exact bigints and the two divisions per bin are the
+    only float ops — one hash agg, |bins| output rows.
+    """
+    h1 = _spark4("doc_id", 1)
+    h9 = _spark4("doc_id", 9)
+    scored = table(spark, sf_dir, "documents").select(
+        (F.expr(h1) % 1000).alias("s1000"),
+        F.when(F.expr(h9) % 1000 < F.expr(h1) % 1000, 1).otherwise(0).alias("y"),
+    )
+    grouped = scored.groupBy(
+        F.expr("CAST(s1000 div 100 AS INT)").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s1000").alias("ss"),
+        F.sum("y").alias("sy"),
+    )
+    mean_score = F.col("ss").cast("double") / (F.lit(1000.0) * F.col("n"))
+    observed = F.col("sy").cast("double") / F.col("n")
+    return grouped.select(
+        "bin",
+        "n",
+        mean_score.alias("mean_score"),
+        observed.alias("observed_rate"),
+        F.abs(mean_score - observed).alias("gap"),
+    ).orderBy("bin")
+
+
+@query(
+    "q_eval_kappa",
+    oracle=f"""
+    WITH marks AS (
+      SELECT lang AS a1, {_PRED_DUCK} AS a2 FROM documents
+    ),
+    agree AS (SELECT COUNT(*) AS n, SUM(CASE WHEN a1 = a2 THEN 1 ELSE 0 END) AS n_agree FROM marks),
+    m1 AS (SELECT a1 AS class, COUNT(*) AS c1 FROM marks GROUP BY a1),
+    m2 AS (SELECT a2 AS class, COUNT(*) AS c2 FROM marks GROUP BY a2),
+    chance AS (
+      SELECT SUM(CAST(COALESCE(c1, 0) AS BIGINT) * CAST(COALESCE(c2, 0) AS BIGINT)) AS pe_num
+      FROM m1 FULL OUTER JOIN m2 ON m1.class = m2.class
+    )
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(n_agree AS BIGINT) AS n_agree,
+           CAST(n_agree AS DOUBLE) / n AS po,
+           CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS pe,
+           (CAST(n_agree AS DOUBLE) / n - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n)) AS kappa
+    FROM agree, chance
+    """,
+)
+def q_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the ground-truth labels and the simulated
+    annotator: observed agreement corrected for chance.
+
+    All counts stay integer until three final divisions (po, pe, kappa)
+    over the same operands in the same expression tree — IEEE-identical
+    across engines. Two class-marginal aggs + one corpus agg; the
+    |classes|-row marginal join computes the chance term.
+    """
+    marks = table(spark, sf_dir, "documents").select(
+        F.col("lang").alias("a1"), F.expr(_PRED_SPARK).alias("a2")
+    )
+    agree = marks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a1") == F.col("a2"), 1).otherwise(0)).alias("n_agree"),
+    )
+    m1 = marks.groupBy(F.col("a1").alias("class")).agg(F.count(F.lit(1)).alias("c1"))
+    m2 = marks.groupBy(F.col("a2").alias("class")).agg(F.count(F.lit(1)).alias("c2"))
+    chance = (
+        m1.join(m2, "class", "full_outer")
+        .select(
+            (
+                F.coalesce("c1", F.lit(0)).cast("bigint")
+                * F.coalesce("c2", F.lit(0)).cast("bigint")
+            ).alias("prod")
+        )
+        .agg(F.sum("prod").alias("pe_num"))
+    )
+    n = F.col("n").cast("double")
+    po = F.col("n_agree").cast("double") / F.col("n")
+    pe = F.col("pe_num").cast("double") / (n * F.col("n"))
+    return agree.crossJoin(F.broadcast(chance)).select(
+        F.col("n").cast("bigint").alias("n_items"),
+        F.col("n_agree").cast("bigint").alias("n_agree"),
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

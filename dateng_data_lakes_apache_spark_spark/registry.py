@@ -167,6 +167,7 @@ def load_all() -> None:
         graph,
         joins,
         llm_pipeline,
+        model_eval,
         relational,
         setops,
         similarity,

@@ -1,0 +1,39 @@
+"""Model-eval family: metric identities the oracle sweep can't see."""
+
+from __future__ import annotations
+
+from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+from .conftest import SF_SMALL
+
+QS = get_queries()
+
+
+def test_confusion_totals_balance(spark):
+    """Sum of per-class truth counts == sum of predicted counts ==
+    corpus size, and tp <= min(n_true, n_pred) per class."""
+    rows = QS["q_eval_confusion"](spark, SF_SMALL).collect()
+    assert sum(r["n_true"] for r in rows) == sum(r["n_pred"] for r in rows)
+    for r in rows:
+        assert r["n_tp"] <= min(r["n_true"], r["n_pred"])
+        assert 0.0 <= r["precision_"] <= 1.0 and 0.0 <= r["recall_"] <= 1.0
+
+
+def test_calibration_bins_monotone_scores(spark):
+    """Bin mean scores are strictly increasing across deciles, and the
+    observed rate tracks the score direction overall (calibrated-ish
+    scorer by construction)."""
+    rows = sorted(
+        QS["q_eval_calibration"](spark, SF_SMALL).collect(), key=lambda r: r["bin"]
+    )
+    means = [r["mean_score"] for r in rows]
+    assert means == sorted(means)
+    assert rows[-1]["observed_rate"] > rows[0]["observed_rate"]
+
+
+def test_kappa_between_chance_and_perfect(spark):
+    """~90% agreement by construction => kappa well above 0, below 1;
+    and the po/pe/kappa identity holds."""
+    r = QS["q_eval_kappa"](spark, SF_SMALL).first()
+    assert 0.5 < r["kappa"] < 1.0
+    assert abs((r["po"] - r["pe"]) / (1.0 - r["pe"]) - r["kappa"]) < 1e-12
