@@ -183,6 +183,11 @@ HEADLINE = [
     "q_ewma_smooth",
     "q_business_days",
     "q_geo_pipeline",
+    "q_url_dedup",
+    "q_geo_cluster",
+    "q_stream_geo_hotspot",
+    "q_eval_confusion",
+    "q_eval_kappa",
 ]
 
 

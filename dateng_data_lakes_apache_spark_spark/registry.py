@@ -101,7 +101,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     #   r5+ (planned): q_stream_full_outer, q_scd2_build, remaining
     #       starjoin shapes, formats/roundtrips (snapshot/dynamic
     #       overwrite/text/dirty-JSON), window pack, events analytics
-    #       (attribution, skyline, period growth) — highest-signal
+    #       (attribution, skyline, period growth), then the r3
+    #       extension-session families (q_geo_radius_join, q_table_diff,
+    #       q_clamped_balance, q_lpm_route_join, q_eval_confusion,
+    #       q_geo_cluster) — highest-signal
     #       first; every candidate is already green in the local parity
     #       replica (PARITY_r{N}.json), so rotation converts verified
     #       queries into driver evidence, never gambles on new ones.
