@@ -188,6 +188,7 @@ HEADLINE = [
     "q_stream_geo_hotspot",
     "q_eval_confusion",
     "q_eval_kappa",
+    "q_eval_auc",
 ]
 
 

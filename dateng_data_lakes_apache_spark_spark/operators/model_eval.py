@@ -233,3 +233,68 @@ def q_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("pe"),
         ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+@query(
+    "q_eval_auc",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_duck4('doc_id', 1)} % 1000 AS s,
+             CASE WHEN {_duck4('doc_id', 9)} % 1000 < {_duck4('doc_id', 1)} % 1000
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    hist AS (
+      SELECT s, SUM(y) AS pos_at, COUNT(*) - SUM(y) AS neg_at
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT s, pos_at, neg_at,
+             COALESCE(SUM(neg_at) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+      FROM hist
+    )
+    SELECT CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_at) AS BIGINT) AS n_neg,
+           CAST(SUM(pos_at * (2 * neg_below + neg_at)) AS DOUBLE)
+             / (2.0 * SUM(pos_at) * SUM(neg_at)) AS auc
+    FROM cum
+    """,
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (Mann-Whitney with the ties/2 correction)
+    — WITHOUT ranking the corpus.
+
+    The trick that survives 100 TB: scores are discrete (integer
+    milli-units), so one hash agg collapses the corpus to a <=1000-row
+    (score, pos, neg) histogram, and AUC = sum pos_at*(2*neg_below +
+    neg_at) / (2*P*N) computes from a window over THAT — the global
+    sort touches 1000 rows, never the data (the q_ntile_global
+    metadata-scale-ordering rule). Everything is integer until the one
+    final division, so the DuckDB twin hash-matches exactly.
+    """
+    from pyspark.sql import Window
+
+    h1, h9 = _spark4("doc_id", 1), _spark4("doc_id", 9)
+    scored = table(spark, sf_dir, "documents").select(
+        (F.expr(h1) % 1000).alias("s"),
+        F.when(F.expr(h9) % 1000 < F.expr(h1) % 1000, 1).otherwise(0).alias("y"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("y").alias("pos_at"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg_at"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "neg_below", F.coalesce(F.sum("neg_at").over(w), F.lit(0))
+    )
+    return cum.agg(
+        F.sum("pos_at").cast("bigint").alias("n_pos"),
+        F.sum("neg_at").cast("bigint").alias("n_neg"),
+        (
+            F.sum(F.col("pos_at") * (2 * F.col("neg_below") + F.col("neg_at"))).cast(
+                "double"
+            )
+            / (F.lit(2.0) * F.sum("pos_at") * F.sum("neg_at"))
+        ).alias("auc"),
+    )

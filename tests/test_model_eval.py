@@ -37,3 +37,29 @@ def test_kappa_between_chance_and_perfect(spark):
     r = QS["q_eval_kappa"](spark, SF_SMALL).first()
     assert 0.5 < r["kappa"] < 1.0
     assert abs((r["po"] - r["pe"]) / (1.0 - r["pe"]) - r["kappa"]) < 1e-12
+
+
+def test_auc_matches_bruteforce_pairwise(spark):
+    """Histogram AUC == brute-force Mann-Whitney over all (pos, neg)
+    pairs (ties count half) on the small corpus."""
+    from dateng_data_lakes_apache_spark_spark.operators.model_eval import _spark4
+    from dateng_data_lakes_apache_spark_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    h1, h9 = _spark4("doc_id", 1), _spark4("doc_id", 9)
+    rows = (
+        table(spark, SF_SMALL, "documents")
+        .select(
+            (F.expr(h1) % 1000).alias("s"),
+            F.when(F.expr(h9) % 1000 < F.expr(h1) % 1000, 1).otherwise(0).alias("y"),
+        )
+        .collect()
+    )
+    pos = [r["s"] for r in rows if r["y"] == 1]
+    neg = [r["s"] for r in rows if r["y"] == 0]
+    num = sum(
+        1.0 if p > n_ else (0.5 if p == n_ else 0.0) for p in pos for n_ in neg
+    )
+    brute = num / (len(pos) * len(neg))
+    got = QS["q_eval_auc"](spark, SF_SMALL).first()["auc"]
+    assert abs(got - brute) < 1e-12
