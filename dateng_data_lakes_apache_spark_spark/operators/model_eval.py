@@ -298,3 +298,62 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.sum("pos_at") * F.sum("neg_at"))
         ).alias("auc"),
     )
+
+
+@query(
+    "q_eval_regression",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             CAST(floor(value * 100 + 0.5) AS BIGINT)
+               + ({_duck4('event_id', 1)} % 201 - 100) AS p
+      FROM events
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             SUM(abs(p - v)) AS sae,
+             SUM((p - v) * (p - v)) AS sse,
+             SUM(v) AS sv,
+             SUM(v * v) AS svv
+      FROM scored
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(sae AS DOUBLE) / (100.0 * n) AS mae,
+           sqrt(CAST(sse AS DOUBLE) / n) / 100.0 AS rmse,
+           1.0 - CAST(sse AS DOUBLE)
+                 / (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n) AS r2
+    FROM sums
+    """,
+)
+def q_eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression eval (MAE / RMSE / R²) of a simulated predictor
+    (truth ± uniform cent noise) — every sum is INTEGER cents, so the
+    single-pass aggregate is exact and order-independent; doubles
+    appear only in the four final expressions.
+
+    One map-side-combined aggregation over a two-column projection —
+    the same ride-the-scan shape as the rest of the eval family.
+    """
+    v = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    p = f"({v} + ({_spark4('event_id', 1)} % 201 - 100))"
+    scored = table(spark, sf_dir, "events").select(
+        F.expr(v).alias("v"), F.expr(p).alias("p")
+    )
+    sums = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("p") - F.col("v"))).alias("sae"),
+        F.sum((F.col("p") - F.col("v")) * (F.col("p") - F.col("v"))).alias("sse"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    n = F.col("n")
+    return sums.select(
+        n.cast("bigint").alias("n"),
+        (F.col("sae").cast("double") / (F.lit(100.0) * n)).alias("mae"),
+        (F.sqrt(F.col("sse").cast("double") / n) / F.lit(100.0)).alias("rmse"),
+        (
+            F.lit(1.0)
+            - F.col("sse").cast("double")
+            / (F.col("svv").cast("double") - F.col("sv").cast("double") * F.col("sv") / n)
+        ).alias("r2"),
+    )
