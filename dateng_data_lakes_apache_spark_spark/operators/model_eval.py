@@ -357,3 +357,109 @@ def q_eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("svv").cast("double") - F.col("sv").cast("double") * F.col("sv") / n)
         ).alias("r2"),
     )
+
+
+# 8 hex digits (32-bit) pair scores — fewer rank ties than the 4-digit
+# class hash; ties that remain break by doc_id in both engines.
+def _duck8(expr: str) -> str:
+    h = f"md5({expr})"
+    return ("(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {1 + i}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)) + ")")
+
+
+_PAIR = "concat(CAST(q.q_id AS STRING), ':', CAST(doc_id AS STRING))"
+_N_QUERIES = 20
+
+
+@query(
+    "q_eval_ndcg",
+    oracle=f"""
+    WITH q AS (SELECT unnest(range(0, {_N_QUERIES})) AS q_id),
+    scored AS (
+      SELECT q.q_id, d.doc_id,
+             {_duck8(_PAIR)} AS score,
+             CASE WHEN d.doc_id % {_N_QUERIES} = q.q_id THEN 1 ELSE 0 END AS rel
+      FROM q, documents d
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    ),
+    per_q AS (
+      SELECT q_id,
+             SUM(rel) AS n_rel,
+             MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+             SUM(CASE WHEN rnk <= 10 AND rel = 1
+                      THEN 1.0 / log2(rnk + 1.0) ELSE 0.0 END) AS dcg10
+      FROM ranked GROUP BY q_id
+    ),
+    ideal AS (
+      SELECT unnest(range(1, 11)) AS i
+    )
+    SELECT p.q_id,
+           CAST(p.n_rel AS BIGINT) AS n_rel,
+           CAST(p.first_rel AS BIGINT) AS first_rel_rank,
+           round(1.0 / p.first_rel, 6) AS rr,
+           round(p.dcg10 / (SELECT SUM(1.0 / log2(i + 1.0)) FROM ideal
+                            WHERE i <= least(p.n_rel, 10)), 6) AS ndcg10
+    FROM per_q p
+    ORDER BY p.q_id
+    """,
+)
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval: NDCG@10 and reciprocal rank per simulated
+    retrieval query (binary relevance; hash scores stand in for a
+    ranker).
+
+    Scoring joins a {_N_QUERIES}-row broadcast query dim against the
+    corpus — the scale shape of batch retrieval eval (per-query
+    candidate lists; any real ranker output slots into `scored`). The
+    per-query ranking is one window partitioned by q_id, and the @10
+    cut uses the rank filter Catalyst turns into WindowGroupLimit-style
+    early pruning. log2 outputs round to 6 dp (libm-vs-JVM ulp
+    discipline, see geospatial.py).
+    """
+    q = spark.range(_N_QUERIES).select(F.col("id").cast("int").alias("q_id"))
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    pair = "concat(CAST(q_id AS STRING), ':', CAST(doc_id AS STRING))"
+    scored = d.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "doc_id",
+        F.expr(
+            f"CAST(conv(substring(md5({pair}), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("score"),
+        F.when(F.col("doc_id") % _N_QUERIES == F.col("q_id"), 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "doc_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    per_q = ranked.groupBy("q_id").agg(
+        F.sum("rel").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+        F.sum(
+            F.when(
+                (F.col("rnk") <= 10) & (F.col("rel") == 1),
+                F.lit(1.0) / F.log2(F.col("rnk") + F.lit(1.0)),
+            ).otherwise(0.0)
+        ).alias("dcg10"),
+    )
+    ideal = spark.range(1, 11).select(
+        F.col("id").alias("i"), (F.lit(1.0) / F.log2(F.col("id") + F.lit(1.0))).alias("g")
+    )
+    per_q = per_q.crossJoin(F.broadcast(ideal)).where(
+        F.col("i") <= F.least(F.col("n_rel"), F.lit(10))
+    ).groupBy("q_id", "n_rel", "first_rel", "dcg10").agg(
+        F.sum("g").alias("idcg10")
+    )
+    return per_q.select(
+        "q_id",
+        F.col("n_rel").cast("bigint").alias("n_rel"),
+        F.col("first_rel").cast("bigint").alias("first_rel_rank"),
+        F.round(F.lit(1.0) / F.col("first_rel"), 6).alias("rr"),
+        F.round(F.col("dcg10") / F.col("idcg10"), 6).alias("ndcg10"),
+    ).orderBy("q_id")
