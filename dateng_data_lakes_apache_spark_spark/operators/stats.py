@@ -1546,3 +1546,127 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("qty").alias("wmedian_qty"))
         .orderBy("l_returnflag")
     )
+
+
+# --- Kaplan-Meier survival ---------------------------------------------
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+    WITH gaps AS (
+      SELECT ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 600000000)
+               AS dur, 1 AS observed
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    open_gaps AS (
+      SELECT (((SELECT MAX(epoch_us(ts)) FROM events) - MAX(epoch_us(ts)))
+                  // 600000000) AS dur,
+             0 AS observed
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT dur, observed FROM gaps WHERE dur IS NOT NULL
+      UNION ALL SELECT dur, observed FROM open_gaps
+    ),
+    at_dur AS (
+      SELECT dur, SUM(observed) AS deaths, COUNT(*) - SUM(observed) AS censored
+      FROM obs GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, deaths, censored,
+             (SELECT COUNT(*) FROM obs)
+               - COALESCE(SUM(deaths + censored) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+      FROM at_dur
+    )
+    SELECT CAST(dur AS BIGINT) AS gap_10min,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(deaths AS BIGINT) AS deaths,
+           CAST(censored AS BIGINT) AS censored,
+           CASE WHEN MAX(CASE WHEN deaths = at_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE round(exp(SUM(ln(CASE WHEN deaths < at_risk
+                                          THEN (at_risk - deaths) * 1.0 / at_risk
+                                          ELSE 1.0 END))
+                           OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)), 6)
+           END AS survival
+    FROM risk
+    ORDER BY gap_10min
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of inter-event gaps (renewal analysis):
+    how long until a user acts again, with RIGHT-CENSORING — the open
+    gap from each user's last event to the stream's end is a censored
+    observation, not a death (the estimator's whole point; a naive gap
+    ECDF would bias short).
+
+    Durations are exact integer 10-minute buckets from microsecond
+    arithmetic (truncating div — identical both engines on nonneg
+    ints). Scale split: the data-sized passes are one lag window and
+    one per-user aggregate; the life table is bounded by the time range
+    (≤ ~4.3k buckets/month), and the KM product runs as a window over
+    THAT (product via exp-sum-ln, same expression tree both engines,
+    6-dp rounded; zero-death rows contribute ln(1) = 0 exactly).
+    at_risk decrements by deaths AND censored — the KM bookkeeping —
+    via one cumulative window.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gaps = (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            F.expr("CAST((us - prev_us) div 600000000 AS BIGINT)").alias("dur"),
+            F.lit(1).alias("observed"),
+        )
+    )
+    gmax = ev.agg(F.max("us").alias("gmax"))
+    open_gaps = (
+        ev.groupBy("user_id")
+        .agg(F.max("us").alias("last_us"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr("CAST((gmax - last_us) div 600000000 AS BIGINT)").alias("dur"),
+            F.lit(0).alias("observed"),
+        )
+    )
+    obs = gaps.unionByName(open_gaps)
+    n_total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    at_dur = obs.groupBy("dur").agg(
+        F.sum("observed").alias("deaths"),
+        (F.count(F.lit(1)) - F.sum("observed")).alias("censored"),
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = at_dur.crossJoin(F.broadcast(n_total)).withColumn(
+        "at_risk",
+        F.col("n_total")
+        - F.coalesce(F.sum(F.col("deaths") + F.col("censored")).over(w_prev), F.lit(0)),
+    )
+    # The last death bucket has deaths == at_risk: the curve hits an
+    # exact 0 there (ln(0) would error in DuckDB / NULL in Spark), so a
+    # cumulative "zeroed" flag short-circuits it in both engines.
+    zeroed = F.max(
+        F.when(F.col("deaths") == F.col("at_risk"), 1).otherwise(0)
+    ).over(w_run)
+    term = F.when(
+        F.col("deaths") < F.col("at_risk"),
+        (F.col("at_risk") - F.col("deaths")) * F.lit(1.0) / F.col("at_risk"),
+    ).otherwise(F.lit(1.0))
+    return risk.select(
+        F.col("dur").cast("bigint").alias("gap_10min"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.col("deaths").cast("bigint").alias("deaths"),
+        F.col("censored").cast("bigint").alias("censored"),
+        F.when(zeroed == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(F.log(term)).over(w_run)), 6))
+        .alias("survival"),
+    ).orderBy("gap_10min")

@@ -63,3 +63,22 @@ def test_auc_matches_bruteforce_pairwise(spark):
     brute = num / (len(pos) * len(neg))
     got = QS["q_eval_auc"](spark, SF_SMALL).first()["auc"]
     assert abs(got - brute) < 1e-12
+
+
+def test_kaplan_meier_curve_properties(spark):
+    """Survival is non-increasing from <=1; censoring makes KM sit at
+    or above the naive all-observed ECDF survival (censored mass is
+    never counted as death)."""
+    rows = sorted(
+        QS["q_kaplan_meier"](spark, SF_SMALL).collect(), key=lambda r: r["gap_10min"]
+    )
+    surv = [r["survival"] for r in rows]
+    assert surv[0] <= 1.0 + 1e-9
+    assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))
+    n = sum(r["deaths"] + r["censored"] for r in rows)
+    # naive ECDF survival treating everything as a death
+    remaining = n
+    for r in rows:
+        remaining -= r["deaths"] + r["censored"]
+        naive = remaining / n
+        assert r["survival"] >= naive - 1e-9
