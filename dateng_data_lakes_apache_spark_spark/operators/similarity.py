@@ -1024,3 +1024,77 @@ def q_embedding_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 4).alias("mean"),
         F.round(F.sqrt(var), 4).alias("std"),
     )
+
+
+# --- covariance of embedding dimensions (PCA prep) ---------------------
+
+_COV_DIMS = 8
+
+
+@query(
+    "q_embedding_covariance",
+    oracle=f"""
+    WITH sums AS (
+      SELECT COUNT(*) AS n,
+             {", ".join(
+                 f"CAST(SUM(CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE) AS s{i}"
+                 for i in range(1, _COV_DIMS + 1)
+             )},
+             {", ".join(
+                 f"CAST(SUM(CAST(CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{j}] AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE) AS p{i}_{j}"
+                 for i in range(1, _COV_DIMS + 1)
+                 for j in range(i, _COV_DIMS + 1)
+             )}
+      FROM embeddings
+    )
+    SELECT i, j, cov FROM (
+      {" UNION ALL ".join(
+          f"SELECT {i} AS i, {j} AS j,"
+          f" round((p{i}_{j} - s{i} * s{j} / n) / (n - 1), 6) AS cov FROM sums"
+          for i in range(1, _COV_DIMS + 1)
+          for j in range(i, _COV_DIMS + 1)
+      )}
+    )
+    ORDER BY i, j
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance matrix of the first {_COV_DIMS} embedding
+    dimensions — the aggregation pass a distributed PCA starts from.
+
+    ONE corpus pass computes all {_COV_DIMS}·({_COV_DIMS}+1)/2 upper-
+    triangle product sums plus the means (map-side combined; the
+    shuffle is a single row of accumulators, and widening to all 64
+    dims is the same plan with more columns). Products accumulate
+    through DECIMAL(30,8) (8-dp cast of float32 products — identical
+    both engines on identical doubles), recombined with the textbook
+    (Sxy - SxSy/n)/(n-1) in double, rounded 6 dp — the q_agg_stats
+    discipline applied to vectors. The 36-cell result is
+    metadata-scale: the eigen-solve on it is a driver/BLAS concern,
+    not a data-plane one.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    d = range(1, _COV_DIMS + 1)
+    x = {i: F.element_at("embedding", i).cast("double") for i in d}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(x[i].cast("decimal(30,8)")).cast("double").alias(f"s{i}") for i in d]
+    aggs += [
+        F.sum((x[i] * x[j]).cast("decimal(30,8)")).cast("double").alias(f"p{i}_{j}")
+        for i in d
+        for j in range(i, _COV_DIMS + 1)
+    ]
+    sums = e.agg(*aggs)
+    cells = None
+    for i in d:
+        for j in range(i, _COV_DIMS + 1):
+            cell = sums.select(
+                F.lit(i).cast("int").alias("i"),
+                F.lit(j).cast("int").alias("j"),
+                F.round(
+                    (F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}") / F.col("n"))
+                    / (F.col("n") - 1),
+                    6,
+                ).alias("cov"),
+            )
+            cells = cell if cells is None else cells.unionByName(cell)
+    return cells.orderBy("i", "j")

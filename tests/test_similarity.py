@@ -151,3 +151,25 @@ def test_ann_pq_recall_vs_exact(spark, sf_dir):
     brute = {r.vec_id for r in QS["q_similarity_topk"](spark, sf_dir).collect()}
     got = {r.vec_id for r in approx}
     assert len(got & brute) >= 5, f"recall@10 {len(got & brute)}/10"
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Spark's decimal-accumulated covariance equals numpy's exact
+    computation to well inside the 6-dp rounding grid."""
+    import numpy as np
+
+    from .conftest import SF_SMALL
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    rows = get_queries()["q_embedding_covariance"](spark, SF_SMALL).collect()
+    embs = np.array(
+        [
+            r["embedding"][:8]
+            for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+        ],
+        dtype="float64",
+    )
+    ref = np.cov(embs, rowvar=False, ddof=1)
+    for r in rows:
+        assert abs(r["cov"] - ref[r["i"] - 1, r["j"] - 1]) < 5e-6
