@@ -1084,17 +1084,24 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(i, _COV_DIMS + 1)
     ]
     sums = e.agg(*aggs)
-    cells = None
-    for i in d:
-        for j in range(i, _COV_DIMS + 1):
-            cell = sums.select(
-                F.lit(i).cast("int").alias("i"),
-                F.lit(j).cast("int").alias("j"),
-                F.round(
-                    (F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}") / F.col("n"))
-                    / (F.col("n") - 1),
-                    6,
-                ).alias("cov"),
-            )
-            cells = cell if cells is None else cells.unionByName(cell)
-    return cells.orderBy("i", "j")
+    # ONE unpivot projection over the single accumulator row — a
+    # union-of-selects here would re-plan (and re-run) the aggregate
+    # once per cell.
+    cells = [
+        F.struct(
+            F.lit(i).cast("int").alias("i"),
+            F.lit(j).cast("int").alias("j"),
+            F.round(
+                (F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}") / F.col("n"))
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+        for i in d
+        for j in range(i, _COV_DIMS + 1)
+    ]
+    return (
+        sums.select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.i", "c.j", "c.cov")
+        .orderBy("i", "j")
+    )
