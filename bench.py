@@ -189,6 +189,10 @@ HEADLINE = [
     "q_eval_confusion",
     "q_eval_kappa",
     "q_eval_auc",
+    "q_eval_ndcg",
+    "q_eval_regression",
+    "q_kaplan_meier",
+    "q_embedding_covariance",
 ]
 
 
