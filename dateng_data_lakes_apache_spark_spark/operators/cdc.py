@@ -219,3 +219,90 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         dsum(F.col("value")).alias("revenue"),
     )
+
+
+# --- incremental view maintenance (retraction merge) -------------------
+
+
+@query(
+    "q_ivm_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS avg_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: maintain a grouped aggregate under
+    a CDC batch of inserts, deletes, and updates WITHOUT rescanning the
+    base — and let the oracle prove it, because the DuckDB twin is the
+    FULL RECOMPUTE over the current table. Green parity = the merge
+    algebra is exactly right.
+
+    Construction: "yesterday's" snapshot is the current table minus the
+    rows a CDC batch will insert (o_orderkey % 97 = 5), plus stale
+    versions of the rows it will update (% 97 = 9, price off by 10.00).
+    The CDC batch carries signed deltas: +1 inserts, -1 retractions of
+    the stale versions, +1 corrected versions. The maintained state is
+    (count, sum) per group — both are ABELIAN-GROUP (invertible)
+    aggregates, so the merge is one |groups|-row outer join of partial
+    states: new = old + delta, never a base rescan; avg derives from
+    the merged pair. (MAX/MIN are deliberately absent: they are only
+    semigroups — a retraction can delete the extreme — and honest IVM
+    for them needs auxiliary candidate state, a different operator.)
+    At 100 TB this is the nightly-ETL pattern: partial-state tables
+    persist; only deltas shuffle.
+    """
+    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.expr(cents).alias("cents")
+    )
+    is_ins = F.col("o_orderkey") % 97 == 5
+    is_upd = F.col("o_orderkey") % 97 == 9
+
+    # Yesterday's snapshot: no future inserts; updated rows carry the
+    # stale price (true price + 1000 cents).
+    base = o.where(~is_ins).select(
+        "o_orderpriority",
+        F.when(is_upd, F.col("cents") + 1000).otherwise(F.col("cents")).alias("cents"),
+    )
+    # CDC batch with signed multiplicities.
+    delta = (
+        o.where(is_ins).select("o_orderpriority", "cents", F.lit(1).alias("mult"))
+        .unionByName(
+            o.where(is_upd).select(
+                "o_orderpriority",
+                (F.col("cents") + 1000).alias("cents"),
+                F.lit(-1).alias("mult"),
+            )
+        )
+        .unionByName(
+            o.where(is_upd).select("o_orderpriority", "cents", F.lit(1).alias("mult"))
+        )
+    )
+
+    old_state = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+    )
+    delta_state = delta.groupBy("o_orderpriority").agg(
+        F.sum("mult").alias("dn"),
+        F.sum(F.col("mult") * F.col("cents")).alias("ds"),
+    )
+    merged = old_state.join(delta_state, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_orders"),
+        (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("total_cents"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+        (F.col("total_cents").cast("double") / F.col("n_orders")).alias("avg_cents"),
+    ).orderBy("o_orderpriority")
