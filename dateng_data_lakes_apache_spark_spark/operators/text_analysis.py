@@ -1135,3 +1135,89 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_true_matches"),
         )
     )
+
+
+# --- Zipf-law fit ------------------------------------------------------
+
+_ZIPF_TOP = 1000
+
+
+@query(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH freq AS (
+      SELECT w AS word, COUNT(*) AS n
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT) AS rnk, n
+      FROM freq
+    ),
+    pts AS (
+      SELECT CAST(round(ln(rnk), 8) AS DECIMAL(20,8)) AS x,
+             CAST(round(ln(n), 8) AS DECIMAL(20,8)) AS y
+      FROM ranked WHERE rnk <= {_ZIPF_TOP}
+    ),
+    sums AS (
+      SELECT COUNT(*) AS m,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM pts
+    )
+    SELECT CAST(m AS BIGINT) AS n_points,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) AS zipf_slope,
+           round((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                 / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 4) AS r2
+    FROM sums
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) on ln(rank) for the top-{_ZIPF_TOP} words — the
+    standard corpus-health diagnostic (natural text sits near slope
+    -1; boilerplate-heavy or synthetic corpora drift off it).
+
+    Scale split: the data-sized pass is the wordcount (map-side
+    combined explode); the rank window and the regression run over the
+    VOCABULARY table (sublinear in corpus) and its top-{_ZIPF_TOP} cut.
+    Log points round to 8 dp then accumulate as DECIMAL(20,8) — the
+    engine-exact-sum discipline applied to a float-valued regression
+    (q_agg_stats recombination, q_regression_slope shapes).
+    """
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "word")
+    pts = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _ZIPF_TOP)
+        .select(
+            F.round(F.log("rnk"), 8).cast("decimal(20,8)").alias("x"),
+            F.round(F.log("n"), 8).cast("decimal(20,8)").alias("y"),
+        )
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    sxy_c = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    sxx_c = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    syy_c = m * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        F.col("m").cast("bigint").alias("n_points"),
+        F.round(sxy_c / sxx_c, 4).alias("zipf_slope"),
+        F.round(sxy_c * sxy_c / (sxx_c * syy_c), 4).alias("r2"),
+    )
