@@ -528,3 +528,39 @@ def test_weighted_median_windows_over_distinct_values_only(spark, sf_dir):
     win_idx = plan.index("Window")
     agg_idx = plan.index("HashAggregate")
     assert agg_idx < win_idx or "HashAggregate" in plan[:win_idx]
+
+
+def test_url_dedup_single_codegen_agg_no_udf(spark, sf_dir):
+    # canonicalization is regexp expressions: no Python eval node, and
+    # the dedup is hash aggregation (map-side combined), no window
+    plan = formatted_plan(QS["q_url_dedup"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert _nodes(plan, "HashAggregate") >= 2
+
+
+def test_ivm_merge_joins_partial_states_not_rows(spark, sf_dir):
+    # the merge join must sit ABOVE aggregations (joining |groups|-row
+    # states), and nothing in the plan is a cartesian product
+    plan = formatted_plan(QS["q_ivm_merge"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "HashAggregate") >= 4  # partial+final per state
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_eval_family_rides_the_scan(spark, sf_dir):
+    # every eval metric is aggregation-shaped: no window over the corpus
+    # (AUC windows only its <=1000-row histogram), no Python nodes
+    for name in ("q_eval_confusion", "q_eval_kappa", "q_eval_regression"):
+        plan = formatted_plan(QS[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "Window" not in plan, name
+
+
+def test_clamped_balance_single_exchange_arrow_kernel(spark, sf_dir):
+    # one user_id exchange into the Arrow kernel; no per-group
+    # FlatMapGroupsInPandas (the rewrite's whole point)
+    plan = formatted_plan(QS["q_clamped_balance"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" in plan
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
