@@ -1670,3 +1670,79 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.sum(F.log(term)).over(w_run)), 6))
         .alias("survival"),
     ).orderBy("gap_10min")
+
+
+# --- Gini concentration (banded Lorenz) --------------------------------
+
+# 10-dollar revenue bands: the Lorenz curve computes over a table
+# bounded by the VALUE RANGE (~60k bands at TPC-H magnitudes), not the
+# customer count — same bounded-table trick as the AUC histogram and
+# the Kaplan-Meier life table.
+_GINI_BAND = 100000  # cents per band
+
+
+@query(
+    "q_gini_revenue",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    bands AS (
+      SELECT cents // {_GINI_BAND} AS band,
+             COUNT(*) AS f, SUM(cents) AS s
+      FROM per_cust GROUP BY 1
+    ),
+    lorenz AS (
+      SELECT band, f, s,
+             COALESCE(SUM(s) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_below
+      FROM bands
+    )
+    SELECT CAST(SUM(f) AS BIGINT) AS n_customers,
+           CAST(SUM(s) AS BIGINT) AS total_cents,
+           round(1.0 - CAST(SUM(f * (2 * s_below + s)) AS DOUBLE)
+                       / (CAST(SUM(f) AS DOUBLE) * SUM(s)), 6) AS gini
+    FROM lorenz
+    """,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration, from a
+    banded Lorenz curve.
+
+    The data-sized passes are one per-customer aggregate and one band
+    histogram (both map-side combined); the Lorenz accumulation windows
+    the BAND table, bounded by the value range. Within-band mass is
+    treated as uniform (the estimator's resolution is the band width;
+    the oracle bins identically, so parity is exact on the shared
+    definition). All sums are integer cents; the coefficient is one
+    double division, rounded 6 dp. This is how inequality/concentration
+    metrics run at 100 TB: never a global sort of entities, always a
+    bounded value-histogram.
+    """
+    from pyspark.sql import Window
+
+    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.expr(cents)).alias("cents"))
+    )
+    bands = per_cust.groupBy(
+        F.expr(f"cents div {_GINI_BAND}").alias("band")
+    ).agg(F.count(F.lit(1)).alias("f"), F.sum("cents").alias("s"))
+    w_prev = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    lorenz = bands.withColumn(
+        "s_below", F.coalesce(F.sum("s").over(w_prev), F.lit(0))
+    )
+    return lorenz.agg(
+        F.sum("f").cast("bigint").alias("n_customers"),
+        F.sum("s").cast("bigint").alias("total_cents"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("f") * (2 * F.col("s_below") + F.col("s"))).cast("double")
+            / (F.sum("f").cast("double") * F.sum("s")),
+            6,
+        ).alias("gini"),
+    )
