@@ -1221,3 +1221,82 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sxy_c / sxx_c, 4).alias("zipf_slope"),
         F.round(sxy_c * sxy_c / (sxx_c * syy_c), 4).alias("r2"),
     )
+
+
+# --- Heaps-law vocabulary growth ---------------------------------------
+
+
+@query(
+    "q_heaps_growth",
+    oracle="""
+    WITH maxid AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+    words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    tok_dec AS (
+      SELECT (doc_id * 10) // (SELECT n_docs FROM maxid) AS dec,
+             COUNT(*) AS toks
+      FROM words GROUP BY 1
+    ),
+    first_seen AS (
+      SELECT w, MIN(doc_id) AS first_doc FROM words GROUP BY w
+    ),
+    voc_dec AS (
+      SELECT (first_doc * 10) // (SELECT n_docs FROM maxid) AS dec,
+             COUNT(*) AS new_words
+      FROM first_seen GROUP BY 1
+    )
+    SELECT CAST(t.dec AS INT) AS decile,
+           CAST(SUM(t.toks) OVER (ORDER BY t.dec
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+           CAST(SUM(COALESCE(v.new_words, 0)) OVER (ORDER BY t.dec
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+    FROM tok_dec t LEFT JOIN voc_dec v ON t.dec = v.dec
+    ORDER BY decile
+    """,
+)
+def q_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct words vs
+    cumulative tokens at corpus deciles (by doc_id ingestion order) —
+    the diagnostic for how much NEW vocabulary more data still buys.
+
+    The naive formulation (count distinct per prefix) rescans the
+    corpus once per checkpoint; this one is a single wordcount-shaped
+    pass — each word's MIN(doc_id) says which decile first saw it, so
+    cumulative-distinct falls out of a 10-row histogram window. At 100
+    TB that is the difference between 10 corpus scans and one. All
+    counts integer; no floats anywhere.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    maxid = d.agg((F.max("doc_id") + 1).alias("n_docs"))
+    words = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
+    )
+    tok_dec = (
+        words.crossJoin(F.broadcast(maxid))
+        .groupBy(F.expr("(doc_id * 10) div n_docs").alias("dec"))
+        .agg(F.count(F.lit(1)).alias("toks"))
+    )
+    first_seen = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    voc_dec = (
+        first_seen.crossJoin(F.broadcast(maxid))
+        .groupBy(F.expr("(first_doc * 10) div n_docs").alias("dec"))
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    w_run = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok_dec.join(voc_dec, "dec", "left")
+        .select(
+            F.col("dec").cast("int").alias("decile"),
+            F.sum("toks").over(w_run).cast("bigint").alias("tokens_cum"),
+            F.sum(F.coalesce("new_words", F.lit(0)))
+            .over(w_run)
+            .cast("bigint")
+            .alias("vocab_cum"),
+        )
+        .orderBy("decile")
+    )
