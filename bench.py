@@ -193,6 +193,10 @@ HEADLINE = [
     "q_eval_regression",
     "q_kaplan_meier",
     "q_embedding_covariance",
+    "q_ivm_merge",
+    "q_zipf_fit",
+    "q_gini_revenue",
+    "q_heaps_growth",
 ]
 
 
