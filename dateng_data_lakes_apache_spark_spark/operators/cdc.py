@@ -306,3 +306,81 @@ def q_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_cents").cast("bigint").alias("total_cents"),
         (F.col("total_cents").cast("double") / F.col("n_orders")).alias("avg_cents"),
     ).orderBy("o_orderpriority")
+
+
+# --- temporal feature backfill (feature-store shape) -------------------
+
+_CUTOFFS = "DATE '1996-01-01', DATE '1998-01-01', DATE '2000-01-01'"
+
+
+@query(
+    "q_feature_backfill",
+    oracle=f"""
+    WITH cutoffs AS (SELECT unnest([{_CUTOFFS}]) AS cutoff),
+    feats AS (
+      SELECT c.cutoff, o.o_custkey,
+             COUNT(*) AS n_orders,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order
+      FROM cutoffs c JOIN orders o ON CAST(o.o_orderdate AS DATE) < c.cutoff
+      GROUP BY c.cutoff, o.o_custkey
+    )
+    SELECT strftime(cutoff, '%Y-%m-%d') AS cutoff,
+           CAST(COUNT(*) AS BIGINT) AS n_active_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+           CAST(SUM(rev_cents) AS BIGINT) AS total_rev_cents,
+           CAST(SUM(CASE WHEN cutoff - last_order <= 180 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_recent_customers
+    FROM feats
+    GROUP BY cutoff
+    ORDER BY cutoff
+    """,
+)
+def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store backfill: per-entity features (order count, revenue
+    to date, recency flag) recomputed AS OF several historical cutoffs
+    in one job — the time-travel matrix model-training pipelines ask
+    the lake for.
+
+    The cutoff dim is tiny → the temporal containment join is a
+    broadcast fan-out (each fact lands in ≤ |cutoffs| feature rows —
+    bounded, never quadratic), then one hash agg per (cutoff, entity):
+    leakage-safe by construction (strict < cutoff), every cutoff
+    computed from the same scan. The per-cutoff rollup keeps the
+    driver-visible output compact; the (cutoff, entity) frame is the
+    real deliverable and is exercised by the same plan.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    cutoffs = spark.sql(f"SELECT explode(array({_CUTOFFS})) AS cutoff")
+    feats = (
+        o.join(F.broadcast(cutoffs), o.od < cutoffs.cutoff)
+        .groupBy("cutoff", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("rev_cents"),
+            F.max("od").alias("last_order"),
+        )
+    )
+    return (
+        feats.groupBy("cutoff")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_customers"),
+            F.sum("n_orders").cast("bigint").alias("total_orders"),
+            F.sum("rev_cents").cast("bigint").alias("total_rev_cents"),
+            F.sum(
+                F.when(F.datediff("cutoff", "last_order") <= 180, 1).otherwise(0)
+            ).cast("bigint").alias("n_recent_customers"),
+        )
+        .select(
+            F.date_format("cutoff", "yyyy-MM-dd").alias("cutoff"),
+            "n_active_customers",
+            "total_orders",
+            "total_rev_cents",
+            "n_recent_customers",
+        )
+        .orderBy("cutoff")
+    )
