@@ -1561,3 +1561,75 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(kernel, schema=schema)
         .orderBy("user_id")
     )
+
+
+# --- day-of-week seasonality index -------------------------------------
+
+# Monday=0 weekday from epoch days: 1970-01-01 was a Thursday, so
+# wd = (epoch_day + 3) % 7 — pure integer arithmetic, no engine
+# dayofweek() convention mismatch (Spark: 1=Sunday; DuckDB: 0=Sunday).
+_EPOCH_DAY_DUCK = "datediff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+
+
+@query(
+    "q_seasonality_dow",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_EPOCH_DAY_DUCK} AS d,
+             ({_EPOCH_DAY_DUCK} + 3) % 7 AS dow,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS grand_mean FROM daily
+    )
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           round((CAST(SUM(n) AS DOUBLE) / COUNT(*)) / grand_mean, 6)
+             AS seasonal_index
+    FROM daily, tot
+    GROUP BY dow, grand_mean
+    ORDER BY dow
+    """,
+)
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of event volume: mean daily count per
+    weekday over the grand daily mean (1.0 = no weekly seasonality) —
+    the multiplicative-decomposition component a forecasting pipeline
+    extracts first.
+
+    The weekday derives from integer epoch-day arithmetic, sidestepping
+    the engines' incompatible dayofweek() conventions. Data-sized work
+    is one (day, count) aggregation; the index computes over the
+    ≤|days| table with integer sums and two final divisions.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("dow", (F.col("d") + 3) % 7)
+    )
+    tot = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("grand_mean")
+    )
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy("dow", "grand_mean")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            "n_events",
+            F.round(
+                (F.col("n_events").cast("double") / F.col("n_days"))
+                / F.col("grand_mean"),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
