@@ -330,3 +330,42 @@ def test_id_gaps_matches_naive_lag(spark, ks):
         if cur - prev > 1
     ]
     assert got == sorted(want)
+
+
+@given(
+    st.lists(st.integers(min_value=-(10**6), max_value=10**6), min_size=1, max_size=300)
+)
+def test_clamped_scan_reflection_identity_property(deltas):
+    """b = S - min(0, running_min(S)) == sequential max(0, b+d) for ANY
+    integer delta sequence (the q_clamped_balance kernel identity)."""
+    import numpy as np
+
+    d = np.array(deltas, dtype="int64")
+    s = np.cumsum(d)
+    b_vec = s - np.minimum(np.minimum.accumulate(s), 0)
+    bal = 0
+    for x, got in zip(deltas, b_vec.tolist()):
+        bal = max(0, bal + x)
+        assert got == bal
+
+
+@given(st.integers(min_value=0, max_value=200_000))
+def test_business_day_closed_form_property(day):
+    """5*((d+4) div 7) + min((d+4) mod 7, 5) - 3 counts weekdays in
+    [epoch, day] for ANY day number (the q_business_days helper)."""
+    import datetime
+
+    g = 5 * ((day + 4) // 7) + min((day + 4) % 7, 5) - 3
+    base = datetime.date(1970, 1, 1)
+    if day <= 3000:
+        # exact brute-force weekday count for tractable ranges
+        brute = sum(
+            1
+            for k in range(day + 1)
+            if (base + datetime.timedelta(days=k)).weekday() < 5
+        )
+        assert g == brute
+    else:
+        # spot-check consistency: g(day) - g(day-7) must be exactly 5
+        g_prev = 5 * ((day - 7 + 4) // 7) + min((day - 7 + 4) % 7, 5) - 3
+        assert g - g_prev == 5
