@@ -197,6 +197,8 @@ HEADLINE = [
     "q_zipf_fit",
     "q_gini_revenue",
     "q_heaps_growth",
+    "q_feature_backfill",
+    "q_seasonality_dow",
 ]
 
 
