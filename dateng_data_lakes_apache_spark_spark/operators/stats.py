@@ -1746,3 +1746,134 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- multiple-testing correction (Benjamini-Hochberg) ------------------
+
+
+def _phi_tail_sql(z: str) -> str:
+    """P(Z > z) for z >= 0 — Abramowitz & Stegun 26.2.17 rational
+    approximation (|error| < 7.5e-8), built from *, +, exp only so the
+    one text evaluates identically in Spark SQL and DuckDB."""
+    t = f"(1.0 / (1.0 + 0.2316419 * ({z})))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * (1.781477937"
+        f" + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    pdf = f"(0.3989422804014327 * exp(-0.5 * ({z}) * ({z})))"
+    return f"({pdf} * {poly})"
+
+
+_BH_ALPHA = 0.10
+
+
+@query(
+    "q_fdr_bh",
+    oracle=f"""
+    WITH per_nation AS (
+      SELECT c.c_nationkey AS nation,
+             COUNT(*) AS n,
+             SUM(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS k
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    ),
+    overall AS (
+      SELECT CAST(SUM(k) AS DOUBLE) / SUM(n) AS p0 FROM per_nation
+    ),
+    tests AS (
+      SELECT nation, n, k,
+             abs((CAST(k AS DOUBLE) / n - p0)
+                 / sqrt(p0 * (1.0 - p0) / n)) AS az
+      FROM per_nation, overall
+    ),
+    pvals AS (
+      SELECT nation, n, k, az,
+             2.0 * {_phi_tail_sql('az')} AS p
+      FROM tests
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY p, nation) AS rnk,
+             COUNT(*) OVER () AS m
+      FROM pvals
+    ),
+    cutoff AS (
+      SELECT COALESCE(MAX(CASE WHEN p <= rnk * {_BH_ALPHA} / m
+                               THEN rnk END), 0) AS k_star
+      FROM ranked
+    )
+    SELECT CAST(nation AS INT) AS nation,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(k AS BIGINT) AS n_urgent,
+           round(az, 6) AS abs_z,
+           round(p, 8) AS p_value,
+           rnk <= k_star AS bh_reject
+    FROM ranked, cutoff
+    ORDER BY nation
+    """,
+)
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over 25 simultaneous two-sided
+    z-tests (per-nation urgent-order share vs the global share): the
+    multiple-testing discipline a metrics platform needs once it runs
+    one test per segment.
+
+    Data-sized work is one join + hash agg; the z/p computation, the
+    p-value ranking, and the BH step-up cutoff (largest k with p_(k) <=
+    k·α/m) all run on the |segments| table. The normal tail uses a
+    shared-text A&S rational approximation (exp/mul/add only — DuckDB
+    has no erf), so both engines produce bit-identical p-values; the
+    step-up comparison is then exact, not rounding-dependent.
+    """
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("k"),
+        )
+    )
+    glob = per_nation.agg(
+        (F.sum("k").cast("double") / F.sum("n")).alias("p0")
+    )
+    tests = per_nation.crossJoin(F.broadcast(glob)).withColumn(
+        "az",
+        F.abs(
+            (F.col("k").cast("double") / F.col("n") - F.col("p0"))
+            / F.sqrt(F.col("p0") * (1.0 - F.col("p0")) / F.col("n"))
+        ),
+    )
+    pvals = tests.withColumn("p", F.expr(f"2.0 * {_phi_tail_sql('az')}"))
+    w_rank = Window.orderBy("p", "nation")
+    w_all = Window.partitionBy()
+    ranked = pvals.withColumn("rnk", F.row_number().over(w_rank)).withColumn(
+        "m", F.count(F.lit(1)).over(w_all)
+    )
+    cutoff = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") <= F.col("rnk") * _BH_ALPHA / F.col("m"), F.col("rnk")
+                )
+            ),
+            F.lit(0),
+        ).alias("k_star")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cutoff))
+        .select(
+            F.col("nation").cast("int").alias("nation"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("k").cast("bigint").alias("n_urgent"),
+            F.round("az", 6).alias("abs_z"),
+            F.round("p", 8).alias("p_value"),
+            (F.col("rnk") <= F.col("k_star")).alias("bh_reject"),
+        )
+        .orderBy("nation")
+    )

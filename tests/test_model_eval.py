@@ -82,3 +82,55 @@ def test_kaplan_meier_curve_properties(spark):
         remaining -= r["deaths"] + r["censored"]
         naive = remaining / n
         assert r["survival"] >= naive - 1e-9
+
+
+def test_phi_tail_approximation_accuracy(spark):
+    """The shared-text A&S normal tail is within 7.5e-8 of erfc/2."""
+    import math
+
+    from dateng_data_lakes_apache_spark_spark.operators.stats import _phi_tail_sql
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.range(0, 50)
+        .select((F.col("id") / 10.0).alias("z"))
+        .withColumn("tail", F.expr(_phi_tail_sql("z")))
+        .collect()
+    )
+    for r in rows:
+        exact = 0.5 * math.erfc(r["z"] / math.sqrt(2.0))
+        assert abs(r["tail"] - exact) < 7.5e-8
+
+
+def test_bh_step_up_selects_on_constructed_effect(spark):
+    """With one planted strong effect among nulls, BH must reject the
+    planted segment (and the step-up cutoff logic must fire)."""
+    from pyspark.sql import Window, functions as F
+
+    # p-values: one tiny, rest uniform-ish above alpha/m thresholds
+    pvals = [(0, 0.0001), (1, 0.40), (2, 0.55), (3, 0.70), (4, 0.90)]
+    df = spark.createDataFrame(pvals, "seg int, p double")
+    w = Window.orderBy("p", "seg")
+    ranked = df.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    cutoff = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p") <= F.col("rnk") * 0.10 / F.col("m"), F.col("rnk"))),
+            F.lit(0),
+        ).alias("k_star")
+    ).first()["k_star"]
+    assert cutoff == 1
+    rejected = {
+        r["seg"]
+        for r in ranked.where(F.col("rnk") <= cutoff).collect()
+    }
+    assert rejected == {0}
+
+
+def test_fdr_bh_no_false_discoveries_on_null_data(spark):
+    """The testdata has uniform priority shares — BH must reject
+    nothing (the whole point of the correction under 25 null tests)."""
+    out = QS["q_fdr_bh"](spark, SF_SMALL).collect()
+    assert len(out) == 25
+    assert not any(r["bh_reject"] for r in out)
