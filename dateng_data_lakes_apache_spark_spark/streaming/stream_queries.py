@@ -1324,3 +1324,68 @@ def q_stream_geo_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "band")
     )
+
+
+# --- rate-spike alerting ------------------------------------------------
+
+
+@query(
+    "q_stream_rate_alert",
+    oracle=f"""
+    WITH rates AS (
+      SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    with_prev AS (
+      SELECT w, event_type, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY w) AS prev_n
+      FROM rates
+    )
+    SELECT {o_ts_str('w')} AS window_start,
+           event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(prev_n AS BIGINT) AS prev_events
+    FROM with_prev
+    WHERE prev_n IS NOT NULL AND n * 2 <= prev_n * 3 AND n * 3 >= prev_n * 2
+      AND NOT (n * 10 < prev_n * 13 AND n * 13 > prev_n * 10)
+    ORDER BY window_start, event_type
+    """,
+)
+def q_stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rate-spike/drop alerting: per-type hourly counts from
+    the stream, flagged where the rate moved ≥30% but ≤50% vs the
+    previous window — the band an ops alerting rule watches (small
+    wiggle = noise, huge jump = separate page). The window-over-window
+    comparison uses pure INTEGER cross-multiplication (n*2 <= prev*3
+    etc.), so the thresholds are exact in both engines — ratio doubles
+    would make borderline windows engine-dependent.
+
+    Streaming half: the tumbling aggregation runs in the micro-batch
+    engine (complete mode, same state posture as q_stream_tumbling);
+    the lag comparison applies to the emitted RESULT table — in
+    production that is the sink-side alerting job reading the
+    continuously-updated rate table, exactly as modeled here.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rates = _run_to_memory(agg, "rate_alert", "complete")
+    from pyspark.sql import Window
+
+    wlag = Window.partitionBy("event_type").orderBy(F.col("w.start"))
+    with_prev = rates.withColumn("prev_n", F.lag("n").over(wlag))
+    flagged = with_prev.where(
+        F.col("prev_n").isNotNull()
+        & (F.col("n") * 2 <= F.col("prev_n") * 3)
+        & (F.col("n") * 3 >= F.col("prev_n") * 2)
+        & ~((F.col("n") * 10 < F.col("prev_n") * 13) & (F.col("n") * 13 > F.col("prev_n") * 10))
+    )
+    return flagged.select(
+        ts_str(F.col("w.start")).alias("window_start"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("prev_n").cast("bigint").alias("prev_events"),
+    ).orderBy("window_start", "event_type")
