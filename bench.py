@@ -199,6 +199,8 @@ HEADLINE = [
     "q_heaps_growth",
     "q_feature_backfill",
     "q_seasonality_dow",
+    "q_fdr_bh",
+    "q_stream_rate_alert",
 ]
 
 
