@@ -1877,3 +1877,68 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- experiment sizing (minimum detectable effect) ---------------------
+
+# z_{alpha/2} for alpha=0.05 and z_beta for 80% power — standard
+# constants, written as literals so both engines see identical doubles.
+_Z_ALPHA2 = "1.959963984540054"
+_Z_BETA = "0.8416212335729143"
+
+
+@query(
+    "q_ab_power",
+    oracle=f"""
+    WITH per_nation AS (
+      SELECT c.c_nationkey AS nation,
+             COUNT(*) AS n,
+             SUM(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS k
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    )
+    SELECT CAST(nation AS INT) AS nation,
+           CAST(n AS BIGINT) AS n_orders,
+           round(CAST(k AS DOUBLE) / n, 6) AS base_rate,
+           round(({_Z_ALPHA2} + {_Z_BETA})
+                 * sqrt(2.0 * (CAST(k AS DOUBLE) / n)
+                        * (1.0 - CAST(k AS DOUBLE) / n) / (n / 2.0)), 6)
+             AS mde_abs
+    FROM per_nation
+    ORDER BY nation
+    """,
+)
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing per segment: the minimum detectable absolute
+    effect (two-sided α=0.05, 80% power, 50/50 split of the segment's
+    current traffic) for each nation's urgent-order rate — the
+    pre-registration companion to q_fdr_bh's post-hoc correction.
+
+    One join + hash agg is the data pass; MDE = (z_{{α/2}}+z_β)·
+    sqrt(2p(1-p)/(n/2)) evaluates per segment row with literal z
+    constants, so the expression tree (and therefore every double) is
+    identical in both engines before the 6-dp round.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("k"),
+        )
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    return per_nation.select(
+        F.col("nation").cast("int").alias("nation"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(p, 6).alias("base_rate"),
+        F.round(
+            (F.lit(float(_Z_ALPHA2)) + F.lit(float(_Z_BETA)))
+            * F.sqrt(F.lit(2.0) * p * (F.lit(1.0) - p) / (F.col("n") / F.lit(2.0))),
+            6,
+        ).alias("mde_abs"),
+    ).orderBy("nation")
