@@ -1105,3 +1105,82 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c.i", "c.j", "c.cov")
         .orderBy("i", "j")
     )
+
+
+# --- embedding drift between cohorts -----------------------------------
+
+_DRIFT_DIMS = 16
+
+
+@query(
+    "q_embedding_drift",
+    oracle=f"""
+    WITH sums AS (
+      SELECT label,
+             COUNT(*) AS n,
+             {", ".join(
+                 f"CAST(SUM(CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE) AS s{i}"
+                 for i in range(1, _DRIFT_DIMS + 1)
+             )}
+      FROM embeddings GROUP BY label
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             a.n AS n_a, b.n AS n_b,
+             sqrt({" + ".join(
+                 f"(a.s{i} / a.n - b.s{i} / b.n) * (a.s{i} / a.n - b.s{i} / b.n)"
+                 for i in range(1, _DRIFT_DIMS + 1)
+             )}) AS centroid_dist
+      FROM sums a JOIN sums b ON a.label < b.label
+    )
+    SELECT CAST(label_a AS INT) AS label_a,
+           CAST(label_b AS INT) AS label_b,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(centroid_dist, 6) AS centroid_dist
+    FROM pairs
+    ORDER BY label_a, label_b
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift report: pairwise centroid distance between label
+    cohorts over the first {_DRIFT_DIMS} dimensions — the cheap first
+    alarm for representation shift between data slices (cohorts whose
+    centroids move apart are the ones to re-embed or re-train on).
+
+    One hash agg produces a |labels|-row sum table (decimal-exact per
+    dim, map-side combined); the pairwise comparison is a self-join of
+    THAT — |labels|² rows of pure arithmetic, metadata-scale. The same
+    plan with a date column as the cohort key is the
+    production drift monitor.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    dims = range(1, _DRIFT_DIMS + 1)
+    x = {i: F.element_at("embedding", i).cast("double") for i in dims}
+    sums = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(x[i].cast("decimal(30,8)")).cast("double").alias(f"s{i}") for i in dims],
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), F.col("n").alias("n_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in dims],
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), F.col("n").alias("n_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in dims],
+    )
+    dist2 = None
+    for i in dims:
+        term = (F.col(f"a{i}") / F.col("n_a") - F.col(f"b{i}") / F.col("n_b")) ** 2
+        dist2 = term if dist2 is None else dist2 + term
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            F.col("label_a").cast("int").alias("label_a"),
+            F.col("label_b").cast("int").alias("label_b"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(F.sqrt(dist2), 6).alias("centroid_dist"),
+        )
+        .orderBy("label_a", "label_b")
+    )
