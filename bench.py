@@ -201,6 +201,8 @@ HEADLINE = [
     "q_seasonality_dow",
     "q_fdr_bh",
     "q_stream_rate_alert",
+    "q_ab_power",
+    "q_embedding_drift",
 ]
 
 
