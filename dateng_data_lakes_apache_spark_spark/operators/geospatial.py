@@ -1,6 +1,7 @@
 """Geospatial operators: grid aggregation, bounding-box search,
 grid-blocked radius joins, nearest-neighbor-within-radius, trajectory
-length, and Morton (Z-order) cell encoding.
+length, Morton (Z-order) cell encoding, a composed hotspot/exposure
+pipeline, and grid-DBSCAN density clustering.
 
 The testdata carries no coordinate columns, so every query derives
 deterministic lat/lon from integer keys with pure BIGINT arithmetic
@@ -11,9 +12,10 @@ fixture side-channel.
 Cross-engine float discipline: the haversine formula is generated ONCE
 as a SQL text (valid in both dialects) and executed via ``F.expr`` on
 the Spark side and verbatim in the DuckDB oracle, so both engines parse
-the same expression tree over the same double inputs. Outputs round to
-2 decimals (km) — libm-vs-java.lang.Math ulp drift is ~1e-13 relative,
-ten orders below the rounding grid.
+the same expression tree over the same double inputs. Distances round
+to 2 decimals (km); per-segment path terms round to 6 dp then sum as
+DECIMAL — either way libm-vs-java.lang.Math ulp drift (~1e-13
+relative) sits orders of magnitude below the rounding grid.
 
 Scale design (100 TB):
 - grid/Morton aggregation: map-side projection + partial hash agg; the

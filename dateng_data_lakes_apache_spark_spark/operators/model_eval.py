@@ -1,7 +1,8 @@
 """Model-evaluation operators: confusion-matrix metrics, calibration
-bins, and inter-annotator agreement — the measurement half of a
-training-data pipeline (every classifier/labeler feeding a corpus needs
-exactly these three reports).
+bins, inter-annotator agreement, ROC-AUC, regression error, and
+ranking quality (NDCG/MRR) — the measurement half of a training-data
+pipeline (every classifier/labeler/ranker feeding a corpus needs these
+reports).
 
 Predictions/scores are derived deterministically from md5 of the doc id
 (the engine's cross-engine hash: ``conv`` on Spark, hex-digit instr
