@@ -73,3 +73,23 @@ def date_str(col: Column) -> Column:
 
 def o_date_str(expr: str) -> str:
     return f"strftime({expr}, '%Y-%m-%d')"
+
+
+def md5_hex4_spark(expr: str, off: int) -> str:
+    """Spark-dialect: 4 md5 hex digits at 1-based ``off`` as a BIGINT —
+    the cross-engine deterministic hash (conv() does the base
+    conversion JVM-side)."""
+    return (
+        f"CAST(conv(substring(md5(CAST({expr} AS STRING)), {off}, 4), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+def md5_hex4_duck(expr: str, off: int) -> str:
+    """DuckDB twin of :func:`md5_hex4_spark` — no base-conv builtin
+    there, so hex digits convert via instr arithmetic (the
+    q_split_train_test oracle pattern)."""
+    h = f"md5(CAST({expr} AS STRING))"
+    return ("(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {off + i}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)) + ")")

@@ -553,15 +553,8 @@ def q_geo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hex-digit instr arithmetic on DuckDB, the q_split_train_test pattern).
 
 
-def _duck4(expr: str, off: int) -> str:
-    h = f"md5(CAST({expr} AS STRING))"
-    return ("(" + " + ".join(
-        f"(instr('0123456789abcdef', substr({h}, {off + i}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)) + ")")
-
-
-def _spark4(expr: str, off: int) -> str:
-    return f"CAST(conv(substring(md5(CAST({expr} AS STRING)), {off}, 4), 16, 10) AS BIGINT)"
+from ..common import md5_hex4_duck as _duck4
+from ..common import md5_hex4_spark as _spark4
 
 
 def _cell_rc(h4) -> tuple[str, str]:

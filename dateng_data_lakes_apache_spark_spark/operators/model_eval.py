@@ -29,15 +29,8 @@ from ..catalog import table
 from ..registry import query
 
 
-def _duck4(expr: str, off: int) -> str:
-    h = f"md5(CAST({expr} AS STRING))"
-    return ("(" + " + ".join(
-        f"(instr('0123456789abcdef', substr({h}, {off + i}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)) + ")")
-
-
-def _spark4(expr: str, off: int) -> str:
-    return f"CAST(conv(substring(md5(CAST({expr} AS STRING)), {off}, 4), 16, 10) AS BIGINT)"
+from ..common import md5_hex4_duck as _duck4
+from ..common import md5_hex4_spark as _spark4
 
 
 _LANGS = "'de','en','es','fr','zh'"
