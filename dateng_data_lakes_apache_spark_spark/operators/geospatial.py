@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..common import md5_hex4_duck as _duck4
+from ..common import md5_hex4_spark as _spark4
 from ..registry import query
 
 # --- shared SQL-text builders (both dialects parse these verbatim) -----
@@ -549,13 +551,8 @@ def q_geo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Density fixture with real clumping: each USER is a cluster center
 # (md5-derived cell), each event jitters +-1 cell around its user's
 # center — so hot cells form multi-cell blobs, the structure DBSCAN
-# exists to find. md5 is the one cross-engine hash (conv() on Spark,
-# hex-digit instr arithmetic on DuckDB, the q_split_train_test pattern).
-
-
-from ..common import md5_hex4_duck as _duck4
-from ..common import md5_hex4_spark as _spark4
-
+# exists to find. md5 is the one cross-engine hash (helpers in
+# common.py: conv() on Spark, hex-digit instr arithmetic on DuckDB).
 
 def _cell_rc(h4) -> tuple[str, str]:
     ucr = f"({h4('user_id', 1)} % 12)"

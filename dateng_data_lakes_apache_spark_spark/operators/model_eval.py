@@ -26,12 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..registry import query
-
-
 from ..common import md5_hex4_duck as _duck4
 from ..common import md5_hex4_spark as _spark4
-
+from ..registry import query
 
 _LANGS = "'de','en','es','fr','zh'"
 
