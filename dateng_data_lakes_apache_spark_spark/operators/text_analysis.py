@@ -1272,19 +1272,25 @@ def q_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     maxid = d.agg((F.max("doc_id") + 1).alias("n_docs"))
-    words = d.select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
+    # ONE corpus explode: collapse straight to the (decile, word, count)
+    # table — vocabulary-sized, persisted so both the token-total and
+    # first-seen branches consume it without re-expanding the corpus
+    # (plan-asserted: exactly one Generate node).
+    dec_word = (
+        d.crossJoin(F.broadcast(maxid))
+        .select(
+            F.expr("(doc_id * 10) div n_docs").alias("dec"),
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
+        )
+        .groupBy("dec", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
-    tok_dec = (
-        words.crossJoin(F.broadcast(maxid))
-        .groupBy(F.expr("(doc_id * 10) div n_docs").alias("dec"))
-        .agg(F.count(F.lit(1)).alias("toks"))
-    )
-    first_seen = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    tok_dec = dec_word.groupBy("dec").agg(F.sum("cnt").alias("toks"))
     voc_dec = (
-        first_seen.crossJoin(F.broadcast(maxid))
-        .groupBy(F.expr("(first_doc * 10) div n_docs").alias("dec"))
+        dec_word.groupBy("w")
+        .agg(F.min("dec").alias("dec"))
+        .groupBy("dec")
         .agg(F.count(F.lit(1)).alias("new_words"))
     )
     w_run = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)

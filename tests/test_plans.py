@@ -564,3 +564,39 @@ def test_clamped_balance_single_exchange_arrow_kernel(spark, sf_dir):
     assert "FlatMapGroupsInPandas" not in plan
     assert "MapInPandas" in plan
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
+
+
+def test_auc_windows_only_the_histogram(spark, sf_dir):
+    # the AUC global sort must consume the <=1000-row score histogram:
+    # HashAggregate below the Window (corpus never globally ordered)
+    plan = formatted_plan(QS["q_eval_auc"](spark, sf_dir))
+    assert _nodes(plan, "Window") == 1
+    agg_pos = plan.index("HashAggregate")
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_gini_and_km_window_bounded_tables(spark, sf_dir):
+    # Lorenz / life-table accumulations window VALUE-bounded tables that
+    # sit above an aggregation, never raw rows
+    for name in ("q_gini_revenue", "q_kaplan_meier"):
+        plan = formatted_plan(QS[name](spark, sf_dir))
+        assert _nodes(plan, "Window") >= 1, name
+        assert _nodes(plan, "HashAggregate") >= 2, name
+
+
+def test_heaps_single_wordcount_pass(spark, sf_dir):
+    # the growth curve must not rescan the corpus per decile: exactly
+    # one explode (Generate) node in the plan
+    plan = formatted_plan(QS["q_heaps_growth"](spark, sf_dir))
+    assert _nodes(plan, "Generate") == 1
+
+
+def test_feature_backfill_broadcast_fanout(spark, sf_dir):
+    # the temporal containment join fans out via the broadcast cutoff
+    # dim; no sort-merge or cartesian path
+    plan = formatted_plan(QS["q_feature_backfill"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 1  # the 3-row dim fan-out
