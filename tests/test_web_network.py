@@ -134,3 +134,54 @@ def test_business_day_closed_form_vs_datetime_loop(spark):
 
     for r in rows:
         assert r["g"] == brute_weekdays_through(r["day"])
+
+
+def test_lpm_routes_are_collision_free(spark):
+    """The derived route table must be a function: no prefix owned by
+    two nations at the same length (the injectivity the LPM resolve
+    depends on)."""
+    from dateng_data_lakes_apache_spark_spark.catalog import table
+    from dateng_data_lakes_apache_spark_spark.operators.web_network import (
+        _R_P8,
+        _R_P16,
+    )
+
+    nat = table(spark, SF_SMALL, "nation")
+    for expr in (_R_P8, _R_P16):
+        n_total = nat.count()
+        n_distinct = nat.selectExpr(f"{expr} AS pfx").distinct().count()
+        assert n_total == n_distinct
+
+
+def test_seasonality_index_weighted_mean_is_one(spark):
+    """Day-count-weighted mean of the seasonal index is exactly 1 (the
+    multiplicative-decomposition normalization)."""
+    rows = QS["q_seasonality_dow"](spark, SF_SMALL).collect()
+    n_days = sum(r["n_days"] for r in rows)
+    weighted = sum(r["seasonal_index"] * r["n_days"] for r in rows) / n_days
+    assert abs(weighted - 1.0) < 1e-4  # indexes are 6-dp rounded
+
+
+def test_feature_backfill_is_monotone_in_cutoff(spark):
+    """Later cutoffs can only see more history: active customers,
+    orders, and revenue are non-decreasing across cutoffs."""
+    rows = sorted(
+        QS["q_feature_backfill"](spark, SF_SMALL).collect(),
+        key=lambda r: r["cutoff"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_active_customers"] <= b["n_active_customers"]
+        assert a["total_orders"] <= b["total_orders"]
+        assert a["total_rev_cents"] <= b["total_rev_cents"]
+
+
+def test_gini_bounds_and_degenerate_case(spark):
+    """Gini lies in [0, 1); a single-band degenerate distribution
+    (every entity in one band) scores exactly 0 under the banded
+    estimator."""
+    r = QS["q_gini_revenue"](spark, SF_SMALL).first()
+    assert 0.0 <= r["gini"] < 1.0
+    # degenerate check in pure arithmetic: one band, f entities, mass s
+    # => 1 - f*(2*0 + s)/(f*s) = 0
+    f, s = 7, 12345
+    assert 1.0 - (f * (2 * 0 + s)) / (f * s) == 0.0
