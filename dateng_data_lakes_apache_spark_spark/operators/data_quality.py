@@ -732,13 +732,15 @@ _V1_SQL = """
     c0 AS (
       SELECT o_orderkey % {_N_DIFF_BLOCKS} AS block_id,
              CAST(COUNT(*) AS BIGINT) AS n_rows_v0,
-             SUM({_hex12_to_int_sql(f"md5({_ROW_CANON})")}) AS sum_v0
+             CAST(SUM({_hex12_to_int_sql(f"md5({_ROW_CANON})")})
+                  % 281474976710656 AS BIGINT) AS sum_v0
       FROM v0 GROUP BY 1
     ),
     c1 AS (
       SELECT o_orderkey % {_N_DIFF_BLOCKS} AS block_id,
              CAST(COUNT(*) AS BIGINT) AS n_rows_v1,
-             SUM({_hex12_to_int_sql(f"md5({_ROW_CANON})")}) AS sum_v1
+             CAST(SUM({_hex12_to_int_sql(f"md5({_ROW_CANON})")})
+                  % 281474976710656 AS BIGINT) AS sum_v1
       FROM v1 GROUP BY 1
     )
     SELECT COALESCE(c0.block_id, c1.block_id) AS block_id,
@@ -762,7 +764,8 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass of replica reconciliation / CDC validation: row-level work
     happens only inside blocks this query flags (and block granularity
     is a knob: o_orderkey % N here, file/partition ids in a real lake).
-    The commutative SUM-of-md5 checksum is what makes the block
+    The commutative SUM-of-md5 checksum (wide sum reduced mod 2^48 so
+    it stays in int64 at any block size) is what makes the block
     signature independent of partitioning, shard order, and engine.
     """.replace("{N}", str(_N_DIFF_BLOCKS))
     v0 = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -782,13 +785,23 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         rowhash = F.conv(F.substring(F.md5(F.expr(_ROW_CANON)), 1, 12), 16, 10).cast(
             "long"
         )
+        # Sum in DECIMAL(38,0) then reduce modulo 2^48: each row hash is
+        # 48-bit, so an int64 SUM would overflow at ~32k rows/block
+        # (Spark would wrap or ANSI-error; DuckDB promotes to HUGEINT).
+        # Wide-sum-then-mod keeps the block signature in-range and
+        # engine-identical at any scale.
         return (
             df.select(
                 (F.col("o_orderkey") % _N_DIFF_BLOCKS).alias("block_id"),
-                rowhash.alias("rh"),
+                rowhash.cast("decimal(38,0)").alias("rh"),
             )
             .groupBy("block_id")
-            .agg(F.count(F.lit(1)).alias(n_col), F.sum("rh").alias(s_col))
+            .agg(
+                F.count(F.lit(1)).alias(n_col),
+                (F.sum("rh") % F.lit(281474976710656).cast("decimal(38,0)"))
+                .cast("long")
+                .alias(s_col),
+            )
         )
 
     c0 = block_sums(v0, "n_rows_v0", "sum_v0")

@@ -593,15 +593,17 @@ _THR = "ceil(t / 432.0 + 2 * sqrt(t / 432.0))"  # mean + 2 sigma
     ),
     edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
     labels AS (
-      -- min cell id reachable within 24 hops = component min (the cell
-      -- graph has <= 432 nodes; 24 > any grid-path diameter here)
+      -- fixpoint min-label propagation: states are (node, label) pairs,
+      -- finite (<= 432^2), so UNION dedup terminates with no depth
+      -- guard — correct at any component eccentricity (serpentine
+      -- components included)
       SELECT node, MIN(label) AS label FROM (
         WITH RECURSIVE cc AS (
-          SELECT u AS node, u AS label, 0 AS depth FROM (SELECT DISTINCT u FROM edges)
+          SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM edges)
           UNION
-          SELECT e.v AS node, c.label, c.depth + 1
+          SELECT e.v AS node, c.label
           FROM cc c JOIN edges e ON e.u = c.node
-          WHERE c.label < e.v AND c.depth < 24
+          WHERE c.label < e.v
         )
         SELECT node, label FROM cc
       ) GROUP BY node
@@ -630,7 +632,7 @@ def q_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     the density grid, not the points; only the grid resolution, never
     the data, bounds the clustering cost. The density threshold is
     self-tuning (mean + 2 sigma), and the DuckDB twin expresses the
-    same components as a depth-bounded recursive CTE.
+    same components as a fixpoint (UNION-deduplicated) recursive CTE.
     """
     ev = table(spark, sf_dir, "events")
     cells = (

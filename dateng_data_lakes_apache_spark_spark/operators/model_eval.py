@@ -442,10 +442,19 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ideal = spark.range(1, 11).select(
         F.col("id").alias("i"), (F.lit(1.0) / F.log2(F.col("id") + F.lit(1.0))).alias("g")
     )
-    per_q = per_q.crossJoin(F.broadcast(ideal)).where(
-        F.col("i") <= F.least(F.col("n_rel"), F.lit(10))
-    ).groupBy("q_id", "n_rel", "first_rel", "dcg10").agg(
-        F.sum("g").alias("idcg10")
+    # Conditional aggregation (not a filtering join) so a query with
+    # n_rel = 0 survives with NULL idcg10/ndcg10/rr — matching the
+    # oracle, whose scalar-subquery SUM over an empty set is NULL.
+    per_q = (
+        per_q.crossJoin(F.broadcast(ideal))
+        .groupBy("q_id", "n_rel", "first_rel", "dcg10")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("i") <= F.least(F.col("n_rel"), F.lit(10)), F.col("g")
+                )
+            ).alias("idcg10")
+        )
     )
     return per_q.select(
         "q_id",

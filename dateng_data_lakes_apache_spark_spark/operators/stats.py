@@ -1554,11 +1554,18 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_kaplan_meier",
     oracle="""
-    WITH gaps AS (
-      SELECT ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 600000000)
-               AS dur, 1 AS observed
+    WITH raw_gaps AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    gaps AS (
+      -- greatest(gap, 0): a negative inter-event gap (ts not monotone
+      -- in event_id) would divide differently cross-engine (Spark div
+      -- truncates toward zero, DuckDB // floors); clamping keeps the
+      -- bucket arithmetic on nonneg ints where both agree
+      SELECT (greatest(gap, 0) // 600000000) AS dur, 1 AS observed
+      FROM raw_gaps WHERE gap IS NOT NULL
     ),
     open_gaps AS (
       SELECT (((SELECT MAX(epoch_us(ts)) FROM events) - MAX(epoch_us(ts)))
@@ -1605,8 +1612,9 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ECDF would bias short).
 
     Durations are exact integer 10-minute buckets from microsecond
-    arithmetic (truncating div — identical both engines on nonneg
-    ints). Scale split: the data-sized passes are one lag window and
+    arithmetic, clamped nonneg with greatest(gap, 0) before the div —
+    truncating (Spark) vs flooring (DuckDB) division only agree on
+    nonneg ints, so an out-of-order timestamp can't diverge engines. Scale split: the data-sized passes are one lag window and
     one per-user aggregate; the life table is bounded by the time range
     (≤ ~4.3k buckets/month), and the KM product runs as a window over
     THAT (product via exp-sum-ln, same expression tree both engines,
@@ -1624,7 +1632,9 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("prev_us", F.lag("us").over(w))
         .where(F.col("prev_us").isNotNull())
         .select(
-            F.expr("CAST((us - prev_us) div 600000000 AS BIGINT)").alias("dur"),
+            F.expr(
+                "CAST(greatest(us - prev_us, 0L) div 600000000 AS BIGINT)"
+            ).alias("dur"),
             F.lit(1).alias("observed"),
         )
     )

@@ -524,10 +524,11 @@ def test_weighted_median_windows_over_distinct_values_only(spark, sf_dir):
     # not raw lineitem: HashAggregate appears BELOW the Window nodes
     plan = formatted_plan(QS["q_weighted_median"](spark, sf_dir))
     assert _nodes(plan, "Window") >= 1
-    details = plan.split("\n\n")
-    win_idx = plan.index("Window")
-    agg_idx = plan.index("HashAggregate")
-    assert agg_idx < win_idx or "HashAggregate" in plan[:win_idx]
+    # Tree section prints root-first, so "the aggregate FEEDS the
+    # window" means a HashAggregate line appears after the deepest
+    # Window line (between it and the scan).
+    tree = plan.split("\n\n")[0]
+    assert "HashAggregate" in tree[tree.rindex("Window") :]
 
 
 def test_url_dedup_single_codegen_agg_no_udf(spark, sf_dir):
@@ -571,9 +572,10 @@ def test_auc_windows_only_the_histogram(spark, sf_dir):
     # HashAggregate below the Window (corpus never globally ordered)
     plan = formatted_plan(QS["q_eval_auc"](spark, sf_dir))
     assert _nodes(plan, "Window") == 1
-    agg_pos = plan.index("HashAggregate")
-    win_pos = plan.index("Window")
-    assert "HashAggregate" in plan
+    # Root-first tree: the histogram HashAggregate must sit BELOW the
+    # Window (after it in text) — the corpus is never globally sorted.
+    tree = plan.split("\n\n")[0]
+    assert "HashAggregate" in tree[tree.rindex("Window") :]
     assert "BatchEvalPython" not in plan
 
 
