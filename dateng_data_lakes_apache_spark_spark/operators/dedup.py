@@ -226,9 +226,11 @@ def connected_components(
     return labels
 
 
-@query(
-    "q_dedup_resolve",
-    oracle="""
+# Shared oracle CTE chain for the resolve deliverable: exact shingle-
+# Jaccard pairs → fixpoint min-label connected components → per-doc
+# keeper. Reused by q_split_by_cluster's oracle (llm_pipeline.py), which
+# derives its split bucket from keeper_doc_id.
+RESOLVE_ORACLE_CTES = """
     WITH RECURSIVE sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -252,12 +254,22 @@ def connected_components(
       FROM cc c JOIN edges e ON e.u = c.node
       WHERE c.label < e.v
     ),
-    labels AS (SELECT node, MIN(label) AS label FROM cc GROUP BY node)
-    SELECT d.doc_id,
-           CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS keeper_doc_id,
-           COALESCE(l.label, d.doc_id) <> d.doc_id AS is_dup
-    FROM documents d
-    LEFT JOIN labels l ON l.node = d.doc_id
+    labels AS (SELECT node, MIN(label) AS label FROM cc GROUP BY node),
+    resolved AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS keeper_doc_id,
+             COALESCE(l.label, d.doc_id) <> d.doc_id AS is_dup
+      FROM documents d
+      LEFT JOIN labels l ON l.node = d.doc_id
+    )
+"""
+
+
+@query(
+    "q_dedup_resolve",
+    oracle=RESOLVE_ORACLE_CTES
+    + """
+    SELECT doc_id, keeper_doc_id, is_dup FROM resolved
     """,
 )
 def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -441,7 +441,30 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_split_by_cluster")  # rows-only: built on the iterative dedup resolve
+def _split_by_cluster_oracle() -> str:
+    from .dedup import RESOLVE_ORACLE_CTES
+
+    return (
+        RESOLVE_ORACLE_CTES
+        + f"""
+    SELECT doc_id, keeper_doc_id, is_dup,
+           CASE WHEN bucket < {_TRAIN_HI} THEN 'train'
+                WHEN bucket < {_VAL_HI} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, keeper_doc_id, is_dup,
+             CAST((instr('0123456789abcdef', substr(h,1,1))-1)*4096
+                + (instr('0123456789abcdef', substr(h,2,1))-1)*256
+                + (instr('0123456789abcdef', substr(h,3,1))-1)*16
+                + (instr('0123456789abcdef', substr(h,4,1))-1) AS INT) % 100
+               AS bucket
+      FROM (SELECT *, md5(CAST(keeper_doc_id AS VARCHAR)) AS h FROM resolved)
+    )
+    """
+    )
+
+
+@query("q_split_by_cluster", oracle=_split_by_cluster_oracle())
 def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: the split bucket is computed
     from the near-dup CLUSTER KEEPER, not the document itself, so two
@@ -457,9 +480,12 @@ def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: resolve's label propagation is the dominant cost
     (O(log n) bounded-size self-joins); the split itself adds one
-    map-only hash per doc — no extra shuffle. Rows-only because the
-    cluster resolution is iterative (not SQL-expressible); the
-    cluster-integrity invariant is unit-asserted instead.
+    map-only hash per doc — no extra shuffle. Exact-oracled: the
+    DuckDB twin reuses q_dedup_resolve's fixpoint recursive-CTE
+    component oracle and derives the identical md5 bucket from
+    keeper_doc_id, so every per-doc split assignment hash-matches
+    (the no-straddle invariant holds by construction on both sides:
+    split is a pure function of the keeper).
     """
     from .dedup import q_dedup_resolve
 

@@ -251,12 +251,15 @@ def custom_state_stream(ev: DataFrame, timeout_ms: int) -> DataFrame:
         n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            # accumulate exact integer CENTS (value is 2-dp), carried in
+            # the double state field — order-independent and engine-exact,
+            # so the final state oracles against a DuckDB decimal sum
+            s += float((pdf["value"] * 100).round().sum())
             m = max(m, float(pdf["value"].max()))
-        state.update((n, round(s, 2), m))
+        state.update((n, s, m))
         state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)], "max_value": [m]}
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s / 100.0], "max_value": [m]}
         )
 
     return ev.groupBy("user_id").applyInPandasWithState(
@@ -268,7 +271,22 @@ def custom_state_stream(ev: DataFrame, timeout_ms: int) -> DataFrame:
     )
 
 
-@query("q_stream_custom_state")  # rows-only: Python-defined stateful operator
+@query(
+    "q_stream_custom_state",
+    # Batch twin: on bounded input the final state per user is exactly
+    # the batch aggregate. The Python kernel accumulates integer cents,
+    # so the double sum is order-independent and engine-exact.
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
 def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running totals (event count, value sum, max value) carried
@@ -279,7 +297,10 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key and Arrow-batched, so it scales like any keyed aggregation.
     Bounded input (availableNow, one staged file → one batch) makes the
     final state deterministic: the 30-min timeout cannot fire within a
-    single batch, so no tombstones appear in this registered output."""
+    single batch, so no tombstones appear in this registered output —
+    which is what lets the batch-aggregate twin serve as an EXACT
+    oracle (cents-integer accumulation in the state keeps the float
+    sum engine-identical)."""
     ev = _events_stream(spark, sf_dir).select("user_id", "value")
     result_stream = custom_state_stream(ev, timeout_ms=30 * 60 * 1000)
     result = _run_to_memory(result_stream, "custom_state", "update", stop_on_idle=True)
