@@ -4,14 +4,22 @@ Delegates to the engine package: every operator in SURVEY.md §2.3
 registers a named query (and, when SQL-expressible, a DuckDB oracle)
 in ``dateng_data_lakes_apache_spark_spark.registry``.
 
-Cache-ownership contract (ADVICE r2): queries that build reusable
-indexes (LSH band tables, bucket indexes, graph edge lists) ``persist``
-them and do NOT unpersist — the cache must outlive the builder so the
-returned lazy DataFrame's action reuses it. The SESSION owns those
-caches: a long-lived session invoking many index-building queries
-should call ``spark.catalog.clearCache()`` between them (bench.py does,
-after every measurement) or recycle the session. One-shot drivers (this
-contract's usage) never accumulate more than one query's indexes.
+Cache-ownership contract (ADVICE r2, hardened r4): queries that build
+reusable indexes (LSH band tables, bucket indexes, graph edge lists)
+persist them through the session-scoped registry in
+``dateng_data_lakes_apache_spark_spark.caching`` — the cache must
+outlive the builder so the returned lazy DataFrame's action reuses it.
+A long-lived session releases them explicitly::
+
+    from dateng_data_lakes_apache_spark_spark import cached_indexes
+    with cached_indexes():
+        df = queries()["q_dedup_minhash"](spark, sf_dir); df.collect()
+    # all index caches released here
+
+or calls ``release_caches()`` (idempotent). ``spark.catalog
+.clearCache()`` still works (bench.py uses it after every
+measurement); one-shot drivers (this contract's usage) never
+accumulate more than one query's indexes either way.
 """
 
 from __future__ import annotations

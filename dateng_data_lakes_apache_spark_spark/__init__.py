@@ -22,8 +22,16 @@ Layout
 - ``pipelines/`` the reference's star-schema ETL as a library feature
 """
 
+from .caching import cached_indexes, release_caches
 from .session import get_spark
 from .catalog import table, register_views, TABLES
 
-__all__ = ["get_spark", "table", "register_views", "TABLES"]
+__all__ = [
+    "get_spark",
+    "table",
+    "register_views",
+    "TABLES",
+    "cached_indexes",
+    "release_caches",
+]
 __version__ = "0.1.0"

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import local_checkpoint, track
 from ..catalog import table
 from ..common import spread
 from ..registry import query
@@ -119,7 +120,7 @@ def minhash_pairs(d: DataFrame, threshold: float = 0.5) -> DataFrame:
     # Cache lifecycle: owned by the session — bench.py clears between
     # measurements; unpersisting here would defeat the purpose (the cache
     # must outlive this builder so both join sides reuse it lazily).
-    bands = bands.persist()
+    bands = track(bands)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -203,10 +204,11 @@ def connected_components(
             labels.unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            # localCheckpoint truncates the per-round lineage growth so the
-            # plan (and task closure) stays O(1) across iterations.
-            .localCheckpoint(eager=True)
         )
+        # localCheckpoint truncates the per-round lineage growth so the
+        # plan (and task closure) stays O(1) across iterations; routed
+        # through the cache registry so the blocks release with the session.
+        new_labels = local_checkpoint(new_labels, eager=True)
         # Convergence test costs one extra (tiny) job per round; skip it on
         # round 0 — any graph with an edge changes at least one label there.
         changed = 1

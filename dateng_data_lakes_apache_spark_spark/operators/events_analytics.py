@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import track
 from ..catalog import table
 from ..common import date_str, dsum, o_date_str, o_dsum
 from ..registry import query
@@ -80,7 +81,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stage k from every stage > k, and without the cache the plan
         # re-expands to K(K+1)/2 event scans for a depth-K funnel. The
         # cached tables are user-bounded (tiny). Callers/bench own caches.
-        reached = cur.groupBy("user_id").agg(F.min("ts").alias("t_prev")).persist()
+        reached = track(cur.groupBy("user_id").agg(F.min("ts").alias("t_prev")))
         stage_users.append(reached)
         prior = reached
 

@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import track
 from ..catalog import table
 from ..common import md5_hex4_duck as _duck4
 from ..common import md5_hex4_spark as _spark4
@@ -496,8 +497,8 @@ def q_geo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_EV_LON).alias("lon"),
             F.expr(_EV_CELL).alias("cell"),
         )
-        .persist()
     )
+    pts = track(pts)
     hot = (
         pts.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))

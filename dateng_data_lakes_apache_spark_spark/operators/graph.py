@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import local_checkpoint, track
 from ..catalog import table
 from ..registry import query
 
@@ -56,13 +57,13 @@ def pagerank(edges: DataFrame, iters: int = 5, ckpt_every: int = 2) -> DataFrame
     # iteration, and without it AQE's broadcast of each round's (small)
     # contribution table re-derives the whole unpersisted chain on the
     # driver — measured to OOM the broadcast build at sf0.1.
-    indexed = edges.join(deg, "src").persist()
+    indexed = track(edges.join(deg, "src"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()  # anchors every round's left join AND the init ranks
     )
+    nodes = track(nodes)  # anchors every round's left join AND the init ranks
     ranks = nodes.select("node", F.lit(_SCALE).cast("long").alias("rank_scaled"))
     base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN  # (1-d) mass
     for it in range(iters):
@@ -90,7 +91,7 @@ def pagerank(edges: DataFrame, iters: int = 5, ckpt_every: int = 2) -> DataFrame
             )
         )
         if ckpt_every and (it + 1) % ckpt_every == 0 and it + 1 < iters:
-            ranks = ranks.localCheckpoint()
+            ranks = local_checkpoint(ranks)
     return ranks
 
 

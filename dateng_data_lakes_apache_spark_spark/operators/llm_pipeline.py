@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import track
 from ..catalog import table
 from ..common import spread
 from ..registry import query
@@ -240,7 +241,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spans feeds both the frequency agg and the probe side; persist so the
     # scan+shingle work runs once (cache lifecycle: bench.py clearCache()).
-    spans = d.select("doc_id", F.explode(span_hashes).alias("h")).persist()
+    spans = track(d.select("doc_id", F.explode(span_hashes).alias("h")))
     freq = spans.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
     dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
     return (
@@ -1015,7 +1016,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w")
     )
-    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
+    wc = track(words.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     vocab = wc.orderBy(F.col("c").desc(), "w").limit(1000).select("w")
     totals = wc.agg(
         F.count(F.lit(1)).alias("n_types"), F.sum("c").alias("n_tokens")
@@ -1202,9 +1203,11 @@ def q_substring_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, _SRP_K))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = d.select(
-        "doc_id", F.posexplode(shingles).alias("p0", "h")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h").persist()
+    sh = track(
+        d.select("doc_id", F.posexplode(shingles).alias("p0", "h")).select(
+            "doc_id", (F.col("p0") + 1).alias("pos"), "h"
+        )
+    )
     freq = (
         sh.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

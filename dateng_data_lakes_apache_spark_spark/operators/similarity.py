@@ -21,6 +21,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import local_checkpoint, track
 from ..catalog import table
 from ..registry import query
 
@@ -275,7 +276,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The bucket index is reused by both sides of the pair join — persist
     # it (at lake scale: a parquet write at ingest time, the ANN index).
     # Cache lifecycle: session-owned; bench.py clears between queries.
-    bucketed = bucketed.persist()
+    bucketed = track(bucketed)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (
@@ -562,7 +563,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     bucketed = lsh_bucket_table(e).select("vec_id", "embedding", "table_id", "bucket")
     # Session-owned index cache, same lifecycle as q_dedup_embedding_lsh.
-    bucketed = bucketed.persist()
+    bucketed = track(bucketed)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (
@@ -872,7 +873,8 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("s"),
-    ).select("vec_id", "s.m", "s.sv").persist()
+    ).select("vec_id", "s.m", "s.sv")
+    subs = track(subs)
 
     def assign(frame, cents):
         diff = F.zip_with("sv", "cent", lambda x, y: x.cast("double") - y.cast("double"))
@@ -909,10 +911,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "m", "cell_id", F.transform("pc", lambda s: s.getField("c")).alias("cent")
             )
-            # 128-row table: the checkpoint stops each round's plan from
-            # re-deriving the previous round (measured 9 s -> ~2 s build)
-            .localCheckpoint(eager=True)
         )
+        # 128-row table: the checkpoint stops each round's plan from
+        # re-deriving the previous round (measured 9 s -> ~2 s build)
+        cents = local_checkpoint(cents, eager=True)
 
     # ---- encode: one more broadcast argmin pass ----------------------
     codes = assign(subs, cents).select(

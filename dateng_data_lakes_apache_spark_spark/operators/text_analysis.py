@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import track
 from ..catalog import table
 from ..common import davg, o_davg, spread
 from ..registry import query
@@ -1284,8 +1285,8 @@ def q_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("dec", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
     )
+    dec_word = track(dec_word)
     tok_dec = dec_word.groupBy("dec").agg(F.sum("cnt").alias("toks"))
     voc_dec = (
         dec_word.groupBy("w")

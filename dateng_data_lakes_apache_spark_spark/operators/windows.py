@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import track
 from ..catalog import table
 from ..common import o_ts_str, ts_str
 from ..registry import query
@@ -173,9 +174,11 @@ def q_ntile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = c.count()
     n_parts = spark.sparkContext.defaultParallelism
     ranged = (
-        c.repartitionByRange(n_parts, F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
+        track(
+            c.repartitionByRange(
+                n_parts, F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+            ).withColumn("pid", F.spark_partition_id())
+        )
     )
     # cumulative offsets over per-partition counts: P rows, metadata-scale
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)

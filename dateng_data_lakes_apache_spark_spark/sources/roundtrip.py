@@ -30,6 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import track
 from ..catalog import table
 from ..common import dsum, o_dsum
 from ..registry import query
@@ -689,8 +690,8 @@ def q_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .csv(path)
-        .persist()
     )
+    parsed = track(parsed)
     return parsed.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("_corrupt").alias("n_corrupt"),

@@ -1,0 +1,65 @@
+"""Session-scoped cache lifecycle (VERDICT r3: replace the
+documentation-only persist contract with an explicit release path).
+
+Index-building queries persist through ``caching.track``; these tests
+prove (1) a multi-query session wrapped in ``cached_indexes()`` ends
+with executor storage EMPTY, (2) ``release_caches`` is idempotent, and
+(3) nested scopes release only their own entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dateng_data_lakes_apache_spark_spark import cached_indexes, release_caches
+from dateng_data_lakes_apache_spark_spark.caching import track, tracked_count
+from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+QS = get_queries()
+
+
+def _storage_empty(spark) -> bool:
+    """True iff no RDD blocks are held in executor storage."""
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+
+
+def test_three_query_session_releases_all_caches(spark, sf_dir):
+    # Start clean: any caches left by earlier tests belong to them.
+    release_caches()
+    spark.catalog.clearCache()
+    assert _storage_empty(spark)
+    with cached_indexes():
+        # Three index-building queries: LSH band table, funnel stage
+        # tables, pagerank edge index — each persists through track().
+        QS["q_dedup_minhash"](spark, sf_dir).count()
+        QS["q_funnel"](spark, sf_dir).count()
+        QS["q_pagerank"](spark, sf_dir).count()
+        assert tracked_count() > 0, "index queries should register caches"
+        assert not _storage_empty(spark), "caches should be materialized"
+    assert tracked_count() == 0
+    assert _storage_empty(spark), "cached_indexes() exit must empty storage"
+
+
+def test_release_is_idempotent_and_counts(spark, sf_dir):
+    release_caches()
+    QS["q_dedup_minhash"](spark, sf_dir).count()
+    n = release_caches()
+    assert n >= 1
+    assert release_caches() == 0  # second drain releases nothing
+    assert _storage_empty(spark)
+
+
+def test_nested_scopes_release_only_their_own(spark, sf_dir):
+    release_caches()
+    d = spark.range(10).withColumn("x", F.col("id") * 2)
+    outer = track(d)
+    outer.count()
+    with cached_indexes():
+        inner = track(spark.range(5).withColumn("y", F.col("id") + 1))
+        inner.count()
+        assert tracked_count() == 2
+    # inner released, outer still cached
+    assert tracked_count() == 1
+    assert not _storage_empty(spark)
+    assert release_caches() == 1
+    assert _storage_empty(spark)
