@@ -75,15 +75,38 @@ def minhash_signature(shingles_col, n_hashes: int = _N_HASHES):
     return F.array(*[_min_hash_for_seed(shingles_col, s) for s in range(n_hashes)])
 
 
-def minhash_pairs(d: DataFrame, threshold: float = 0.5) -> DataFrame:
+#: Per-bucket candidate cap: a band bucket larger than this switches
+#: from all-pairs to star pairing (bucket-min doc vs every member), so
+#: a pathological key (e.g. thousands of identical documents hashing to
+#: one bucket) costs O(n) instead of O(n²). 64² / 2 ≈ 2k pairs is the
+#: worst all-pairs work any single bucket can emit.
+_BUCKET_CAP = 64
+
+
+def minhash_pairs(
+    d: DataFrame, threshold: float = 0.5, bucket_cap: int = _BUCKET_CAP
+) -> DataFrame:
     """Near-dup candidate pairs via MinHash + banded LSH, then exact
     signature-similarity verification: (doc_a, doc_b, est_jaccard).
 
     Pipeline: 3-word shingles → 16-perm MinHash signature → 4 bands of 4
     rows → explode to (band_id, band_hash) keys → self-join *on the band
     key only* → verify estimated Jaccard ≥ threshold. The corpus is never
-    cross-joined: candidate generation cost is O(Σ bucket²) and bucket
-    sizes are bounded by collision probability, not corpus size.
+    cross-joined: candidate generation cost is O(Σ min(bucket, cap)²)
+    and bucket sizes are bounded by collision probability, not corpus
+    size.
+
+    Worst-case bound (VERDICT r3 item 4): without a cap, one degenerate
+    band key — all-identical documents, or a constant-text spam burst —
+    fans out quadratically inside its bucket. Buckets over ``bucket_cap``
+    therefore emit STAR pairs only (bucket-min doc_id against each other
+    member): linear in bucket size, and for the degenerate case that
+    triggers it (near-identical members) the star preserves exactly the
+    connectivity cluster resolution needs — every member still joins the
+    keeper's component. The recall trade-off (a dissimilar pair inside
+    an oversized bucket is only compared via the hub) is observable:
+    :func:`minhash_overflow_report` accounts for every capped bucket,
+    the same report-don't-silently-drop pattern as q_skew_report.
     """
     # Materialize shingles in their own projection: the 16 per-seed min-hash
     # expressions then reference one computed array instead of re-deriving
@@ -120,24 +143,45 @@ def minhash_pairs(d: DataFrame, threshold: float = 0.5) -> DataFrame:
     # Cache lifecycle: owned by the session — bench.py clears between
     # measurements; unpersisting here would defeat the purpose (the cache
     # must outlive this builder so both join sides reuse it lazily).
-    bands = track(bands)
-    left = bands.alias("l")
-    right = bands.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    # One window shuffle on the band key annotates every row with its
+    # bucket size and bucket-min doc — the band table is docs×4 narrow
+    # rows, so this costs far less than the join it bounds.
+    wb = Window.partitionBy("band_id", "band_hash")
+    bands = bands.withColumn("bsz", F.count(F.lit(1)).over(wb)).withColumn(
+        "bmin", F.min("doc_id").over(wb)
     )
+    bands = track(bands)
+    small = bands.where(F.col("bsz") <= bucket_cap)
+    left = small.alias("l")
+    right = small.alias("r")
+    allpairs = left.join(
+        right,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("doc_a"),
+        F.col("r.doc_id").alias("doc_b"),
+        F.col("l.sig").alias("sig_a"),
+        F.col("r.sig").alias("sig_b"),
+    )
+    # Oversized buckets: hub-and-spoke. The hub (bucket-min) row carries
+    # its own sig, each spoke joins it by the band key — O(bucket) rows,
+    # an equi-join against a bucket-count-sized build side.
+    hubs = bands.where(
+        (F.col("bsz") > bucket_cap) & (F.col("doc_id") == F.col("bmin"))
+    ).select("band_id", "band_hash", F.col("sig").alias("hub_sig"))
+    starpairs = (
+        bands.where((F.col("bsz") > bucket_cap) & (F.col("doc_id") != F.col("bmin")))
+        .join(hubs, ["band_id", "band_hash"])
+        .select(
+            F.col("bmin").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("hub_sig").alias("sig_a"),
+            F.col("sig").alias("sig_b"),
+        )
+    )
+    pairs = allpairs.unionByName(starpairs).dropDuplicates(["doc_a", "doc_b"])
     est_jaccard = (
         F.size(
             F.filter(
@@ -153,6 +197,52 @@ def minhash_pairs(d: DataFrame, threshold: float = 0.5) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", F.round(est_jaccard, 4).alias("est_jaccard")
     ).where(F.col("est_jaccard") >= threshold)
+
+
+def minhash_overflow_report(d: DataFrame, bucket_cap: int = _BUCKET_CAP) -> DataFrame:
+    """Accounting for every LSH bucket the cap degraded to star pairing:
+    (band_id, band_hash, bucket_size, pairs_full, pairs_emitted).
+
+    ``pairs_full`` is the all-pairs count the bucket would have cost,
+    ``pairs_emitted`` the star count actually produced — the difference
+    is exactly the comparisons the cap skipped, so a pipeline owner can
+    audit (and re-verify offline) what the bound traded away. Same
+    "report, never silently drop" discipline as q_skew_report.
+    """
+    shingled = d.select("doc_id", _word_shingles(F.col("text")).alias("shingles"))
+    sig = shingled.select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    sizes = bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return sizes.where(F.col("bucket_size") > bucket_cap).select(
+        "band_id",
+        "band_hash",
+        "bucket_size",
+        (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2)
+        .cast("bigint")
+        .alias("pairs_full"),
+        (F.col("bucket_size") - 1).cast("bigint").alias("pairs_emitted"),
+    )
 
 
 @query("q_dedup_minhash")  # rows-only: banded-LSH pipeline is not DuckDB-SQL-expressible
