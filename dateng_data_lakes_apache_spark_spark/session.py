@@ -108,10 +108,15 @@ def configure_s3a(
     access_key: str | None = None,
     secret_key: str | None = None,
     endpoint: str | None = None,
+    path_style: bool = False,
 ) -> SparkSession:
     """S3A connector config (mirrors etl.py:33-36 / Test_S3_Access.py:12-24,
     minus hard-coded credentials). Uses public Hadoop-conf keys only; falls
-    back to the AWS default provider chain when no keys are given."""
+    back to the AWS default provider chain when no keys are given.
+
+    ``path_style=True`` is required for endpoint-style object stores
+    (MinIO, moto, on-prem gateways) whose buckets are not DNS vhosts.
+    """
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     if access_key:
         hconf.set("fs.s3a.access.key", access_key)
@@ -119,6 +124,8 @@ def configure_s3a(
         hconf.set("fs.s3a.secret.key", secret_key)
     if endpoint:
         hconf.set("fs.s3a.endpoint", endpoint)
+    if path_style:
+        hconf.set("fs.s3a.path.style.access", "true")
     hconf.set("fs.s3a.fast.upload", "true")
     hconf.set("fs.s3a.connection.maximum", "64")
     return spark
