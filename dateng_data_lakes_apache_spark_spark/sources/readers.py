@@ -71,3 +71,45 @@ def write_csv(df: DataFrame, path: str, sep: str = ",", header: bool = True, mod
     """CSV sink (reference K3, ETL_from_Notebook.py:120-122 — commented
     out there, first-class here)."""
     df.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True iff the spark-avro connector is on the classpath.
+
+    Avro ships as an EXTERNAL Spark module (org.apache.spark:spark-avro),
+    not in the core distribution — the same deployment story as
+    hadoop-aws (see sources/object_store.py). Read/write paths gate on
+    this so a jar-less runtime degrades with a clear signal instead of
+    a ClassNotFoundException mid-pipeline.
+    """
+    # NB: core spark-sql bundles SOME avro classes (AvroFileFormat,
+    # SchemaConverters) even without the module, so probe the V2 source
+    # class that only the external spark-avro jar provides.
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.v2.avro.AvroDataSourceV2"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str | Sequence[str]) -> DataFrame:
+    """Avro reader (self-described schema, like parquet)."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro connector not on the classpath; deploy "
+            "org.apache.spark:spark-avro_2.13 matching the Spark version"
+        )
+    paths = [path] if isinstance(path, str) else list(path)
+    return spark.read.format("avro").load(paths)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink (row format — the lake's streaming-interchange format)."""
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-avro connector not on the classpath; deploy "
+            "org.apache.spark:spark-avro_2.13 matching the Spark version"
+        )
+    df.write.format("avro").mode(mode).save(path)
