@@ -29,6 +29,7 @@ from dateng_data_lakes_apache_spark_spark.session import get_spark
 # vector, UDF, pipeline, streaming) so a regression anywhere is caught.
 HEADLINE = [
     "q_scan_project",
+    "q_melt_unpivot",
     "q_filter_range",
     "q_agg_groupby",
     "q_agg_distinct",
@@ -43,6 +44,7 @@ HEADLINE = [
     "q_window_running",
     "q_ntile_global",
     "q_sort_limit",
+    "q_intersect_all",
     "q_string_funcs",
     "q_date_funcs",
     "q_math_funcs",
@@ -90,6 +92,7 @@ HEADLINE = [
     "q_starjoin_bigorders",
     "q_starjoin_disjunct",
     "q_gap_fill",
+    "q_gap_interpolate",
     "q_text_entropy",
     "q_join_null_safe",
     "q_recursive_cte",

@@ -188,7 +188,8 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the row — reproducible across engines, runs, cluster
     sizes, and data layout, and embarrassingly parallel (map-only, no
     shuffle until the final per-lang accounting). That is why it is
-    exactly oracle-able while q_sample is rows-only.
+    directly oracle-able, while q_sample's seeded RNG needs the
+    staged-expectation oracle.
     """
     d = table(spark, sf_dir, "documents")
     bucket = (
@@ -330,4 +331,114 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("kept_chars"),
         )
+    )
+
+
+@query(
+    "q_gap_interpolate",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id % 97 = 0
+      GROUP BY 1, 2
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(
+               (SELECT CAST(MIN(ts) AS DATE) FROM events),
+               (SELECT CAST(MAX(ts) AS DATE) FROM events),
+               INTERVAL 1 DAY)) AS DATE) AS day
+    ), grid AS (
+      SELECT t.event_type, s.day
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ), ctx AS (
+      SELECT g.event_type, g.day, o.sum_value AS observed,
+             last_value(o.sum_value IGNORE NULLS) OVER w_past AS prev_val,
+             last_value(CASE WHEN o.sum_value IS NOT NULL THEN g.day END
+                        IGNORE NULLS) OVER w_past AS prev_day,
+             first_value(o.sum_value IGNORE NULLS) OVER w_next AS next_val,
+             first_value(CASE WHEN o.sum_value IS NOT NULL THEN g.day END
+                         IGNORE NULLS) OVER w_next AS next_day
+      FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.day = o.day
+      WINDOW
+        w_past AS (PARTITION BY g.event_type ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY g.event_type ORDER BY g.day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, observed,
+           CASE WHEN observed IS NOT NULL THEN observed
+                WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+                ELSE round(prev_val + (next_val - prev_val)
+                       * (CAST(day - prev_day AS DOUBLE)
+                          / CAST(next_day - prev_day AS DOUBLE)), 6)
+           END AS interpolated
+    FROM ctx
+    """,
+)
+def q_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across time-series gaps: each missing day
+    gets the value on the straight line between its nearest observation
+    before and after — the reconstruction step for sensor/metric series
+    where forward-fill (q_gap_fill) would flatten trends. Edges stay
+    NULL (no extrapolation: inventing slope beyond the data is a
+    modeling decision, not a fill).
+
+    Two windows per series — one running-past, one running-future —
+    over the (event_type × day) GRID, which the daily aggregate has
+    already collapsed to O(days·types) rows; at 100 TB the corpus-sized
+    work is the one grouped aggregate, and the interpolation sorts only
+    the grid. The arithmetic is the identical expression tree in both
+    engines over exactly-derived doubles (decimal-accumulated daily
+    sums, integer day spans), so the 6-dp rounding is stability
+    insurance, not a fudge.
+    """
+    from ..common import dsum
+
+    e = table(spark, sf_dir, "events")
+    obs = (
+        e.where(F.col("event_id") % 97 == 0)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(dsum(F.col("value")).alias("sum_value"))
+    )
+    rng = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    w_past = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("sum_value").isNotNull(), F.col("day"))
+    ctx = grid.join(obs, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.col("sum_value").alias("observed"),
+        F.last("sum_value", ignorenulls=True).over(w_past).alias("prev_val"),
+        F.last(obs_day, ignorenulls=True).over(w_past).alias("prev_day"),
+        F.first("sum_value", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_day"),
+    )
+    frac = F.datediff(F.col("day"), F.col("prev_day")).cast("double") / F.datediff(
+        F.col("next_day"), F.col("prev_day")
+    ).cast("double")
+    return ctx.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "observed",
+        F.when(F.col("observed").isNotNull(), F.col("observed"))
+        .when(F.col("prev_val").isNull() | F.col("next_val").isNull(), F.lit(None))
+        .otherwise(
+            F.round(
+                F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac, 6
+            )
+        )
+        .alias("interpolated"),
     )

@@ -219,3 +219,35 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("new_status", "o_orderstatus").alias("o_orderstatus"),
         F.when(F.col("u_key").isNotNull(), 1).otherwise(0).alias("was_updated"),
     )
+
+
+@query(
+    "q_melt_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             l_quantity, l_extendedprice, l_discount, l_tax
+      FROM lineitem WHERE l_orderkey < 2000
+    )
+    UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def q_melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt/UNPIVOT): the four lineitem measures
+    become (measure, val) rows keyed by line — the canonical feed for
+    generic per-metric pipelines (profiling, drift monitors, metric
+    stores) that must not hard-code column lists downstream.
+
+    ``DataFrame.unpivot`` plans as a Generate (expand) projection —
+    map-only, zero shuffle, 4× row fan-out strictly in the executor —
+    the same scale shape as explode. No NULL-dropping surprise: unpivot
+    drops rows where val IS NULL, matching DuckDB's UNPIVOT default.
+    """
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )

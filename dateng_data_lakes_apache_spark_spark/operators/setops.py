@@ -121,3 +121,31 @@ def q_union_mixed_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ev.unionByName(o, allowMissingColumns=True)
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT o_orderpriority AS priority FROM orders
+    WHERE year(o_orderdate) = 1995
+    INTERSECT ALL
+    SELECT o_orderpriority AS priority FROM orders
+    WHERE year(o_orderdate) = 1996
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection): per value, min(multiplicity
+    left, multiplicity right) occurrences survive — here the demand
+    profile two order-years have in COMMON, priority by priority.
+    Completes the multiset pair with q_except's EXCEPT ALL: both plan as
+    count-aggregates per side joined on the value (never a row-level
+    join), so the shuffle carries |distinct values| rows regardless of
+    input multiplicity — the scale-correct multiset algebra."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    b = o.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return a.intersectAll(b)
