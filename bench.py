@@ -93,6 +93,8 @@ HEADLINE = [
     "q_starjoin_disjunct",
     "q_gap_fill",
     "q_gap_interpolate",
+    "q_rolling_median",
+    "q_dq_freshness",
     "q_text_entropy",
     "q_join_null_safe",
     "q_recursive_cte",

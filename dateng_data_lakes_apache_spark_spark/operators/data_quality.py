@@ -817,3 +817,55 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_v0") != F.col("sum_v1"))
         | (F.col("n_rows_v0") != F.col("n_rows_v1"))
     ).orderBy("block_id")
+
+
+@query(
+    "q_dq_freshness",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+    per AS (
+      SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_events
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_event,
+           CAST((epoch_us(gmax) - epoch_us(last_ts)) // 60000000 AS BIGINT)
+             AS minutes_behind,
+           CAST(n_events AS BIGINT) AS n_events,
+           (epoch_us(gmax) - epoch_us(last_ts)) // 60000000 >= 360 AS stale
+    FROM per, g
+    ORDER BY event_type
+    """,
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-freshness audit: per event stream, when did data last
+    arrive and how far behind the newest data in the lake is it — the
+    first dashboard every ingestion pipeline gets, and the check a
+    6-hour SLA alert keys off (``stale``).
+
+    One grouped MAX/COUNT (map-side partial — the scan never shuffles
+    rows, only per-type maxima) plus a broadcast of the 1-row global
+    max. At 100 TB this is metadata-cheap, and on a real lake the MAX
+    comes straight from parquet footer statistics the scan already
+    reads. Integer minute arithmetic on epoch microseconds — exact in
+    both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("gmax"))
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    behind = F.expr(
+        "CAST((unix_micros(gmax) - unix_micros(last_ts)) div 60000000 AS BIGINT)"
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_event"),
+            behind.alias("minutes_behind"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            (behind >= 360).alias("stale"),
+        )
+        .orderBy("event_type")
+    )

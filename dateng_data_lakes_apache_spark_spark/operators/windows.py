@@ -496,3 +496,46 @@ def q_window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pr"),
         F.round(F.cume_dist().over(w), 4).alias("cd"),
     )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                / 100.0 AS DOUBLE) AS rolling_median
+    FROM events
+    WHERE user_id < 100
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median of the last 10 events per user — the
+    robust-location twin of q_rolling_zscore's mean/stddev band (a
+    median band shrugs off the single-outlier spikes that poison a
+    rolling mean).
+
+    A HOLISTIC aggregate over a sliding frame: each frame buffers ≤10
+    rows, so the cost is O(rows × frame), not a global sort — the only
+    scale knob is the frame length. Median interpolation runs on
+    integer CENTS ((a+b)/2 of ints, then one /100.0), so Spark's
+    percentile() and DuckDB's quantile_cont() agree bit-for-bit; a
+    raw-double median would tie-break differently per engine. The
+    user_id < 100 slice keeps the registered result driver-sized; the
+    operator itself is per-user-partitioned and unbounded.
+    """
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.percentile(cents, F.lit(0.5)).over(w) / F.lit(100.0))
+        .cast("double")
+        .alias("rolling_median"),
+    )
