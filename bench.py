@@ -94,6 +94,8 @@ HEADLINE = [
     "q_gap_fill",
     "q_gap_interpolate",
     "q_rolling_median",
+    "q_window_distinct",
+    "q_user_growth",
     "q_dq_freshness",
     "q_text_entropy",
     "q_join_null_safe",

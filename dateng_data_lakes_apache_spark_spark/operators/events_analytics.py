@@ -1634,3 +1634,59 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@query(
+    "q_user_growth",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM firsts GROUP BY first_day
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(
+               (SELECT CAST(MIN(ts) AS DATE) FROM events),
+               (SELECT CAST(MAX(ts) AS DATE) FROM events),
+               INTERVAL 1 DAY)) AS DATE) AS day
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(d.new_users, 0)) OVER (
+             ORDER BY s.day ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cumulative_users
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-base growth curve: per calendar day, how many users had
+    their FIRST event that day and the cumulative total — the topmost
+    chart on any product dashboard, and the denominator feed for
+    retention/LTV normalization.
+
+    Scale split: the corpus-sized pass is one MIN-per-user aggregate
+    (map-side partial); everything downstream — daily counts, the
+    generated date spine, the running sum — runs on day-bounded tables,
+    so the single-partition cumulative window is over O(days) rows, not
+    events (the same bounded-window discipline as q_date_spine and the
+    Kaplan-Meier life table).
+    """
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    rng = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    nu = F.coalesce("new_users", F.lit(0))
+    return spine.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        nu.cast("bigint").alias("new_users"),
+        F.sum(nu).over(w).cast("bigint").alias("cumulative_users"),
+    )

@@ -539,3 +539,43 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_median"),
     )
+
+
+@query(
+    "q_window_distinct",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(DISTINCT event_type)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                AS INT) AS distinct_types_10
+    FROM events
+    WHERE user_id < 100
+    """,
+)
+def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a sliding frame — behavioral diversity: how
+    many different event types each user touched in their last 10
+    events (a flat 1 = bot-like repetition; rising = exploration).
+
+    Spark has NO native windowed COUNT(DISTINCT); the engine expresses
+    it as size(collect_set() OVER frame) — exact, and bounded by the
+    frame length so each window state holds ≤10 entries regardless of
+    corpus size (collect_set over an UNBOUNDED frame would be the
+    mistake: per-row state linear in partition length). The DuckDB twin
+    uses its native windowed DISTINCT aggregate, so the hash match
+    proves the collect_set formulation implements exactly those
+    semantics. user_id < 100 keeps the registered result driver-sized;
+    the operator is per-user-partitioned and unbounded.
+    """
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("int").alias("distinct_types_10"),
+    )
