@@ -83,6 +83,9 @@ HEADLINE = [
     "q_corpus_pipeline",
     "q_tfidf",
     "q_sample_stratified",
+    "q_sample_es_weighted",
+    "q_kfold_assign",
+    "q_agg_string_concat",
     "q_embedding_quantize",
     "q_agg_percentile_exact",
     "q_join_interval_overlap",

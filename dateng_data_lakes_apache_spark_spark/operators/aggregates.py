@@ -492,3 +492,40 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_part").alias("n_events"),
         F.sum("sum_dec").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "q_agg_string_concat",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS supplier_csv
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (GROUP_CONCAT/string_agg): the
+    roster-per-group shape every report export needs. Spark has no
+    ordered string_agg; the engine expresses it as
+    concat_ws(array_sort(collect_list())) — the sort happens INSIDE
+    each group's collected array (group-bounded memory), not as a
+    global orderBy, and the DuckDB ORDER BY-qualified string_agg twin
+    hash-matches, proving the ordering semantics. Groups here are
+    dim-bounded (suppliers per nation); an unbounded-group rollout caps
+    or top-ks the array first (q_cap_per_source pattern).
+    """
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias(
+                "supplier_csv"
+            ),
+        )
+        .orderBy("nation")
+    )

@@ -1242,3 +1242,96 @@ def q_substring_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + (_SRP_K - 1)).cast("bigint").alias("end_word"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+def _es_key_sqls() -> tuple[str, str]:
+    """Spark/DuckDB texts for the Efraimidis-Spirakis sampling key.
+
+    v = 48 bits of md5(doc_id) (exact integer, both engines), u =
+    (v+1)/(2^48+1) ∈ (0,1], weight w = least(n_chars, 3000), key =
+    round(ln(u)/w, 9). Top-k by key DESC is a weighted sample WITHOUT
+    replacement with inclusion probability ∝ w (Efraimidis & Spirakis
+    2006: key u^(1/w) order ≡ ln(u)/w order). The 9-dp rounding + doc_id
+    tiebreak absorbs the ≤1-ulp libm-vs-JVM ln() drift so the selected
+    SET is engine-identical.
+    """
+    from ..common import md5_hex4_duck, md5_hex4_spark
+
+    def key(h4) -> str:
+        v = (
+            f"({h4('doc_id', 1)} * 4294967296 + {h4('doc_id', 5)} * 65536"
+            f" + {h4('doc_id', 9)})"
+        )
+        u = f"(({v} + 1) / 281474976710657.0)"
+        return f"round(ln({u}) / least(n_chars, 3000), 9)"
+
+    return key(md5_hex4_spark), key(md5_hex4_duck)
+
+
+_ES_SPARK, _ES_DUCK = _es_key_sqls()
+
+
+@query(
+    "q_sample_es_weighted",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, {_ES_DUCK} AS es_key
+    FROM documents
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_sample_es_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
+    exactly 100 documents, longer documents proportionally likelier,
+    no document twice — the fixed-budget counterpart of
+    q_sample_weighted's Bernoulli thinning (which only controls the
+    EXPECTED count). The per-row key is a pure md5 function of doc_id
+    (see :func:`_es_key_sqls`), so the draw is reproducible across
+    engines, runs, and layout, and the top-k plans as
+    TakeOrderedAndProject — per-partition heaps of 100, no global sort.
+    At 100 TB this is THE way to draw a fixed-size weighted corpus
+    sample: one scan, k·partitions heap memory, zero shuffle of data
+    rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", "n_chars", F.expr(_ES_SPARK).alias("es_key"))
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q_kfold_assign",
+    oracle=f"""
+    SELECT lang,
+           CAST(((instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 3, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 4, 1)) - 1) * 1) % 5 AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                AS BIGINT) AS fold_tokens
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, fold
+    """,
+)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment, stratified by
+    language: fold = md5(doc_id) mod 5, so folds are reproducible,
+    layout-independent, and near-balanced within every stratum (the
+    accounting this query emits is the balance check). Map-only
+    assignment + one small aggregate — at 100 TB the fold column is
+    free alongside the scan, same discipline as q_split_train_test.
+    """
+    d = table(spark, sf_dir, "documents")
+    fold = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 5)
+    ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    return (
+        d.select("lang", fold.alias("fold"), ntok.alias("ntok"))
+        .groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("fold_tokens"),
+        )
+        .orderBy("lang", "fold")
+    )
