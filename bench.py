@@ -99,6 +99,8 @@ HEADLINE = [
     "q_rolling_median",
     "q_window_distinct",
     "q_user_growth",
+    "q_new_vs_returning",
+    "q_abc_pareto",
     "q_dq_freshness",
     "q_text_entropy",
     "q_join_null_safe",

@@ -29,11 +29,11 @@ become 1-row broadcast joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..common import davg, dsum, o_davg, o_dsum
+from ..common import DEC, davg, dsum, o_davg, o_dsum
 from ..registry import query
 
 
@@ -742,4 +742,85 @@ def q_starjoin_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_type", "size_band")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS r
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nationkey, o_custkey, r,
+             SUM(r) OVER (PARTITION BY nationkey ORDER BY r DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(r) OVER (PARTITION BY nationkey) AS tot
+      FROM rev
+    ),
+    classed AS (
+      SELECT nationkey, r,
+             CASE WHEN cum * 2 <= tot THEN 'A'
+                  WHEN cum * 5 <= tot * 4 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT nationkey, abc,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r) AS DOUBLE) AS class_revenue
+    FROM classed
+    GROUP BY nationkey, abc
+    ORDER BY nationkey, abc
+    """,
+)
+def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification: within each nation, customers ranked
+    by revenue; the head covering the first half of revenue is class A,
+    up to 80% is B, the long tail is C — the inventory/CRM
+    prioritization analysis ("which 20% of customers are 80% of
+    revenue").
+
+    The class boundaries are INTEGER-exact: cumulative and total
+    revenue accumulate as DECIMAL(30,8) and the 50%/80% cuts compare
+    via cross-multiplication (cum*2 <= tot, cum*5 <= tot*4) — no float
+    share ever computed, so the boundary row can't diverge cross-engine
+    the way round(cum/tot, k) would. One customer-revenue aggregate,
+    one per-nation window over the CUSTOMER table (orders already
+    collapsed), one day-bounded final aggregate.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("r"))
+    )
+    w_cum = (
+        Window.partitionBy("nationkey")
+        .orderBy(F.desc("r"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("nationkey")
+    ranked = rev.select(
+        "nationkey",
+        "r",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(w_tot).alias("tot"),
+    )
+    abc = (
+        F.when(F.col("cum") * 2 <= F.col("tot"), "A")
+        .when(F.col("cum") * 5 <= F.col("tot") * 4, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("nationkey", "r", abc.alias("abc"))
+        .groupBy("nationkey", "abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+        .orderBy("nationkey", "abc")
     )

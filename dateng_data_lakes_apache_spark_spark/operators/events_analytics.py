@@ -1690,3 +1690,57 @@ def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         nu.cast("bigint").alias("new_users"),
         F.sum(nu).over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+    WITH per_day AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(day) AS first_day FROM per_day GROUP BY user_id
+    )
+    SELECT strftime(p.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(COUNT(*) FILTER (WHERE p.day = f.first_day) AS BIGINT) AS new_users,
+           CAST(COUNT(*) FILTER (WHERE p.day > f.first_day) AS BIGINT)
+             AS returning_users
+    FROM per_day p JOIN firsts f USING (user_id)
+    GROUP BY p.day
+    ORDER BY day
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split into NEW vs RETURNING — the second chart on
+    every product dashboard (q_user_growth's companion): stickiness is
+    returning/active, acquisition health is the new-user line, and
+    new + returning = active is the built-in audit the oracle's hash
+    match certifies row by row.
+
+    Shape: one (user, day) distinct collapse (map-side partial), one
+    MIN-per-user over THAT (already day-granular, far smaller than
+    events), broadcast-or-shuffle join back, day-bounded aggregate. No
+    window at all — first_day comparison beats a running MIN window
+    because it shuffles the (user, day) table once instead of sorting
+    per user.
+    """
+    e = table(spark, sf_dir, "events")
+    per_day = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = per_day.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        per_day.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count_if(F.col("day") == F.col("first_day")).alias("new_users"),
+            F.count_if(F.col("day") > F.col("first_day")).alias("returning_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("active_users").cast("bigint").alias("active_users"),
+            F.col("new_users").cast("bigint").alias("new_users"),
+            F.col("returning_users").cast("bigint").alias("returning_users"),
+        )
+        .orderBy("day")
+    )
