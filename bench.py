@@ -111,6 +111,7 @@ HEADLINE = [
     "q_resample_ohlc",
     "q_frequent_pairs",
     "q_triangle_count",
+    "q_graph_bfs",
     "q_multimodal_video",
     "q_agg_salted",
     "q_er_blocked_join",

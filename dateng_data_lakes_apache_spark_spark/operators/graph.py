@@ -299,3 +299,90 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def bfs_distances(
+    edges: DataFrame, source: int, max_hops: int
+) -> DataFrame:
+    """Breadth-first shortest-path distances from ``source`` over a
+    directed edge list (src, dst): (node, dist) for every node within
+    ``max_hops``.
+
+    Frontier expansion: each round joins ONLY the newly-reached
+    frontier (not the full visited set) onto the edge list and
+    anti-joins out already-visited nodes — per-round cost is
+    |frontier's edges|, and the visited table grows monotonically, so
+    total work is O(edges within the ball), the textbook distributed
+    BFS. Rounds are data-independent joins → localCheckpoint per round
+    keeps the plan O(1) like the other iterative operators.
+    """
+    dist = edges.sparkSession.createDataFrame(
+        [(source, 0)], "node long, dist int"
+    )
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(dist.select("node"), "node", "left_anti").select(
+            "node", F.lit(hop).cast("int").alias("dist")
+        )
+        dist = local_checkpoint(dist.unionByName(new), eager=True)
+        frontier = new
+    return dist
+
+
+@query(
+    "q_graph_bfs",
+    oracle="""
+    WITH RECURSIVE fwd AS (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+    ),
+    bfs AS (
+      SELECT CAST(2 AS BIGINT) AS node, 0 AS dist
+      UNION
+      SELECT e.dst AS node, b.dist + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < 4
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+           CAST(node // 2 AS BIGINT) AS entity_key,
+           CAST(MIN(dist) AS INT) AS dist
+    FROM bfs
+    GROUP BY node
+    ORDER BY dist, kind, entity_key
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path hop distances (BFS) from part #1 over the
+    part↔supplier supply graph, bounded at 4 hops — "everything within
+    N procurement steps", the blast-radius query of supply-chain and
+    lineage analysis.
+
+    Completes the iterative-graph trio (PageRank diffusion, connected-
+    components fixpoint, BFS frontier expansion). Exact integer
+    distances make the DuckDB twin a plain recursive CTE whose UNION
+    dedup bounds the state space at |V|×hops — the same
+    oracle-the-iteration discipline as q_pagerank's unrolled rounds and
+    q_dedup_resolve's min-label fixpoint.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    dist = bfs_distances(edges, source=2, max_hops=4)
+    return dist.select(
+        F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias("kind"),
+        (F.col("node") / 2).cast("bigint").alias("entity_key"),
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("dist", "kind", "entity_key")

@@ -56,3 +56,26 @@ def test_q_pagerank_runs(spark, sf_dir):
     assert all(r.kind in ("part", "supplier") for r in rows)
     ranks = [r.rank_scaled for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_bfs_chain_distances(spark):
+    """Closed form: a 0-1-2-3 chain (undirected) from source 0 gives
+    dist == node index; node 9 is unreachable within the hop bound."""
+    from dateng_data_lakes_apache_spark_spark.operators.graph import bfs_distances
+
+    fwd = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (8, 9)], "src long, dst long"
+    )
+    edges = fwd.union(fwd.selectExpr("dst AS src", "src AS dst"))
+    got = {r.node: r.dist for r in bfs_distances(edges, source=0, max_hops=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_hop_bound_cuts_frontier(spark):
+    from dateng_data_lakes_apache_spark_spark.operators.graph import bfs_distances
+
+    fwd = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    got = {r.node: r.dist for r in bfs_distances(fwd, source=0, max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # nodes 3..6 beyond the bound
