@@ -313,24 +313,34 @@ def bfs_distances(
     anti-joins out already-visited nodes — per-round cost is
     |frontier's edges|, and the visited table grows monotonically, so
     total work is O(edges within the ball), the textbook distributed
-    BFS. Rounds are data-independent joins → localCheckpoint per round
-    keeps the plan O(1) like the other iterative operators.
+    BFS. The edge list is persisted once (same rule as pagerank's
+    degree index: without it AQE's broadcast build re-derives the whole
+    distinct-edge chain per round, which OOM'd the driver at sf0.1);
+    rounds localCheckpoint so the plan stays O(1).
     """
+    edges = track(edges.select("src", "dst"))
     dist = edges.sparkSession.createDataFrame(
         [(source, 0)], "node long, dist int"
     )
     frontier = dist
     for hop in range(1, max_hops + 1):
+        # Frontier and visited sets are ball-bounded (≤ |V| keys);
+        # broadcast them so each round streams the edge index once.
         nxt = (
-            frontier.join(edges, frontier.node == edges.src)
+            edges.join(
+                F.broadcast(frontier.select(F.col("node").alias("src"))), "src"
+            )
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        new = nxt.join(dist.select("node"), "node", "left_anti").select(
-            "node", F.lit(hop).cast("int").alias("dist")
-        )
+        new = nxt.join(
+            F.broadcast(dist.select("node")), "node", "left_anti"
+        ).select("node", F.lit(hop).cast("int").alias("dist"))
         dist = local_checkpoint(dist.unionByName(new), eager=True)
-        frontier = new
+        # read the new frontier back out of the CHECKPOINTED table —
+        # carrying `new` forward would re-derive its whole join chain
+        # next round (the checkpoint exists precisely to cut that).
+        frontier = dist.where(F.col("dist") == hop)
     return dist
 
 
