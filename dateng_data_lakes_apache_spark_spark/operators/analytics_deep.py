@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import track
 from ..catalog import table
 from ..common import DEC, davg, dsum, o_davg, o_dsum
 from ..registry import query
@@ -466,8 +467,8 @@ def q_starjoin_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
-        .persist()  # drives the main set AND the anti side; bench owns caches
     )
+    late = track(late)  # drives the main set AND the anti side; session owns caches
     l2 = l.select(
         F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
     )

@@ -1067,7 +1067,8 @@ def q_dedup_union_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.filter(words, lambda w: w != "")).alias("tk"),
         F.md5(F.concat_ws(" ", F.slice(words, 1, 3))).alias("pre"),
         F.md5(F.concat_ws(" ", F.slice(words, 6, 5))).alias("mid"),
-    ).persist()  # feeds both generators and the verify joins; bench owns caches
+    )
+    toks = track(toks)  # feeds both generators and the verify joins; session owns caches
 
     def gen(key: str, sig: int) -> DataFrame:
         a = toks.select(F.col("doc_id").alias("i"), F.col(key).alias("k"))

@@ -239,8 +239,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 2)
         .select("a", "b")
-        .persist()  # anchors all three legs; callers/bench own the cache
     )
+    edges = track(edges)  # anchors all three legs; session owns the cache
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.crossJoin(triangle_count(edges))
 
