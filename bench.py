@@ -55,6 +55,7 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_resolve",
+    "q_dedup_cluster_stats",
     "q_dedup_lines",
     "q_dedup_sorted_neighborhood",
     "q_join_dpp",
@@ -112,6 +113,7 @@ HEADLINE = [
     "q_frequent_pairs",
     "q_triangle_count",
     "q_graph_bfs",
+    "q_basket_lift",
     "q_multimodal_video",
     "q_agg_salted",
     "q_er_blocked_join",

@@ -1097,3 +1097,54 @@ def q_dedup_union_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (jac >= 0.5).alias("is_dup"),
         )
     )
+
+
+@query(
+    "q_dedup_cluster_stats",
+    oracle=RESOLVE_ORACLE_CTES
+    + """
+    , sizes AS (
+      SELECT keeper_doc_id, COUNT(*) AS cluster_size
+      FROM resolved GROUP BY keeper_doc_id
+    )
+    SELECT CAST(cluster_size AS INT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_dropped
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: the cluster-size histogram of the resolved
+    near-dup graph — how many singletons, pairs, triples...; n_dropped
+    per size row sums to exactly the documents dedup removes. This is
+    the one-page summary a pipeline owner reads before approving a
+    dedup config (a fat tail here means the threshold merged unrelated
+    docs; all-singletons means it did nothing).
+
+    Costs one groupBy over q_dedup_resolve's per-doc output (the
+    resolve itself is the dominant, already-indexed cost); the oracle
+    extends the same recursive-CTE fixpoint the resolve and
+    split-by-cluster oracles share.
+    """
+    resolved = q_dedup_resolve(spark, sf_dir)
+    sizes = resolved.groupBy("keeper_doc_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+            F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .select(
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            "n_docs",
+            "n_dropped",
+        )
+        .orderBy("cluster_size")
+    )

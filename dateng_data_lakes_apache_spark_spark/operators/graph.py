@@ -396,3 +396,79 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") / 2).cast("bigint").alias("entity_key"),
         F.col("dist").cast("int").alias("dist"),
     ).orderBy("dist", "kind", "entity_key")
+
+
+@query(
+    "q_basket_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n_baskets AS (SELECT COUNT(DISTINCT o) AS nb FROM items),
+    item_n AS (SELECT p, COUNT(*) AS n FROM items GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_pair
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 2
+    )
+    SELECT pa, pb,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(ia.n AS BIGINT) AS n_a,
+           CAST(ib.n AS BIGINT) AS n_b,
+           round(CAST(n_pair AS DOUBLE) * nb / (ia.n * ib.n), 6) AS lift
+    FROM pairs
+    JOIN item_n ia ON ia.p = pa
+    JOIN item_n ib ON ib.p = pb
+    CROSS JOIN n_baskets
+    ORDER BY n_pair DESC, pa, pb
+    LIMIT 50
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association strength: for the most co-purchased
+    part pairs, the LIFT — observed co-occurrence over the rate
+    independence would predict (lift > 1 = genuine affinity, the number
+    a recommender thresholds on; raw pair counts alone just rank
+    popular items).
+
+    Same bounded candidate generation as q_frequent_pairs (within-
+    basket self-join — cost Σ basket², never corpus²); the lift
+    arithmetic stays on exact integers until ONE double division +
+    6-dp round, so both engines agree bit-for-bit. Top-50 plans as
+    TakeOrderedAndProject.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    items = track(items)  # feeds baskets, item counts, and the pair join
+    nb = items.select("o").distinct().agg(F.count(F.lit(1)).alias("nb"))
+    item_n = items.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    ia, ib = items.alias("ia"), items.alias("ib")
+    pairs = (
+        ia.join(ib, (F.col("ia.o") == F.col("ib.o")) & (F.col("ia.p") < F.col("ib.p")))
+        .groupBy(F.col("ia.p").alias("pa"), F.col("ib.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 2)
+    )
+    na = item_n.select(F.col("p").alias("pa"), F.col("n").alias("n_a"))
+    nbr = item_n.select(F.col("p").alias("pb"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(na, "pa")
+        .join(nbr, "pb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "pa",
+            "pb",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_pair").cast("double") * F.col("nb") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), "pa", "pb")
+        .limit(50)
+    )
