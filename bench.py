@@ -101,6 +101,7 @@ HEADLINE = [
     "q_window_distinct",
     "q_user_growth",
     "q_new_vs_returning",
+    "q_session_bounce",
     "q_abc_pareto",
     "q_dq_freshness",
     "q_text_entropy",

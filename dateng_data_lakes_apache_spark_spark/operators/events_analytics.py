@@ -1744,3 +1744,95 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_session_bounce",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             CAST(MIN(ts) AS DATE) AS day,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+           round(CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate
+    FROM per_session
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min inactivity gap)
+    containing exactly ONE event — the engagement red flag every web
+    dashboard tracks beside actives. Sessions attribute to the day they
+    START (a midnight-straddling session counts once).
+
+    Reuses the gap-and-islands sessionization (lag + running sum, one
+    user shuffle); sessions then reduce to a day-bounded aggregate. The
+    rate is ONE double division + 6-dp round over exact integer counts
+    — engine-identical.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.select(
+        "user_id", "ts", F.sum("new_session").over(w_run).alias("session_id")
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").cast("date").alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounces = F.count_if(F.col("n_events") == 1)
+    return (
+        per_session.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounces.alias("n_bounces"),
+            F.round(
+                bounces.cast("double") / F.count(F.lit(1)), 6
+            ).alias("bounce_rate"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            F.col("n_bounces").cast("bigint").alias("n_bounces"),
+            "bounce_rate",
+        )
+        .orderBy("day")
+    )
