@@ -56,6 +56,7 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_dedup_resolve",
     "q_dedup_cluster_stats",
+    "q_dedup_rate_by_source",
     "q_dedup_lines",
     "q_dedup_sorted_neighborhood",
     "q_join_dpp",
@@ -103,6 +104,7 @@ HEADLINE = [
     "q_new_vs_returning",
     "q_session_bounce",
     "q_abc_pareto",
+    "q_hhi_concentration",
     "q_dq_freshness",
     "q_text_entropy",
     "q_join_null_safe",

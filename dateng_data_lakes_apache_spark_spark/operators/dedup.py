@@ -1148,3 +1148,49 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "q_dedup_rate_by_source",
+    oracle=RESOLVE_ORACLE_CTES
+    + """
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE r.is_dup) AS BIGINT) AS n_dups,
+           round(CAST(COUNT(*) FILTER (WHERE r.is_dup) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate
+    FROM resolved r JOIN documents d ON d.doc_id = r.doc_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate rate per source (lang stands in for domain): which
+    slices of the corpus are polluted — the breakdown that decides
+    whether dedup findings mean "one spammy domain" or "systemic
+    near-duplication", and the per-source quality metric crawl
+    pipelines trend over time.
+
+    One join of the resolve output back to the corpus dimension + a
+    source-bounded aggregate; the rate is one double division + 6-dp
+    round over exact counts. Oracle extends the shared resolve CTE.
+    """
+    resolved = q_dedup_resolve(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    dups = F.count_if(F.col("is_dup"))
+    return (
+        resolved.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dups.alias("n_dups"),
+            F.round(dups.cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_dups").cast("bigint").alias("n_dups"),
+            "dup_rate",
+        )
+        .orderBy("lang")
+    )

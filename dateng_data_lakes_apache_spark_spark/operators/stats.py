@@ -1952,3 +1952,67 @@ def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mde_abs"),
     ).orderBy("nation")
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_nationkey AS nationkey,
+             SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, o.o_custkey
+    )
+    SELECT nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+                 / (CAST(SUM(cents) AS DOUBLE) * SUM(cents)), 9) AS hhi,
+           round(1.0 / COUNT(*), 9) AS hhi_floor
+    FROM per_cust
+    GROUP BY nationkey
+    ORDER BY nationkey
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of revenue per nation: Σ of
+    squared customer revenue shares — 1/n (perfect competition, emitted
+    as hhi_floor) up to 1.0 (monopsony). The Gini's (q_gini_revenue)
+    antitrust-flavored sibling; together they bound "how dependent is
+    this market on few buyers".
+
+    Exactness: revenue accumulates as integer CENTS; Σ cents² runs in
+    DECIMAL(38,0)/HUGEINT (a customer at ~1e8 cents squared is 1e16 —
+    an int64 Σ would overflow, the q_table_diff lesson). The final
+    ratio is computed double-side and rounded to 9 dp: the wide-int →
+    double cast drifts ≤2 ulp above 2^53 (documented DuckDB landmine),
+    which is 1e-16 relative — seven orders below the rounding grid.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    sq = (F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sq")
+    return (
+        per_cust.select("nationkey", "cents", sq)
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("sq").alias("sum_sq"),
+            F.sum("cents").alias("sum_c"),
+        )
+        .select(
+            "nationkey",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.round(
+                F.col("sum_sq").cast("double")
+                / (F.col("sum_c").cast("double") * F.col("sum_c")),
+                9,
+            ).alias("hhi"),
+            F.round(F.lit(1.0) / F.col("n_customers"), 9).alias("hhi_floor"),
+        )
+        .orderBy("nationkey")
+    )
