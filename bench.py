@@ -103,6 +103,8 @@ HEADLINE = [
     "q_user_growth",
     "q_new_vs_returning",
     "q_session_bounce",
+    "q_time_to_first_purchase",
+    "q_catalog_coverage",
     "q_abc_pareto",
     "q_hhi_concentration",
     "q_dq_freshness",

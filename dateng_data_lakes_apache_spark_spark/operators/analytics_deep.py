@@ -825,3 +825,53 @@ def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey", "abc")
     )
+
+
+@query(
+    "q_catalog_coverage",
+    oracle="""
+    WITH ordered_parts AS (
+      SELECT DISTINCT l_partkey FROM lineitem
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(op.l_partkey) AS BIGINT) AS n_ordered,
+           CAST(COUNT(*) - COUNT(op.l_partkey) AS BIGINT) AS n_dead,
+           round(CAST(COUNT(op.l_partkey) AS DOUBLE) / COUNT(*), 6)
+             AS coverage
+    FROM part p LEFT JOIN ordered_parts op ON op.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def q_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog coverage / dead-stock audit: per brand, how many parts
+    have EVER been ordered vs never — the assortment-health check
+    purchasing runs before delisting ("n_dead" is the candidate cull
+    list's size). The LEFT join + COUNT(col) formulation counts
+    matches and misses in ONE pass — no separate anti-join scan — and
+    the distinct-ordered-parts build collapses lineitem to |parts|
+    keys map-side before the join.
+    """
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    ordered = li.select("l_partkey").distinct()
+    hit = F.count("l_partkey")
+    return (
+        p.join(ordered, p.p_partkey == ordered.l_partkey, "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            hit.alias("n_ordered"),
+            (F.count(F.lit(1)) - hit).alias("n_dead"),
+            F.round(hit.cast("double") / F.count(F.lit(1)), 6).alias("coverage"),
+        )
+        .select(
+            "p_brand",
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            F.col("n_ordered").cast("bigint").alias("n_ordered"),
+            F.col("n_dead").cast("bigint").alias("n_dead"),
+            "coverage",
+        )
+        .orderBy("p_brand")
+    )

@@ -1836,3 +1836,56 @@ def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_time_to_first_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS first_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_buy_us
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT (first_buy_us - first_us) // 3600000000 AS hours_to_buy
+      FROM firsts WHERE first_buy_us IS NOT NULL
+    )
+    SELECT CAST(hours_to_buy AS BIGINT) AS hours_to_buy,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM conv
+    GROUP BY hours_to_buy
+    ORDER BY hours_to_buy
+    """,
+)
+def q_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation latency distribution: per converting user, whole
+    hours between their FIRST event ever and their FIRST purchase,
+    histogrammed — the onboarding-funnel speed metric growth teams
+    optimize ("how long until value?"). Hour 0 = converted within the
+    first hour; users who never purchase are excluded (their latency is
+    right-censored — q_kaplan_meier is the estimator that uses them).
+
+    One conditional MIN-pair aggregate per user (map-side partial; no
+    window, no join), then an hour-bounded histogram. Integer
+    microsecond floor-division keeps every bucket engine-exact.
+    """
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_buy_us"),
+    )
+    return (
+        firsts.where(F.col("first_buy_us").isNotNull())
+        .select(
+            F.expr(
+                "CAST((first_buy_us - first_us) div 3600000000 AS BIGINT)"
+            ).alias("hours_to_buy")
+        )
+        .groupBy("hours_to_buy")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("hours_to_buy")
+    )
