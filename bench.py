@@ -105,6 +105,8 @@ HEADLINE = [
     "q_session_bounce",
     "q_time_to_first_purchase",
     "q_catalog_coverage",
+    "q_order_aging",
+    "q_repeat_purchase",
     "q_abc_pareto",
     "q_hhi_concentration",
     "q_dq_freshness",

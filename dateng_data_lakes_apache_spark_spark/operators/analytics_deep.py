@@ -875,3 +875,55 @@ def q_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "q_order_aging",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS asof_ts FROM orders),
+    aged AS (
+      SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                 CAST(asof_ts AS DATE)) <= 30 THEN '0-30'
+                  WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                 CAST(asof_ts AS DATE)) <= 90 THEN '31-90'
+                  ELSE '91+' END AS age_bucket,
+             o_totalprice
+      FROM orders, mx WHERE o_orderstatus = 'O'
+    )
+    SELECT age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_open,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+             AS open_value
+    FROM aged
+    GROUP BY age_bucket
+    ORDER BY age_bucket
+    """,
+)
+def q_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: outstanding ('O') orders bucketed by
+    days since placement as of the dataset's newest order date — the
+    receivables/backlog triage every ops dashboard carries (the 91+
+    bucket is the escalation queue).
+
+    One scan with the as-of date broadcast from a 1-row aggregate;
+    integer day arithmetic buckets exactly, value sums accumulate as
+    DECIMAL(30,8). The same shape ages anything with a status + date
+    (tickets, shipments, invoices).
+    """
+    o = table(spark, sf_dir, "orders")
+    asof = o.agg(F.max("o_orderdate").alias("asof_ts"))
+    age = F.datediff(F.to_date("asof_ts"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "0-30").when(age <= 90, "31-90").otherwise("91+")
+    )
+    return (
+        o.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(asof))
+        .select(bucket.alias("age_bucket"), "o_totalprice")
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            dsum(F.col("o_totalprice")).alias("open_value"),
+        )
+        .orderBy("age_bucket")
+    )

@@ -1889,3 +1889,48 @@ def q_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("hours_to_buy")
     )
+
+
+@query(
+    "q_repeat_purchase",
+    oracle="""
+    WITH buyers AS (
+      SELECT user_id, COUNT(*) AS n_buys
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers,
+           CAST(COUNT(*) FILTER (WHERE n_buys >= 2) AS BIGINT)
+             AS n_repeat,
+           CAST(SUM(n_buys) AS BIGINT) AS n_purchases,
+           round(CAST(COUNT(*) FILTER (WHERE n_buys >= 2) AS DOUBLE)
+                 / COUNT(*), 6) AS repeat_rate,
+           round(CAST(SUM(n_buys) AS DOUBLE) / COUNT(*), 6)
+             AS purchases_per_buyer
+    FROM buyers
+    """,
+)
+def q_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase economics in one row: how many buyers come back
+    (repeat_rate — THE retention number unit economics hang on) and
+    purchase frequency per buyer. Two stacked aggregates — per-user
+    purchase counts (map-side partial over the filtered scan), then one
+    global reduce; ratios are single double divisions + 6-dp round over
+    exact counts.
+    """
+    e = table(spark, sf_dir, "events")
+    buyers = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_buys"))
+    )
+    repeat = F.count_if(F.col("n_buys") >= 2)
+    return buyers.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buyers"),
+        repeat.cast("bigint").alias("n_repeat"),
+        F.sum("n_buys").cast("bigint").alias("n_purchases"),
+        F.round(repeat.cast("double") / F.count(F.lit(1)), 6).alias("repeat_rate"),
+        F.round(
+            F.sum("n_buys").cast("double") / F.count(F.lit(1)), 6
+        ).alias("purchases_per_buyer"),
+    )
