@@ -107,6 +107,8 @@ HEADLINE = [
     "q_catalog_coverage",
     "q_order_aging",
     "q_repeat_purchase",
+    "q_gap_percentiles",
+    "q_bitwise_funcs",
     "q_abc_pareto",
     "q_hhi_concentration",
     "q_dq_freshness",

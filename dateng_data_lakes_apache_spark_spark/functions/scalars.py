@@ -377,3 +377,38 @@ def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_bitwise_funcs",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(bit_and(o_orderkey % 4096) AS BIGINT) AS key_and,
+           CAST(bit_or(o_orderkey % 4096) AS BIGINT) AS key_or,
+           CAST(bit_xor(o_orderkey % 4096) AS BIGINT) AS key_xor,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS full_xor
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface: AND/OR/XOR folds per group — the
+    primitives under Bloom builds (q_bloom_membership's packed-word
+    bit_or), permission-mask intersection, and XOR set-fingerprints
+    (full_xor is an order-independent group checksum: any single
+    changed key flips it, the cheap sibling of q_table_diff's
+    SUM-of-md5). All three are commutative+associative, so they
+    map-side combine and the shuffle carries one long per group."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 4096
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bit_and(k).cast("bigint").alias("key_and"),
+            F.bit_or(k).cast("bigint").alias("key_or"),
+            F.bit_xor(k).cast("bigint").alias("key_xor"),
+            F.bit_xor("o_orderkey").cast("bigint").alias("full_xor"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -2016,3 +2016,73 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "q_gap_percentiles",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type, user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    ),
+    clean AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(quantile_cont(gap_us, 0.5) / 60000000.0 AS DOUBLE)
+             AS p50_minutes,
+           CAST(quantile_cont(gap_us, 0.95) / 60000000.0 AS DOUBLE)
+             AS p95_minutes
+    FROM clean
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event cadence per stream: p50/p95 of the gap between a
+    user's consecutive events of each type — the latency-SLO shape
+    ("median purchase rhythm is X minutes, tail is Y") and the
+    empirical input to session-timeout tuning (q_stream_session's
+    30-minute gap is exactly a choice on this distribution's tail).
+
+    Gaps are exact integer microseconds from one lag window; the exact
+    percentiles interpolate on those integers ((a+b)/2 of ints — the
+    cross-engine-identical case, per q_rolling_median), and the ONE
+    division by 60e6 into minutes is the same double op both engines.
+    At 100 TB the window partitions by (type, user) — full parallelism
+    — and the percentile buffers per-type gap arrays; the scale path
+    swaps in approx_percentile (q_agg_approx_quantile) when a type's
+    gap count outgrows one task.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "event_type",
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+                "gap_us"
+            ),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (F.percentile("gap_us", F.lit(0.5)) / F.lit(60_000_000.0))
+            .cast("double")
+            .alias("p50_minutes"),
+            (F.percentile("gap_us", F.lit(0.95)) / F.lit(60_000_000.0))
+            .cast("double")
+            .alias("p95_minutes"),
+        )
+        .select(
+            "event_type",
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            "p50_minutes",
+            "p95_minutes",
+        )
+        .orderBy("event_type")
+    )
