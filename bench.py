@@ -109,6 +109,8 @@ HEADLINE = [
     "q_repeat_purchase",
     "q_gap_percentiles",
     "q_bitwise_funcs",
+    "q_hour_heatmap",
+    "q_corpus_length_profile",
     "q_abc_pareto",
     "q_hhi_concentration",
     "q_dq_freshness",

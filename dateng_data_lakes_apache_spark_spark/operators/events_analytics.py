@@ -1934,3 +1934,36 @@ def q_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_buys").cast("double") / F.count(F.lit(1)), 6
         ).alias("purchases_per_buyer"),
     )
+
+
+@query(
+    "q_hour_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY dow, hour
+    """,
+)
+def q_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (events + distinct users per
+    cell) — the capacity-planning and send-time-optimization staple;
+    q_seasonality_dow's finer-grained sibling. ISO day numbering
+    (Mon=1..Sun=7) on both engines: Spark's dayofweek is Sun=1, so the
+    engine derives ISO via (dayofweek+5)%7+1 — the convention mismatch
+    this oracle pins down. One map-side-combined aggregate bounded by
+    the 168-cell grid.
+    """
+    e = table(spark, sf_dir, "events")
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    return (
+        e.groupBy(iso_dow.alias("dow"), F.hour("ts").cast("int").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -1307,3 +1307,42 @@ def q_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q_corpus_length_profile",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50_chars,
+           CAST(quantile_cont(n_chars, 0.95) AS DOUBLE) AS p95_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per language: min/p50/p95/max/total
+    chars — the first page of every dataset card, and the evidence
+    behind truncation-length and packing-budget choices (p95 is what
+    sizes q_pack_sequences' budget; a fat max/p95 gap flags
+    concatenation junk). Exact percentiles interpolate on integer char
+    counts ((a+b)/2 of ints — engine-identical); one lang-bounded
+    aggregate, map-side combined.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.percentile("n_chars", F.lit(0.5)).cast("double").alias("p50_chars"),
+            F.percentile("n_chars", F.lit(0.95)).cast("double").alias("p95_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
