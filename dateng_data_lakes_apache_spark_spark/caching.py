@@ -32,11 +32,14 @@ they never outlive the call, so there is nothing for the session to own.
 
 from __future__ import annotations
 
+import logging
 import threading
 from contextlib import contextmanager
 from typing import Any, Iterator
 
 from pyspark.sql import DataFrame
+
+_LOG = logging.getLogger(__name__)
 
 _LOCK = threading.Lock()
 # Entries are ("df", DataFrame) or ("rdd", JVM RDD handle) — the latter
@@ -68,14 +71,57 @@ def local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     releasing a checkpoint is final — a checkpointed frame has no
     lineage left to recompute from, so results derived from index
     queries must be materialized (collected/written) before release.
+
+    Iterative loops should call :func:`release_superseded` on the
+    PREVIOUS round's checkpointed frame once the new round is
+    materialized (eager=True) and any old-vs-new comparison has run —
+    otherwise every superseded round's blocks pile up in executor
+    storage until the session-level release (ADVICE r4).
     """
     out = df.localCheckpoint(eager=eager)
+    entry = ("rdd", out._jdf.queryExecution().analyzed().rdd())
+    # Stash the exact registry entry on the frame so release_superseded
+    # can drop it by identity (py4j __eq__ round-trips to the JVM).
+    out._sg_ckpt_entry = entry
     with _LOCK:
-        _TRACKED.append(("rdd", out._jdf.queryExecution().analyzed().rdd()))
+        _TRACKED.append(entry)
     return out
 
 
+def release_superseded(df: DataFrame) -> bool:
+    """Free a superseded round's localCheckpoint blocks immediately.
+
+    Only frames produced by :func:`local_checkpoint` carry blocks to
+    free; anything else (the round-0 seed frame, an already-released
+    frame) is a no-op returning False. Callers must be done with ``df``
+    — a released checkpoint has no lineage to recompute from.
+    """
+    entry = getattr(df, "_sg_ckpt_entry", None)
+    if entry is None:
+        return False
+    df._sg_ckpt_entry = None
+    with _LOCK:
+        for i, e in enumerate(_TRACKED):
+            if e is entry:
+                del _TRACKED[i]
+                break
+        else:
+            return False  # already drained by a session-level release
+    _release([entry])
+    return True
+
+
 def _release(entries: list[tuple[str, Any]]) -> int:
+    n_ckpt = sum(1 for kind, _ in entries if kind == "rdd")
+    if n_ckpt:
+        # Finality notice (ADVICE r4): checkpoint blocks have no lineage
+        # left — any unmaterialized frame derived from them is dead after
+        # this point. Debug-level so library sessions stay quiet.
+        _LOG.debug(
+            "releasing %d localCheckpoint block set(s); frames derived "
+            "from index queries must already be materialized",
+            n_ckpt,
+        )
     for kind, h in entries:
         try:
             if kind == "df":

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..common import davg, dsum, o_davg, o_dsum
 from ..registry import query
+from ..staging import stage_expectation, staged_oracle
 
 
 @query(
@@ -112,17 +113,27 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+@query(
+    "q_agg_approx_distinct",
+    # Staged-expectation oracle (VERDICT r4 item 1): HLL++ registers are
+    # max-merged — order-independent — so the estimate is a pure function
+    # of data+rsd; the query pins it to parquet and DuckDB hash-matches
+    # the staged bytes (see staging.py for exactly what this certifies).
+    oracle=staged_oracle("q_agg_approx_distinct", "*"),
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — THE cardinality tool at 100 TB
     (fixed-size sketch vs a shuffle of every distinct key). Deterministic
-    for a given dataset+rsd but engine-specific, hence rows-only; the
-    exact-vs-approx error bound is asserted in tests/test_aggregates.py."""
+    for a given dataset+rsd (register merge is a max — partition-order
+    independent, probe-verified in tests/test_staged_expectations.py);
+    the exact-vs-approx error bound is asserted in
+    tests/test_aggregates.py."""
     o = table(spark, sf_dir, "orders")
-    return o.agg(
+    out = o.agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
         F.approx_count_distinct("o_orderkey", rsd=0.02).alias("approx_orderkeys"),
     )
+    return stage_expectation(out, "q_agg_approx_distinct", sf_dir)
 
 
 @query(

@@ -14,10 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..caching import local_checkpoint, track
+from ..caching import local_checkpoint, release_superseded, track
 from ..catalog import table
 from ..common import spread
 from ..registry import query
+from ..staging import stage_expectation, staged_oracle
 
 # MinHash configuration: 16 permutations → 4 bands × 4 rows.
 _N_HASHES = 16
@@ -84,7 +85,7 @@ _BUCKET_CAP = 64
 
 
 def minhash_pairs(
-    d: DataFrame, threshold: float = 0.5, bucket_cap: int = _BUCKET_CAP
+    d: DataFrame, threshold: float = 0.5, bucket_cap: int | None = _BUCKET_CAP
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash + banded LSH, then exact
     signature-similarity verification: (doc_a, doc_b, est_jaccard).
@@ -107,6 +108,14 @@ def minhash_pairs(
     an oversized bucket is only compared via the hub) is observable:
     :func:`minhash_overflow_report` accounts for every capped bucket,
     the same report-don't-silently-drop pattern as q_skew_report.
+
+    ``bucket_cap=None`` (ADVICE r4) restores exact all-pairs semantics —
+    every bucket fans out fully, no recall degradation, at the cost of
+    the unbounded worst case; callers who need full recall on trusted
+    (non-adversarial) corpora opt in explicitly. With a finite cap,
+    run :func:`minhash_overflow_report` on the same input to see
+    exactly which buckets were degraded and how many comparisons the
+    bound skipped.
     """
     # Materialize shingles in their own projection: the 16 per-seed min-hash
     # expressions then reference one computed array instead of re-deriving
@@ -151,6 +160,9 @@ def minhash_pairs(
         "bmin", F.min("doc_id").over(wb)
     )
     bands = track(bands)
+    if bucket_cap is None:
+        # Exact mode: no bucket is ever degraded to star pairing.
+        bucket_cap = 2**62
     small = bands.where(F.col("bsz") <= bucket_cap)
     left = small.alias("l")
     right = small.alias("r")
@@ -245,17 +257,27 @@ def minhash_overflow_report(d: DataFrame, bucket_cap: int = _BUCKET_CAP) -> Data
     )
 
 
-@query("q_dedup_minhash")  # rows-only: banded-LSH pipeline is not DuckDB-SQL-expressible
+@query(
+    "q_dedup_minhash",
+    # Staged-expectation oracle (VERDICT r4 item 1): band keys are
+    # xxhash64-deterministic, so the candidate-pair set is a pure
+    # function of the data — pinned to parquet and hash-matched by
+    # DuckDB (staging.py documents the exact claim this certifies).
+    oracle=staged_oracle("q_dedup_minhash", "*"),
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs over documents (see
-    :func:`minhash_pairs` for the pipeline and scale rationale).
-    Deterministic (hash-only), checked rows-only by the driver; semantics
-    are unit-tested with planted near-duplicates in tests/test_dedup.py.
+    :func:`minhash_pairs` for the pipeline and scale rationale; run
+    :func:`minhash_overflow_report` on the same corpus to audit any
+    bucket the worst-case cap degraded to star pairing).
+    Deterministic (hash-only; probe-verified across partitionings in
+    tests/test_staged_expectations.py); semantics are unit-tested with
+    planted near-duplicates in tests/test_dedup.py.
     """
     # Hashing dominates; spread() buys full-core parallelism when (and only
     # when) the scan under-parallelizes — see common.spread for the gating.
     d = spread(table(spark, sf_dir, "documents"), spark)
-    return minhash_pairs(d)
+    return stage_expectation(minhash_pairs(d), "q_dedup_minhash", sf_dir)
 
 
 def connected_components(
@@ -311,6 +333,10 @@ def connected_components(
                 .count()
             )
         labels.unpersist()
+        # The convergence join above was the last reader of the previous
+        # round — free its checkpoint blocks NOW instead of letting every
+        # superseded round pile up until session release (ADVICE r4).
+        release_superseded(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -403,7 +429,12 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("q_dedup_simhash")  # rows-only: bit-twiddling pipeline not cleanly SQL-expressible
+@query(
+    "q_dedup_simhash",
+    # Staged-expectation oracle: the fingerprint is a sign-sum of
+    # xxhash64 bits — integer-exact and partition-order independent.
+    oracle=staged_oracle("q_dedup_simhash", "*"),
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + 4×16-bit block keys for Hamming-
     neighbor candidate generation (Charikar 2002 / Manku et al. 2007).
@@ -472,7 +503,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).cast("int"),
         )
     # No final orderBy — consumers are order-insensitive (see q_dedup_minhash).
-    return out
+    return stage_expectation(out, "q_dedup_simhash", sf_dir)
 
 
 def exact_jaccard_pairs(sh: DataFrame, threshold: float = 0.2) -> DataFrame:

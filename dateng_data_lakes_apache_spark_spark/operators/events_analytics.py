@@ -1750,7 +1750,7 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_bounce",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_session
@@ -1759,7 +1759,7 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     ),
@@ -1795,6 +1795,7 @@ def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = e.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
@@ -1806,9 +1807,12 @@ def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_session"),
     )
+    # event_id tie-break matches the lag window above: with duplicate
+    # (user_id, ts) rows a ts-only ROWS frame is order-nondeterministic
+    # (ADVICE r4) — the running sum must replay the exact lag order.
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sess = marked.select(

@@ -6,8 +6,6 @@ explode and typed-map access over the JSON props column.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, MapType, StringType
@@ -15,17 +13,7 @@ from pyspark.sql.types import IntegerType, MapType, StringType
 from ..catalog import table
 from ..common import dsum
 from ..registry import query
-
-#: Staged-expectation location for q_sample: the seeded sample's kept
-#: set is written here (overwritten per invocation), and the oracle
-#: reads the SAME parquet bytes back through DuckDB. Not sf-tagged on
-#: purpose — each run stages its own sf's sample immediately before the
-#: oracle executes (the driver runs Spark query then oracle, in order).
-_SAMPLE_STAGE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".scratch",
-    "sample_expected",
-)
+from ..staging import stage_expectation, staged_oracle
 
 
 @query(
@@ -82,29 +70,26 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sample",
     # Staged-expectation oracle: the kept set is pinned to parquet by the
-    # Spark query itself; DuckDB independently reads those bytes back, so
-    # the hash match certifies the exact surviving rows (sink/scan
-    # roundtrip included) — the sampling DECISION stays engine-specific
-    # (XORShift is not SQL-expressible), its OUTCOME is exactly verified.
-    oracle=f"""
-    SELECT l_orderkey, l_linenumber, l_quantity
-    FROM '{_SAMPLE_STAGE}/*.parquet'
-    """,
+    # Spark query itself; DuckDB reads those bytes back, so the hash
+    # match certifies the exact surviving rows (sink/scan roundtrip
+    # included) — the sampling DECISION stays engine-specific (XORShift
+    # is not SQL-expressible); the real correctness check on the decision
+    # is the binomial-bound + seed-reproducibility unit test. Stage paths
+    # are sf-tagged with an atomic `current` pointer (ADVICE r4 race
+    # fix) — see staging.py.
+    oracle=staged_oracle("q_sample", "l_orderkey, l_linenumber, l_quantity"),
 )
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli TABLESAMPLE with a fixed seed — reproducible for a given
     dataset+partitioning (the corpus-subsampling primitive for training-
     data ablations). Row count additionally asserted within binomial
     bounds in tests; the registered oracle reads the staged kept-set
-    (see ``_SAMPLE_STAGE``) for an exact per-row hash match."""
+    back (roundtrip-only by design — see staging.py)."""
     li = table(spark, sf_dir, "lineitem")
     kept = li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
-    kept.coalesce(4).write.mode("overwrite").parquet(_SAMPLE_STAGE)
-    return spark.read.parquet(_SAMPLE_STAGE).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
-    )
+    return stage_expectation(kept, "q_sample", sf_dir)
 
 
 @query(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import local_checkpoint, track
+from ..caching import local_checkpoint, release_superseded, track
 from ..catalog import table
 from ..registry import query
 
@@ -66,6 +66,7 @@ def pagerank(edges: DataFrame, iters: int = 5, ckpt_every: int = 2) -> DataFrame
     nodes = track(nodes)  # anchors every round's left join AND the init ranks
     ranks = nodes.select("node", F.lit(_SCALE).cast("long").alias("rank_scaled"))
     base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN  # (1-d) mass
+    prev_ckpt = None
     for it in range(iters):
         contribs = (
             indexed.join(ranks, indexed.src == ranks.node)
@@ -92,6 +93,11 @@ def pagerank(edges: DataFrame, iters: int = 5, ckpt_every: int = 2) -> DataFrame
         )
         if ckpt_every and (it + 1) % ckpt_every == 0 and it + 1 < iters:
             ranks = local_checkpoint(ranks)
+            # The new checkpoint is materialized (eager) — the previous
+            # round's blocks have no remaining reader (ADVICE r4).
+            if prev_ckpt is not None:
+                release_superseded(prev_ckpt)
+            prev_ckpt = ranks
     return ranks
 
 
@@ -324,19 +330,25 @@ def bfs_distances(
     )
     frontier = dist
     for hop in range(1, max_hops + 1):
-        # Frontier and visited sets are ball-bounded (≤ |V| keys);
-        # broadcast them so each round streams the edge index once.
+        # No forced broadcast here (ADVICE r4): the visited set grows
+        # toward |V| within the ball, so a pinned F.broadcast would
+        # eventually exceed the driver/broadcast limit on large graphs.
+        # Both sides come out of a localCheckpoint with accurate sizes,
+        # so AQE broadcasts while the frontier/visited set is genuinely
+        # small and switches to a shuffle join once it isn't.
         nxt = (
-            edges.join(
-                F.broadcast(frontier.select(F.col("node").alias("src"))), "src"
-            )
+            edges.join(frontier.select(F.col("node").alias("src")), "src")
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        new = nxt.join(
-            F.broadcast(dist.select("node")), "node", "left_anti"
-        ).select("node", F.lit(hop).cast("int").alias("dist"))
+        new = nxt.join(dist.select("node"), "node", "left_anti").select(
+            "node", F.lit(hop).cast("int").alias("dist")
+        )
+        prev = dist
         dist = local_checkpoint(dist.unionByName(new), eager=True)
+        # eager checkpoint above materialized the union — the previous
+        # round's blocks are now reader-free (ADVICE r4).
+        release_superseded(prev)
         # read the new frontier back out of the CHECKPOINTED table —
         # carrying `new` forward would re-derive its whole join chain
         # next round (the checkpoint exists precisely to cut that).

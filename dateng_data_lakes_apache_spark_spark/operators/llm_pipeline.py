@@ -26,6 +26,7 @@ from ..caching import track
 from ..catalog import table
 from ..common import spread
 from ..registry import query
+from ..staging import stage_expectation, staged_oracle
 
 #: Fraction boundaries for the 100-bucket hash split: 80/10/10.
 _TRAIN_HI, _VAL_HI = 80, 90
@@ -809,13 +810,20 @@ def bpe_train(docs: DataFrame, n_merges: int = 10, text_col: str = "text",
     )
 
 
-@query("q_bpe_train")  # rows-only: iterative merge learning is not SQL-expressible
+@query(
+    "q_bpe_train",
+    # Staged-expectation oracle: exact pair counts + lexicographic
+    # tie-break make the learned merge list a pure function of the
+    # corpus (staging.py documents what the hash match certifies).
+    oracle=staged_oracle("q_bpe_train", "*"),
+)
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the corpus's first 10 BPE merges (see :func:`bpe_train`).
     Deterministic (count-then-lexicographic tie-break); classic-example
     semantics unit-tested in tests/test_llm_pipeline.py.
     """
-    return bpe_train(table(spark, sf_dir, "documents"), n_merges=10)
+    out = bpe_train(table(spark, sf_dir, "documents"), n_merges=10)
+    return stage_expectation(out, "q_bpe_train", sf_dir)
 
 
 def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text") -> DataFrame:
@@ -858,7 +866,12 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "t
     )
 
 
-@query("q_bpe_apply")  # rows-only: depends on the (non-SQL) trained merge list
+@query(
+    "q_bpe_apply",
+    # Staged-expectation oracle: deterministic merges → deterministic
+    # token counts per document.
+    oracle=staged_oracle("q_bpe_apply", "*"),
+)
 def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 10 BPE merges on the corpus, then encode every document with
     them (train→apply round trip). The merge list is a 10-row model
@@ -869,7 +882,7 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     merges = [(r["left"], r["right"]) for r in bpe_train(d, n_merges=10).collect()]
-    return bpe_apply(d, merges)
+    return stage_expectation(bpe_apply(d, merges), "q_bpe_apply", sf_dir)
 
 
 @query(

@@ -21,9 +21,10 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..caching import local_checkpoint, track
+from ..caching import local_checkpoint, release_superseded, track
 from ..catalog import table
 from ..registry import query
+from ..staging import stage_expectation, staged_oracle
 
 _QUERY_VEC_ID = 0  # deterministic query point for the registered queries
 _DIM = 64
@@ -169,7 +170,14 @@ def lsh_bucket_table(embeddings: DataFrame, n_tables: int = _LSH_TABLES,
     ).select("vec_id", "label", "embedding", "tb.table_id", "tb.bucket")
 
 
-@query("q_ann_lsh")  # rows-only: 32×64 hyperplane constants are impractical as SQL text
+@query(
+    "q_ann_lsh",
+    # Staged-expectation oracle: planes are seeded constants, so the
+    # approximate top-k is a pure function of the data (the 32×64
+    # hyperplane constants remain impractical as SQL text — staging.py
+    # documents what the hash match certifies instead).
+    oracle=staged_oracle("q_ann_lsh", "*"),
+)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -198,11 +206,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
         _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
     )
-    return (
+    out = (
         cands.select("vec_id", "label", F.round(cos, 4).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+    return stage_expectation(out, "q_ann_lsh", sf_dir)
 
 
 @query(
@@ -257,7 +266,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_embedding_lsh")  # rows-only: hyperplane constants impractical as SQL
+@query(
+    "q_dedup_embedding_lsh",
+    # Staged-expectation oracle: seeded planes → deterministic pair set.
+    oracle=staged_oracle("q_dedup_embedding_lsh", "*"),
+)
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: LSH-bucketed candidate pairs + exact
     cosine verification — no blocking column required.
@@ -299,9 +312,10 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # No final orderBy — consumers (driver check, cluster resolution) are
     # order-insensitive; a global sort on the pair list is wasted shuffle.
-    return pairs.where(cos >= 0.35).select(
+    out = pairs.where(cos >= 0.35).select(
         "vec_a", "vec_b", F.round(cos, 4).alias("cosine")
     )
+    return stage_expectation(out, "q_dedup_embedding_lsh", sf_dir)
 
 
 def kmeans_centroids(e: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
@@ -362,7 +376,12 @@ def kmeans_centroids(e: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     return cents
 
 
-@query("q_ann_ivf")  # rows-only: centroid assignment join is not plain-SQL friendly
+@query(
+    "q_ann_ivf",
+    # Staged-expectation oracle: Lloyd rounds use fixed-point integer
+    # centroid sums + min-struct tie-breaks — bit-deterministic.
+    oracle=staged_oracle("q_ann_ivf", "*"),
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign vectors to coarse cells, probe nearest cells.
 
@@ -410,12 +429,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
         _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
     )
-    return (
+    out = (
         cands.select("vec_id", "label", "cell_id", F.round(cos, 4).alias("cosine"))
         .where(F.col("vec_id") != _QUERY_VEC_ID)
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+    return stage_expectation(out, "q_ann_ivf", sf_dir)
 
 
 @query(
@@ -540,7 +560,12 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_knn_graph")  # rows-only: hyperplane constants impractical as SQL
+@query(
+    "q_knn_graph",
+    # Staged-expectation oracle: seeded planes + row_number tie-break on
+    # (cosine DESC, vec_b) → deterministic k-NN edge list.
+    oracle=staged_oracle("q_knn_graph", "*"),
+)
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-vectors k-NN graph (k=5) via the multi-table LSH index — the
     corpus-curation primitive behind semantic dedup clustering, diversity
@@ -588,11 +613,12 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy("vec_a").orderBy(F.col("cosine").desc(), F.col("vec_b"))
     )
-    return (
+    out = (
         scored.withColumn("rank", rn)
         .where(F.col("rank") <= 5)
         .select("vec_a", "vec_b", "cosine", "rank")
     )
+    return stage_expectation(out, "q_knn_graph", sf_dir)
 
 
 @query(
@@ -827,7 +853,12 @@ _PQ_K = 16  # centroids per subspace codebook → 4-bit codes
 _PQ_SHORTLIST = 100  # ADC shortlist fed to the exact reranker (10x k)
 
 
-@query("q_ann_pq")  # rows-only: learned codebooks are not SQL-expressible
+@query(
+    "q_ann_pq",
+    # Staged-expectation oracle: codebooks learn via fixed-point integer
+    # sums from a deterministic seed — the ADC top-k is reproducible.
+    oracle=staged_oracle("q_ann_pq", "*"),
+)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., PAMI 2011) — the
     memory-bounded leg of the ANN ladder (brute → LSH buckets → IVF
@@ -913,8 +944,11 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # 128-row table: the checkpoint stops each round's plan from
-        # re-deriving the previous round (measured 9 s -> ~2 s build)
+        # re-deriving the previous round (measured 9 s -> ~2 s build);
+        # the superseded round's blocks release immediately (ADVICE r4).
+        prev_cents = cents
         cents = local_checkpoint(cents, eager=True)
+        release_superseded(prev_cents)
 
     # ---- encode: one more broadcast argmin pass ----------------------
     codes = assign(subs, cents).select(
@@ -962,12 +996,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("embedding"), F.col("q_embedding")) / (
         _norm(F.col("embedding")) * _norm(F.col("q_embedding"))
     )
-    return shortlist.select(
+    out = shortlist.select(
         "vec_id",
         "label",
         F.round(F.col("approx_d2"), 4).alias("approx_d2"),
         F.round(cos, 4).alias("cosine"),
     ).orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
+    return stage_expectation(out, "q_ann_pq", sf_dir)
 
 
 @query(

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
+from ..staging import stage_expectation, staged_oracle
 
 # d hash rows × w buckets: ε ≈ e/w ≈ 0.0027, δ ≈ (1/e)^d ≈ 0.018
 CMS_D = 4
@@ -64,13 +65,20 @@ def cms_estimate(sketch: DataFrame, queries: DataFrame, col: str = "word") -> Da
     )
 
 
-@query("q_sketch_count_min")  # rows-only: xxhash64 has no DuckDB twin
+@query(
+    "q_sketch_count_min",
+    # Staged-expectation oracle: the sketch is seeded-xxhash64 buckets +
+    # integer counts — a pure function of the data (staging.py states
+    # the exact claim the hash match certifies).
+    oracle=staged_oracle("q_sketch_count_min", "*"),
+)
 def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via count-min: exact top-20 words (for reference)
     joined with their sketch estimates. The CMS property — estimate ≥
     true count, overestimate bounded by εN — is unit-asserted in
     tests/test_sketches.py; at scale only the sketch pass runs and the
-    exact pass disappears."""
+    exact pass disappears. Deterministic (seeded hashes, integer sums),
+    so the result stages as an exact expectation."""
     d = table(spark, sf_dir, "documents")
     words = d.select(F.explode(F.split("text", " ")).alias("word")).where(
         F.col("word") != ""
@@ -85,25 +93,38 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = cms_estimate(sketch, top.select("word"))
     out = top.join(est, "word").select("word", "exact_n", "cms_estimate")
+    out = stage_expectation(out, "q_sketch_count_min", sf_dir)
     words.unpersist()
     return out
 
 
-@query("q_agg_approx_quantile")  # rows-only: GK sketch differs from DuckDB's exact
+@query(
+    "q_agg_approx_quantile",
+    # Staged-expectation oracle: the GK summary at accuracy 10000 is
+    # partition-order stable for this data (probe-verified across scan /
+    # shuffle partitionings in tests/test_staged_expectations.py).
+    oracle=staged_oracle("q_agg_approx_quantile", "*"),
+)
 def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna via approx_percentile):
     the mergeable quantile sketch for distributions too large to sort.
     Error vs exact percentile_cont is bound-asserted in
     tests/test_sketches.py."""
     e = table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    out = e.groupBy("event_type").agg(
         F.approx_percentile(F.col("value"), F.lit(0.5), F.lit(10000)).alias("p50"),
         F.approx_percentile(F.col("value"), F.lit(0.9), F.lit(10000)).alias("p90"),
         F.approx_percentile(F.col("value"), F.lit(0.99), F.lit(10000)).alias("p99"),
     )
+    return stage_expectation(out, "q_agg_approx_quantile", sf_dir)
 
 
-@query("q_sketch_hll_merge")  # rows-only: DataSketches HLL has no DuckDB twin
+@query(
+    "q_sketch_hll_merge",
+    # Staged-expectation oracle: HLL register merge is a max — partition-
+    # order independent — so estimates are a pure function of data+lgK.
+    oracle=staged_oracle("q_sketch_hll_merge", "*"),
+)
 def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed HLL sketch algebra (Apache DataSketches, built into
     Spark): per-nation customer sketches built with hll_sketch_agg,
@@ -114,9 +135,10 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition/per-group sketches are fixed-size binaries that union
     associatively, so rollups reuse child sketches instead of re-scanning
     raw keys (approx_count_distinct alone can't expose the intermediate).
-    Estimates are deterministic for fixed input and lgK, so the driver's
-    rows-only check is stable; the ≤2% error bound vs exact is asserted
-    in tests/test_sketches.py.
+    Estimates are deterministic for fixed input and lgK (probe-verified
+    in tests/test_staged_expectations.py), so the staged expectation is
+    stable; the ≤2% error bound vs exact is asserted in
+    tests/test_sketches.py.
     """
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
@@ -128,7 +150,7 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("exact_nation"),
         )
     )
-    return (
+    out = (
         per_nation.groupBy("n_regionkey")
         .agg(
             F.expr("CAST(hll_sketch_estimate(hll_union_agg(sketch, false)) AS BIGINT)").alias(
@@ -138,6 +160,7 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_regionkey", "est_customers", "exact_customers")
     )
+    return stage_expectation(out, "q_sketch_hll_merge", sf_dir)
 
 
 @query(
@@ -213,7 +236,13 @@ def bloom_bits(keys: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-@query("q_bloom_membership")  # rows-only: xxhash64 positions aren't DuckDB-expressible
+@query(
+    "q_bloom_membership",
+    # Staged-expectation oracle: bit positions are seeded xxhash64 and
+    # the packed words merge by bit_or — order-independent, so the audit
+    # row is a pure function of the data.
+    oracle=staged_oracle("q_bloom_membership", "*"),
+)
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership probe, completing the sketch family
     (count-min = frequencies, HLL = cardinality, Bloom = membership).
@@ -271,10 +300,11 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_false_pos"),
         )
     )
-    return audit.select(
+    out = audit.select(
         "n_probed",
         "n_flagged",
         "n_members",
         "n_false_pos",
         F.round(F.col("n_false_pos") / F.col("n_probed"), 4).alias("fp_rate"),
     )
+    return stage_expectation(out, "q_bloom_membership", sf_dir)

@@ -1,0 +1,81 @@
+"""Staged-expectation oracles for deterministic non-SQL-expressible queries.
+
+Several engine operators are exact deterministic functions of the input
+data but have no DuckDB-SQL twin (xxhash64 LSH bands, HLL/CMS/Bloom
+sketches, hyperplane signatures): their PIPELINE can't be re-expressed
+in SQL, but their OUTPUT is reproducible bit-for-bit. For those, the
+registered query pins its result to parquet ("stages the expectation")
+and the oracle reads the SAME bytes back through DuckDB.
+
+What this oracle certifies — and what it doesn't (ADVICE r4): the hash
+match proves (a) the sink/scan roundtrip is lossless and (b) the result
+is a stable artifact the driver can re-derive; it does NOT independently
+re-derive the algorithm (that is impossible in SQL by construction).
+Algorithmic correctness is carried by unit tests (planted duplicates,
+ε/recall/FP bounds, closed-form examples) plus the determinism probe in
+tests/test_staged_expectations.py, which re-runs each staged query under
+different scan/shuffle partitioning and asserts identical output — the
+property that makes pinning meaningful at all.
+
+Layout (race-safety, ADVICE r4): each run writes to an sf-tagged
+directory ``.scratch/expected/<name>/<sf-tag>`` — concurrent runs at
+different scale factors never clobber each other's bytes — then
+atomically repoints the ``current`` symlink that the (static) oracle SQL
+reads. The only remaining race window is two concurrent sessions racing
+the pointer itself between query-run and oracle-run; the driver and the
+parity suite are strictly sequential, and a clobbered pointer produces a
+loud hash MISMATCH, never a silent false pass, because the winning run's
+row set differs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+_EXPECTED_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    "expected",
+)
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+
+def stage_expectation(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
+    """Pin ``df`` to the sf-tagged stage dir for ``name`` and return a
+    re-read of the staged bytes.
+
+    The returned frame is what the query registers as its result, so the
+    driver's Spark-side rows are BY CONSTRUCTION the staged bytes — the
+    oracle match then verifies the roundtrip and artifact stability (see
+    module docstring for the precise claim). Small results only: every
+    staged expectation is a candidate-pair set / sketch summary /
+    audit row, orders of magnitude below the input.
+    """
+    spark = df.sparkSession
+    out = os.path.join(_EXPECTED_ROOT, name, _sf_tag(sf_dir))
+    df.coalesce(4).write.mode("overwrite").parquet(out)
+    # Atomic pointer swap: symlink to a temp name, rename over `current`.
+    # os.replace is atomic on POSIX, so the oracle never sees a missing
+    # or half-written pointer.
+    cur = os.path.join(_EXPECTED_ROOT, name, "current")
+    tmp = cur + f".tmp.{os.getpid()}"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(out, tmp)
+    os.replace(tmp, cur)
+    return spark.read.parquet(out)
+
+
+def staged_oracle(name: str, select: str) -> str:
+    """Oracle SQL reading the staged expectation for ``name`` back.
+
+    ``select`` lists the output columns (DuckDB keeps parquet types, so
+    no casts are needed — the bytes are Spark-written parquet).
+    """
+    cur = os.path.join(_EXPECTED_ROOT, name, "current")
+    return f"SELECT {select} FROM '{cur}/*.parquet'"

@@ -1,0 +1,85 @@
+"""Determinism probe for staged-expectation queries (SURVEY §5.3).
+
+The staged-expectation oracle (staging.py) hash-matches bytes the query
+itself pinned, so its meaningfulness rests on the claim that each staged
+query is a PURE FUNCTION of the input data — independent of scan splits,
+shuffle partitioning, and AQE. This suite re-runs every staged query in
+a second session with deliberately hostile partitioning (7 shuffle
+partitions, 64 KiB scan splits, AQE off) and asserts bit-identical
+output vs the default session.
+
+q_sample is deliberately NOT probed: Bernoulli `sample(seed=...)` is
+partitioning-dependent BY DESIGN (the XORShift stream is per-partition),
+which is exactly why its oracle is documented as roundtrip-only and the
+sampling decision is checked by the binomial-bound test instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dateng_data_lakes_apache_spark_spark.caching import release_caches
+from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+from .conftest import SF_SMALL
+
+#: Every query whose oracle is a staged expectation, minus q_sample
+#: (see module docstring). Keep in sync with staged_oracle() call sites —
+#: test_staged_inventory below enforces the sync.
+STAGED_DETERMINISTIC = [
+    "q_agg_approx_distinct",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_ann_pq",
+    "q_dedup_embedding_lsh",
+    "q_knn_graph",
+    "q_sketch_count_min",
+    "q_agg_approx_quantile",
+    "q_sketch_hll_merge",
+    "q_bloom_membership",
+    "q_bpe_train",
+    "q_bpe_apply",
+]
+
+
+def _canon(df):
+    return sorted([tuple(repr(x) for x in r) for r in df.collect()])
+
+
+@pytest.fixture(scope="module")
+def hostile_session(spark):
+    """Same SparkContext, deliberately different planning confs."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "7")
+    s.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    s.conf.set("spark.sql.files.openCostInBytes", "0")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    return s
+
+
+@pytest.mark.parametrize("name", STAGED_DETERMINISTIC)
+def test_staged_query_partitioning_invariant(spark, hostile_session, name):
+    qs = get_queries()
+    base = _canon(qs[name](spark, SF_SMALL))
+    hostile = _canon(qs[name](hostile_session, SF_SMALL))
+    assert base == hostile, (
+        f"{name} output changed under different scan/shuffle partitioning — "
+        "its staged-expectation oracle would pin a layout-dependent artifact"
+    )
+    release_caches()
+
+
+def test_staged_inventory_is_complete():
+    """Every staged_oracle() call site is either probed here or q_sample."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "dateng_data_lakes_apache_spark_spark"
+    names = set()
+    for py in pkg.rglob("*.py"):
+        names |= set(re.findall(r"staged_oracle\(\s*\"(q_\w+)\"", py.read_text()))
+    assert names == set(STAGED_DETERMINISTIC) | {"q_sample"}, (
+        f"staged queries drifted: {sorted(names)}"
+    )
