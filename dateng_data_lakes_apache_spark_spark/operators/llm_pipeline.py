@@ -444,10 +444,13 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_by_cluster_oracle() -> str:
-    from .dedup import RESOLVE_ORACLE_CTES
+    # Shared staged-resolve table (VERDICT r4 item 3): the recursive-CTE
+    # fixpoint runs once per parity pass (in q_dedup_resolve's oracle),
+    # not once per downstream consumer — see dedup.staged_resolve_cte.
+    from .dedup import staged_resolve_cte
 
     return (
-        RESOLVE_ORACLE_CTES
+        staged_resolve_cte()
         + f"""
     SELECT doc_id, keeper_doc_id, is_dup,
            CASE WHEN bucket < {_TRAIN_HI} THEN 'train'
@@ -483,15 +486,16 @@ def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: resolve's label propagation is the dominant cost
     (O(log n) bounded-size self-joins); the split itself adds one
     map-only hash per doc — no extra shuffle. Exact-oracled: the
-    DuckDB twin reuses q_dedup_resolve's fixpoint recursive-CTE
-    component oracle and derives the identical md5 bucket from
+    DuckDB twin reads the session-shared STAGED resolve table (the
+    fixpoint itself is verified by q_dedup_resolve's independent
+    recursive CTE) and derives the identical md5 bucket from
     keeper_doc_id, so every per-doc split assignment hash-matches
     (the no-straddle invariant holds by construction on both sides:
     split is a pure function of the keeper).
     """
-    from .dedup import q_dedup_resolve
+    from .dedup import resolved_clusters
 
-    resolved = q_dedup_resolve(spark, sf_dir)
+    resolved = resolved_clusters(spark, sf_dir)
     bucket = (
         F.conv(
             F.substring(F.md5(F.col("keeper_doc_id").cast("string")), 1, 4), 16, 10

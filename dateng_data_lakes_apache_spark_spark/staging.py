@@ -71,6 +71,27 @@ def stage_expectation(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def repoint_current(name: str, sf_dir: str) -> None:
+    """Re-aim the ``current`` pointer at ``sf_dir``'s staged bytes without
+    rewriting them — used by memoized builders (resolved_clusters) so an
+    interleaved-sf session always has the pointer matching the sf about
+    to be oracled."""
+    out = os.path.join(_EXPECTED_ROOT, name, _sf_tag(sf_dir))
+    cur = os.path.join(_EXPECTED_ROOT, name, "current")
+    tmp = cur + f".tmp.{os.getpid()}"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(out, tmp)
+    os.replace(tmp, cur)
+
+
+def staged_path_sql(name: str) -> str:
+    """The DuckDB FROM-clause path for ``name``'s staged expectation —
+    for embedding inside a larger oracle CTE."""
+    cur = os.path.join(_EXPECTED_ROOT, name, "current")
+    return f"'{cur}/*.parquet'"
+
+
 def staged_oracle(name: str, select: str) -> str:
     """Oracle SQL reading the staged expectation for ``name`` back.
 

@@ -124,7 +124,10 @@ def test_dedup_resolve_planted_cluster(spark, sf_dir, monkeypatch):
         ["doc_id", "text"],
     )
     monkeypatch.setattr(dd, "table", lambda _s, _d, _n: docs)
-    rows = dd.q_dedup_resolve.__wrapped__(spark, sf_dir).collect()
+    # _build_resolve, not the registered query: the registered path
+    # memoizes + stages per (session, sf) and would poison both with the
+    # planted corpus for every later same-session consumer
+    rows = dd._build_resolve(spark, sf_dir).collect()
     by_id = {r.doc_id: (r.keeper_doc_id, r.is_dup) for r in rows}
     assert by_id[0] == (0, False)   # cluster keeper keeps itself
     assert by_id[1] == (0, True)    # exact dup dropped to keeper 0
@@ -253,3 +256,32 @@ def test_lsh_small_buckets_keep_all_pairs_semantics(spark):
     )
     got = {(r.doc_a, r.doc_b) for r in minhash_pairs(docs).collect()}
     assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_resolve_computed_once_per_session(spark, monkeypatch):
+    """VERDICT r4 item 3: the three downstream consumers of the dedup
+    resolve (cluster_stats, rate_by_source, split_by_cluster) must share
+    one resolve computation per (session, sf) instead of re-running the
+    shingle→Jaccard→connected-components pipeline each."""
+    from dateng_data_lakes_apache_spark_spark.operators import dedup as dd
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    qs = get_queries()
+    sf = "/root/testdata/sf0.001"
+    calls: list[str] = []
+    real = dd._build_resolve
+
+    def counting(s, d):
+        calls.append(d)
+        return real(s, d)
+
+    monkeypatch.setattr(dd, "_build_resolve", counting)
+    dd._RESOLVE_MEMO.clear()  # isolate from earlier tests in this session
+    n_resolve = qs["q_dedup_resolve"](spark, sf).count()
+    qs["q_dedup_cluster_stats"](spark, sf).count()
+    qs["q_dedup_rate_by_source"](spark, sf).count()
+    n_split = qs["q_split_by_cluster"](spark, sf).count()
+    assert calls == [sf], f"resolve ran {len(calls)}× (want exactly once)"
+    # the memoized frame is a plain parquet scan of staged bytes — every
+    # consumer sees the full per-doc resolve
+    assert n_split == n_resolve > 0
