@@ -8,6 +8,19 @@ Each query executes fully via the no-op sink (measures scan→compute→
 materialize without driver collect overhead). Session is the engine
 factory on local[$SPARK_GRAFT_CPUS] with AQE on — the same plan shapes
 a cluster run would get.
+
+Protocol (r6, VERDICT r5 items 3+5):
+- MEDIAN of $SPARK_GRAFT_BENCH_REPEATS runs (default 3) per query; the
+  contract line and the total carry medians, and BENCH_DETAIL.json adds
+  per-query {median, spread, runs} so round-over-round comparison can
+  finally separate real deltas from the ±15-20% single-shot noise.
+- Staged-expectation queries time their BUILDER frame (the real
+  pipeline) — the oracle-plumbing write+re-read that polluted r5's
+  minhash/bpe numbers is not part of the measured query.
+- Session memos (staged expectations, the shared resolve) clear between
+  repeats, so every repeat pays what a fresh session would; WITHIN a
+  repeat the memo reuse is deliberate (resolve computes once, its three
+  consumers read the staged artifact — the production shape).
 """
 
 from __future__ import annotations
@@ -15,13 +28,17 @@ from __future__ import annotations
 import gc
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from dateng_data_lakes_apache_spark_spark.caching import release_caches
+from dateng_data_lakes_apache_spark_spark.operators.dedup import clear_resolve_memo
 from dateng_data_lakes_apache_spark_spark.registry import get_queries
 from dateng_data_lakes_apache_spark_spark.session import get_spark
+from dateng_data_lakes_apache_spark_spark.staging import STAGED_BUILDERS, clear_stage_memo
 
 # The headline set: every operator family is represented (scan/filter,
 # join ladder incl. asof, agg incl. rollup, the window family, sort,
@@ -266,23 +283,41 @@ def main() -> None:
     )
     warm.awaitTermination()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        execute_fully(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Queries that persist index tables (LSH bands, bucket indexes)
-        # own their cache only for the run — clear between measurements so
-        # blocks don't accumulate and no query borrows a predecessor's cache.
-        spark.catalog.clearCache()
-        # localCheckpoint blocks (pagerank, resolve, BPE rounds) unpin only
-        # when the DRIVER's DataFrame refs die and ContextCleaner runs —
-        # clearCache can't reach them. Drop the refs explicitly so a long
-        # headline doesn't accumulate block-manager pressure that inflates
-        # late heavyweights.
-        gc.collect()
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(repeats):
+        for name in HEADLINE:
+            # Staged-expectation queries measure the BUILDER frame — the
+            # real pipeline — not the stage-write + re-read oracle plumbing.
+            fn = STAGED_BUILDERS.get(name) or queries[name]
+            t0 = time.perf_counter()
+            execute_fully(fn(spark, sf_dir))
+            runs[name].append(time.perf_counter() - t0)
+            # Queries that persist index tables (LSH bands, bucket indexes)
+            # own their cache only for the run — clear between measurements so
+            # blocks don't accumulate and no query borrows a predecessor's cache.
+            release_caches()
+            spark.catalog.clearCache()
+            # localCheckpoint blocks (pagerank, resolve, BPE rounds) unpin only
+            # when the DRIVER's DataFrame refs die and ContextCleaner runs —
+            # clearCache can't reach them. Drop the refs explicitly so a long
+            # headline doesn't accumulate block-manager pressure that inflates
+            # late heavyweights.
+            gc.collect()
+        # Every repeat pays fresh-session costs: memoized staged artifacts
+        # and the shared resolve would otherwise make repeats 2+ trivial.
+        clear_stage_memo()
+        clear_resolve_memo()
 
+    timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
+    detail = {
+        name: {
+            "median": round(statistics.median(ts), 3),
+            "spread": round(max(ts) - min(ts), 3),
+            "runs": [round(t, 3) for t in ts],
+        }
+        for name, ts in runs.items()
+    }
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full-precision per-query detail goes to a repo file — the printed
@@ -294,7 +329,9 @@ def main() -> None:
                 "metric": "headline_queries_total_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "repeats": repeats,
                 "queries": timings,
+                "detail": detail,
                 "sf": sf_val,
             },
             f,

@@ -95,9 +95,24 @@ def release_superseded(df: DataFrame) -> bool:
     free; anything else (the round-0 seed frame, an already-released
     frame) is a no-op returning False. Callers must be done with ``df``
     — a released checkpoint has no lineage to recompute from.
+
+    WARNING (ADVICE r5): the block handle rides on the EXACT DataFrame
+    object :func:`local_checkpoint` returned — passing any derived or
+    re-wrapped frame (``ckpt.select(...)``, ``ckpt.alias(...)``) finds
+    no handle and silently leaks the blocks. Iterative loops must keep
+    the checkpointed frame itself for the release call; tests assert
+    each loop's release returns True after round 1
+    (tests/test_caching.py).
     """
     entry = getattr(df, "_sg_ckpt_entry", None)
     if entry is None:
+        # Loud enough to diagnose a leaking loop, quiet enough for the
+        # legitimate round-0-seed no-op (debug level).
+        _LOG.debug(
+            "release_superseded: frame carries no checkpoint handle "
+            "(round-0 seed, already released, or a DERIVED frame — "
+            "derived frames leak the original's blocks)"
+        )
         return False
     df._sg_ckpt_entry = None
     with _LOCK:

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..common import davg, dsum, o_davg, o_dsum
 from ..registry import query
-from ..staging import stage_expectation, staged_oracle
+from ..staging import run_staged, staged_builder, staged_oracle
 
 
 @query(
@@ -128,12 +128,18 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent, probe-verified in tests/test_staged_expectations.py);
     the exact-vs-approx error bound is asserted in
     tests/test_aggregates.py."""
+    return run_staged(spark, sf_dir, "q_agg_approx_distinct")
+
+
+@staged_builder("q_agg_approx_distinct")
+def approx_distinct_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-staging pipeline frame for :func:`q_agg_approx_distinct`
+    (guards and bench target this — see staging.STAGED_BUILDERS)."""
     o = table(spark, sf_dir, "orders")
-    out = o.agg(
+    return o.agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
         F.approx_count_distinct("o_orderkey", rsd=0.02).alias("approx_orderkeys"),
     )
-    return stage_expectation(out, "q_agg_approx_distinct", sf_dir)
 
 
 @query(

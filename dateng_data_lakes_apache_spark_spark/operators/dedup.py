@@ -18,7 +18,14 @@ from ..caching import local_checkpoint, release_superseded, track
 from ..catalog import table
 from ..common import spread
 from ..registry import query
-from ..staging import repoint_current, stage_expectation, staged_oracle, staged_path_sql
+from ..staging import (
+    repoint_current,
+    run_staged,
+    stage_expectation,
+    staged_builder,
+    staged_oracle,
+    staged_path_sql,
+)
 
 # MinHash configuration: 16 permutations → 4 bands × 4 rows.
 _N_HASHES = 16
@@ -274,10 +281,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_staged_expectations.py); semantics are unit-tested with
     planted near-duplicates in tests/test_dedup.py.
     """
+    return run_staged(spark, sf_dir, "q_dedup_minhash")
+
+
+@staged_builder("q_dedup_minhash")
+def minhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_dedup_minhash` — the full LSH
+    pipeline plan the snapshot/lint guards pin (staging.STAGED_BUILDERS)."""
     # Hashing dominates; spread() buys full-core parallelism when (and only
     # when) the scan under-parallelizes — see common.spread for the gating.
     d = spread(table(spark, sf_dir, "documents"), spark)
-    return stage_expectation(minhash_pairs(d), "q_dedup_minhash", sf_dir)
+    return minhash_pairs(d)
 
 
 def connected_components(
@@ -407,6 +421,12 @@ def staged_resolve_cte() -> str:
 _RESOLVE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
+def clear_resolve_memo() -> None:
+    """Drop the memoized resolve (bench repeats call this so every
+    repeat pays the full resolve pipeline like a fresh session)."""
+    _RESOLVE_MEMO.clear()
+
+
 def resolved_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-once-per-session dedup resolve: (doc_id, keeper_doc_id,
     is_dup), staged to parquet and memoized.
@@ -519,6 +539,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs 2.0 s without at sf0.1; minhash's 16-seed shingle hashing is an
     order of magnitude heavier per row and keeps it).
     """
+    return run_staged(spark, sf_dir, "q_dedup_simhash")
+
+
+@staged_builder("q_dedup_simhash")
+def simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_dedup_simhash` — the pipeline plan
+    the snapshot/lint guards pin (see staging.STAGED_BUILDERS)."""
     d = table(spark, sf_dir, "documents")
     # explode_outer keeps zero-word docs as one null row (contributing 0
     # to every balance → simhash 0), matching the empty-array fold result
@@ -563,7 +590,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).cast("int"),
         )
     # No final orderBy — consumers are order-insensitive (see q_dedup_minhash).
-    return stage_expectation(out, "q_dedup_simhash", sf_dir)
+    return out
 
 
 def exact_jaccard_pairs(sh: DataFrame, threshold: float = 0.2) -> DataFrame:

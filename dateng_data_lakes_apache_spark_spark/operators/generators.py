@@ -13,7 +13,7 @@ from pyspark.sql.types import IntegerType, MapType, StringType
 from ..catalog import table
 from ..common import dsum
 from ..registry import query
-from ..staging import stage_expectation, staged_oracle
+from ..staging import run_staged, staged_builder, staged_oracle
 
 
 @query(
@@ -85,11 +85,17 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     data ablations). Row count additionally asserted within binomial
     bounds in tests; the registered oracle reads the staged kept-set
     back (roundtrip-only by design — see staging.py)."""
+    return run_staged(spark, sf_dir, "q_sample")
+
+
+@staged_builder("q_sample")
+def sample_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_sample` (partitioning-dependent by
+    design — excluded from the determinism probe, see staging docs)."""
     li = table(spark, sf_dir, "lineitem")
-    kept = li.sample(fraction=0.1, seed=42).select(
+    return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
-    return stage_expectation(kept, "q_sample", sf_dir)
 
 
 @query(

@@ -26,7 +26,7 @@ from ..caching import track
 from ..catalog import table
 from ..common import spread
 from ..registry import query
-from ..staging import stage_expectation, staged_oracle
+from ..staging import run_staged, staged_builder, staged_oracle
 
 #: Fraction boundaries for the 100-bucket hash split: 80/10/10.
 _TRAIN_HI, _VAL_HI = 80, 90
@@ -826,8 +826,15 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic (count-then-lexicographic tie-break); classic-example
     semantics unit-tested in tests/test_llm_pipeline.py.
     """
-    out = bpe_train(table(spark, sf_dir, "documents"), n_merges=10)
-    return stage_expectation(out, "q_bpe_train", sf_dir)
+    return run_staged(spark, sf_dir, "q_bpe_train")
+
+
+@staged_builder("q_bpe_train")
+def bpe_train_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_bpe_train` (construction runs the
+    distributed word-count + driver merge-learning; the returned frame
+    is the 10-row merge table)."""
+    return bpe_train(table(spark, sf_dir, "documents"), n_merges=10)
 
 
 def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text") -> DataFrame:
@@ -884,9 +891,16 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and the apply side stays a map-only scan; the artifact, not
     data, crosses the driver. Deterministic end to end.
     """
+    return run_staged(spark, sf_dir, "q_bpe_apply")
+
+
+@staged_builder("q_bpe_apply")
+def bpe_apply_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_bpe_apply` — the map-only encode
+    plan over the collected 10-merge artifact."""
     d = table(spark, sf_dir, "documents")
     merges = [(r["left"], r["right"]) for r in bpe_train(d, n_merges=10).collect()]
-    return stage_expectation(bpe_apply(d, merges), "q_bpe_apply", sf_dir)
+    return bpe_apply(d, merges)
 
 
 @query(

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..caching import local_checkpoint, release_superseded, track
 from ..catalog import table
 from ..registry import query
-from ..staging import stage_expectation, staged_oracle
+from ..staging import run_staged, staged_builder, staged_oracle
 
 _QUERY_VEC_ID = 0  # deterministic query point for the registered queries
 _DIM = 64
@@ -187,6 +187,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic (seeded planes); recall vs brute force is asserted in
     tests/test_similarity.py.
     """
+    return run_staged(spark, sf_dir, "q_ann_lsh")
+
+
+@staged_builder("q_ann_lsh")
+def ann_lsh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_ann_lsh` — the bucket-join + exact
+    re-rank plan the snapshot/lint guards pin."""
     e = table(spark, sf_dir, "embeddings")
     bucketed = lsh_bucket_table(e)
     q = bucketed.where(F.col("vec_id") == _QUERY_VEC_ID).select(
@@ -211,7 +218,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
-    return stage_expectation(out, "q_ann_lsh", sf_dir)
+    return out
 
 
 @query(
@@ -284,6 +291,13 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes); recall vs the exact pair set is asserted in
     tests/test_similarity.py.
     """
+    return run_staged(spark, sf_dir, "q_dedup_embedding_lsh")
+
+
+@staged_builder("q_dedup_embedding_lsh")
+def embedding_lsh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_dedup_embedding_lsh` — the bucketed
+    pair-join + cosine-verify plan the snapshot/lint guards pin."""
     e = table(spark, sf_dir, "embeddings")
     bucketed = lsh_bucket_table(e).select("vec_id", "embedding", "table_id", "bucket")
     # The bucket index is reused by both sides of the pair join — persist
@@ -315,7 +329,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pairs.where(cos >= 0.35).select(
         "vec_a", "vec_b", F.round(cos, 4).alias("cosine")
     )
-    return stage_expectation(out, "q_dedup_embedding_lsh", sf_dir)
+    return out
 
 
 def kmeans_centroids(e: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
@@ -391,6 +405,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-struct trick (no window, no cross-product kept). Query probes
     its 2 nearest cells, exact cosine inside ~2/8 of the data.
     """
+    return run_staged(spark, sf_dir, "q_ann_ivf")
+
+
+@staged_builder("q_ann_ivf")
+def ann_ivf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_ann_ivf` (construction runs the two
+    Lloyd rounds; the returned frame is the probe + re-rank plan)."""
     e = table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(e, k=8, iters=2)
     # cell assignment: min (distance, cell_id) struct per vector
@@ -435,7 +456,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
-    return stage_expectation(out, "q_ann_ivf", sf_dir)
+    return out
 
 
 @query(
@@ -583,6 +604,13 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes, (cosine desc, vec_b) tie-break); recall vs the exact graph
     is asserted in tests/test_similarity.py.
     """
+    return run_staged(spark, sf_dir, "q_knn_graph")
+
+
+@staged_builder("q_knn_graph")
+def knn_graph_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_knn_graph` — the bucket pair-join +
+    WindowGroupLimit top-k plan the snapshot/lint guards pin."""
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "embeddings")
@@ -618,7 +646,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("vec_a", "vec_b", "cosine", "rank")
     )
-    return stage_expectation(out, "q_knn_graph", sf_dir)
+    return out
 
 
 @query(
@@ -890,6 +918,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings raw-ADC ordering alone recalls ~2/10 — unstructured data
     is PQ's worst case, which is exactly why the rerank stage exists.)
     """
+    return run_staged(spark, sf_dir, "q_ann_pq")
+
+
+@staged_builder("q_ann_pq")
+def ann_pq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_ann_pq` (construction runs the two
+    batched Lloyd rounds; the returned frame is the ADC + rerank plan)."""
     e = table(spark, sf_dir, "embeddings")
     subs = e.select(
         "vec_id",
@@ -1002,7 +1037,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("approx_d2"), 4).alias("approx_d2"),
         F.round(cos, 4).alias("cosine"),
     ).orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
-    return stage_expectation(out, "q_ann_pq", sf_dir)
+    return out
 
 
 @query(

@@ -16,9 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import track
 from ..catalog import table
 from ..registry import query
-from ..staging import stage_expectation, staged_oracle
+from ..staging import run_staged, staged_builder, staged_oracle
 
 # d hash rows × w buckets: ε ≈ e/w ≈ 0.0027, δ ≈ (1/e)^d ≈ 0.018
 CMS_D = 4
@@ -79,11 +80,20 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sketches.py; at scale only the sketch pass runs and the
     exact pass disappears. Deterministic (seeded hashes, integer sums),
     so the result stages as an exact expectation."""
+    return run_staged(spark, sf_dir, "q_sketch_count_min")
+
+
+@staged_builder("q_sketch_count_min")
+def count_min_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_sketch_count_min` — the sketch +
+    exact-top-k join plan the snapshot/lint guards pin."""
     d = table(spark, sf_dir, "documents")
     words = d.select(F.explode(F.split("text", " ")).alias("word")).where(
         F.col("word") != ""
     )
-    words = words.persist()  # feeds both the sketch and the exact top-k
+    # Feeds both the sketch and the exact top-k; session-owned cache
+    # (the lazy frame outlives this builder, so no scoped unpersist).
+    words = track(words)
     sketch = cms_build(words)
     top = (
         words.groupBy("word")
@@ -92,10 +102,7 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     est = cms_estimate(sketch, top.select("word"))
-    out = top.join(est, "word").select("word", "exact_n", "cms_estimate")
-    out = stage_expectation(out, "q_sketch_count_min", sf_dir)
-    words.unpersist()
-    return out
+    return top.join(est, "word").select("word", "exact_n", "cms_estimate")
 
 
 @query(
@@ -110,13 +117,18 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mergeable quantile sketch for distributions too large to sort.
     Error vs exact percentile_cont is bound-asserted in
     tests/test_sketches.py."""
+    return run_staged(spark, sf_dir, "q_agg_approx_quantile")
+
+
+@staged_builder("q_agg_approx_quantile")
+def approx_quantile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_agg_approx_quantile`."""
     e = table(spark, sf_dir, "events")
-    out = e.groupBy("event_type").agg(
+    return e.groupBy("event_type").agg(
         F.approx_percentile(F.col("value"), F.lit(0.5), F.lit(10000)).alias("p50"),
         F.approx_percentile(F.col("value"), F.lit(0.9), F.lit(10000)).alias("p90"),
         F.approx_percentile(F.col("value"), F.lit(0.99), F.lit(10000)).alias("p99"),
     )
-    return stage_expectation(out, "q_agg_approx_quantile", sf_dir)
 
 
 @query(
@@ -140,6 +152,12 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable; the ≤2% error bound vs exact is asserted in
     tests/test_sketches.py.
     """
+    return run_staged(spark, sf_dir, "q_sketch_hll_merge")
+
+
+@staged_builder("q_sketch_hll_merge")
+def hll_merge_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_sketch_hll_merge`."""
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     per_nation = (
@@ -160,7 +178,7 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_regionkey", "est_customers", "exact_customers")
     )
-    return stage_expectation(out, "q_sketch_hll_merge", sf_dir)
+    return out
 
 
 @query(
@@ -261,6 +279,13 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the survivors (same role as q_join_bloom's runtime filter, but
     as an explicit, persistable artifact under the engine's control).
     """
+    return run_staged(spark, sf_dir, "q_bloom_membership")
+
+
+@staged_builder("q_bloom_membership")
+def bloom_membership_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-staging frame for :func:`q_bloom_membership` — build + probe +
+    audit plan the snapshot/lint guards pin."""
     orders = table(spark, sf_dir, "orders")
     build = orders.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
     bits = bloom_bits(build, "o_custkey")
@@ -307,4 +332,4 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_pos",
         F.round(F.col("n_false_pos") / F.col("n_probed"), 4).alias("fp_rate"),
     )
-    return stage_expectation(out, "q_bloom_membership", sf_dir)
+    return out

@@ -1,8 +1,8 @@
 """Executed-plan snapshot artifacts (VERDICT r3 item 7).
 
 tests/test_plans.py asserts ~60 individual plan PROPERTIES; this module
-additionally pins the WHOLE physical plan of the headline queries as
-committed text artifacts (``PLANS_r4/``), so any plan change — an
+additionally pins the WHOLE physical plan of the top-cost bench queries
+as committed text artifacts (``PLANS/``), so any plan change — an
 optimizer regression, a lost pushdown, a join strategy flip — shows up
 as a reviewable git diff rather than only a failed property assert.
 
@@ -26,16 +26,28 @@ from pyspark.sql import DataFrame
 
 from .explain import formatted_plan
 
-#: The headline set whose full plans are pinned: the round-1 driver
-#: bench queries (minus the streaming one, whose registered output is a
-#: memory-sink scan with no plan to pin) plus the MAD heavyweight.
+#: The pinned set (VERDICT r5 item 6 widened it from 20 to the top-cost
+#: bench queries): the round-1 driver bench queries plus every expensive
+#: bench query whose normalized plan is SESSION-DETERMINISTIC (verified
+#: by generating twice in fresh JVMs and diffing — queries whose plans
+#: carry run-varying structure are excluded with a reason below).
+#: Staged-expectation queries pin their BUILDER frame (snapshot_frame).
+#: Excluded, with reasons:
+#: - q_agg_distinct: count-distinct EXPAND rewrite orders grouping
+#:   columns nondeterministically across sessions (plan PROPERTIES
+#:   asserted in tests/test_plans.py instead);
+#: - q_stream_*: registered output is a memory-sink scan, no plan;
+#: - q_pagerank / q_graph_bfs / q_dedup_resolve / q_geo_cluster: the
+#:   returned frame is a post-checkpoint scan — the per-round join plans
+#:   are asserted property-wise in tests/test_plans.py / test_graph.py;
+#: - q_bpe_train: the builder's frame is the driver-learned 10-row merge
+#:   table (LocalTableScan) — nothing structural to pin;
+#: - any candidate the double-generation diff rejected (see git history
+#:   of this list).
 SNAPSHOT_QUERIES = [
     "q_scan_project",
     "q_filter_range",
     "q_agg_groupby",
-    # (q_agg_distinct excluded: its count-distinct EXPAND rewrite orders
-    # the grouping columns nondeterministically across sessions — the
-    # equivalent plan PROPERTIES are asserted in tests/test_plans.py)
     "q_having",
     "q_join_inner_2key",
     "q_join_left",
@@ -53,11 +65,50 @@ SNAPSHOT_QUERIES = [
     "q_similarity_topk",
     "q_star_etl",
     "q_mad_outlier",
+    # -- r6 widening: top-cost bench queries --
+    "q_ann_pq",
+    "q_basket_lift",
+    "q_cogroup_reconcile",
+    "q_dedup_simhash",
+    "q_corpus_pipeline",
+    "q_penny_allocation",
+    "q_substring_removal_plan",
+    "q_embedding_covariance",
+    "q_frequent_pairs",
+    "q_regression_slope",
+    "q_winsorize",
+    "q_decontaminate",
+    "q_bootstrap_ci",
+    "q_udf_scalar",
+    "q_starjoin_mincost",
+    "q_agg_percentile_exact",
+    "q_recursive_cte",
+    "q_hybrid_search",
+    "q_eval_ndcg",
+    "q_skyline",
+    "q_heaps_growth",
+    "q_ntile_global",
+    "q_starjoin_bigorders",
+    "q_join_skew_aqe",
+    "q_funnel",
+    "q_bloom_membership",
+    "q_events_pipeline",
+    "q_string_funcs",
+    "q_dedup_lines",
+    "q_geo_pipeline",
+    "q_percentile_disc",
+    "q_er_blocked_join",
+    "q_fdr_bh",
+    "q_gap_percentiles",
+    "q_geo_trajectory",
+    "q_table_diff",
+    "q_embedding_drift",
+    "q_triangle_count",
 ]
 
 SNAPSHOT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "PLANS_r4",
+    "PLANS",
 )
 
 #: Driver correctness scale — plans are size-sensitive (broadcast
@@ -90,17 +141,38 @@ def normalized_plan(df: DataFrame) -> str:
     return "\n".join(lines).rstrip() + "\n"
 
 
+def snapshot_frame(spark, sf_dir: str, name: str):
+    """The frame whose plan gets pinned for ``name``.
+
+    Staged-expectation queries (staging.STAGED_BUILDERS) pin the
+    BUILDER frame — the real pipeline where a scale-killer could appear
+    — never the trivial parquet re-read the registered query returns
+    (VERDICT r5 items 1-2: pinning the staged scan made the guard
+    vacuous and let the LSH pipeline plan go unguarded)."""
+    from ..registry import get_queries
+    from ..staging import STAGED_BUILDERS
+
+    qs = get_queries()  # ensures operator modules (and builders) are loaded
+    builder = STAGED_BUILDERS.get(name)
+    return builder(spark, sf_dir) if builder is not None else qs[name](spark, sf_dir)
+
+
 def generate(spark, sf_dir: str = SNAPSHOT_SF_DIR) -> dict[str, str]:
     """(name → normalized plan text) for every snapshot query."""
     from ..caching import release_caches
-    from ..registry import get_queries
 
     # Plans are cache-state-sensitive (a pre-materialized index swaps a
     # scan subtree for InMemoryTableScan); snapshot from a clean slate.
     release_caches()
     spark.catalog.clearCache()
-    qs = get_queries()
-    return {name: normalized_plan(qs[name](spark, sf_dir)) for name in SNAPSHOT_QUERIES}
+    out = {}
+    for name in SNAPSHOT_QUERIES:
+        out[name] = normalized_plan(snapshot_frame(spark, sf_dir, name))
+        # A builder that track()-persists its index must not leave that
+        # cache to perturb the NEXT query's pinned plan.
+        release_caches()
+        spark.catalog.clearCache()
+    return out
 
 
 def write_snapshots(spark, out_dir: str = SNAPSHOT_DIR, sf_dir: str = SNAPSHOT_SF_DIR) -> int:

@@ -30,9 +30,11 @@ row set differs.
 
 from __future__ import annotations
 
+import hashlib
 import os
+from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 _EXPECTED_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -40,9 +42,61 @@ _EXPECTED_ROOT = os.path.join(
     "expected",
 )
 
+#: name → builder callable returning the PRE-staging pipeline frame.
+#: This is the registry the structural guards target: plan snapshots and
+#: the CartesianProduct/BatchEvalPython lint inspect the BUILDER frame
+#: (where a scale-killer could actually appear), never the trivial
+#: parquet re-read the registered query returns (VERDICT r5 items 1-2).
+#: bench.py times builder frames too, so staging I/O stays out of the
+#: measured path (VERDICT r5 item 3).
+STAGED_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+#: (applicationId, name, normpath(sf_dir)) → re-read of the staged
+#: bytes. A session builds+stages each expectation once; later calls
+#: re-aim the ``current`` pointer and return the memoized scan — the
+#: same compute-once contract resolved_clusters established in r5.
+_STAGE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def staged_builder(name: str):
+    """Decorator: register ``fn`` as the pipeline builder for ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        STAGED_BUILDERS[name] = fn
+        return fn
+
+    return deco
+
+
+def run_staged(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Build → stage → memoize the expectation for ``name`` at ``sf_dir``.
+
+    The registered query delegates here; the builder itself stays
+    separately callable so guards and bench can target the real plan.
+    """
+    key = (spark.sparkContext.applicationId, name, os.path.normpath(sf_dir))
+    got = _STAGE_MEMO.get(key)
+    if got is not None:
+        repoint_current(name, sf_dir)
+        return got
+    staged = stage_expectation(STAGED_BUILDERS[name](spark, sf_dir), name, sf_dir)
+    _STAGE_MEMO[key] = staged
+    return staged
+
+
+def clear_stage_memo() -> None:
+    """Drop all memoized staged frames (bench repeats call this so every
+    repeat pays the same build+stage cost as a fresh session)."""
+    _STAGE_MEMO.clear()
+
 
 def _sf_tag(sf_dir: str) -> str:
-    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    # Basename + short path hash: two datasets with the same basename at
+    # different paths (/a/sf1 vs /b/sf1) must never clobber each other's
+    # staged bytes (ADVICE r5).
+    norm = os.path.normpath(sf_dir)
+    base = os.path.basename(norm).replace(".", "_")
+    return f"{base}-{hashlib.md5(norm.encode()).hexdigest()[:8]}"
 
 
 def stage_expectation(df: DataFrame, name: str, sf_dir: str) -> DataFrame:

@@ -9,12 +9,26 @@ oracle) get {"mode": "rows_only", "rows": N} — their semantics live in
 tests/; oracled queries get rows/schema/values verdicts from the same
 comparator the pytest parity suite uses (elementwise — stricter than
 the driver's value hash).
+
+Oracle modes (ADVICE r5): a green hash means different things for
+different oracle kinds, and the report distinguishes them —
+- "oracle": DuckDB independently RE-DERIVES the result from the raw
+  tables — the strongest claim;
+- "staged_roundtrip": the oracle reads bytes the Spark query itself
+  staged (non-SQL-expressible pipelines) — certifies determinism +
+  sink/scan roundtrip only; algorithmic correctness lives in unit
+  tests + the partitioning-invariance probe;
+- entries whose INDEPENDENT oracle nevertheless reads another query's
+  staged table (the resolve consumers) carry "depends_on_staged", and
+  the summary's "staged_dependencies_green" asserts every such upstream
+  artifact was independently re-derived green in the same sweep.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 import traceback
@@ -24,7 +38,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 
 from dateng_data_lakes_apache_spark_spark.registry import get_oracles, get_queries
 from dateng_data_lakes_apache_spark_spark.session import get_spark
+from dateng_data_lakes_apache_spark_spark.staging import STAGED_BUILDERS
 from parity import _canon_frame, duck_connection
+
+#: staged table name → the query whose independent oracle re-derives it
+#: (the only cross-query staged dependency today: the shared resolve).
+_STAGED_TABLE_OWNER = {"dedup_resolve": "q_dedup_resolve"}
+
+
+def _staged_refs(oracle_sql: str) -> list[str]:
+    """Names of staged tables an oracle reads (``.../expected/<name>/current``)."""
+    return sorted(set(re.findall(r"/expected/([\w.]+)/current", oracle_sql)))
 
 
 def main() -> None:
@@ -50,14 +74,21 @@ def main() -> None:
                     duck_pdf = con.execute(oracles[name]).df()
                 finally:
                     con.close()
+                mode = "staged_roundtrip" if name in STAGED_BUILDERS else "oracle"
                 entry = {
-                    "mode": "oracle",
+                    "mode": mode,
                     "rows_match": len(spark_pdf) == len(duck_pdf),
                     "schema_match": sorted(spark_pdf.columns) == sorted(duck_pdf.columns),
                     "values_match": _canon_frame(spark_pdf) == _canon_frame(duck_pdf),
                     "spark_rows": len(spark_pdf),
                     "oracle_rows": len(duck_pdf),
                 }
+                if mode == "oracle":
+                    deps = [
+                        _STAGED_TABLE_OWNER.get(t, t) for t in _staged_refs(oracles[name])
+                    ]
+                    if deps:
+                        entry["depends_on_staged"] = deps
             else:
                 entry = {"mode": "rows_only", "spark_rows": len(spark_pdf)}
             entry["err"] = None
@@ -70,16 +101,27 @@ def main() -> None:
         ok = entry.get("values_match", entry.get("spark_rows") is not None)
         print(f"{name}: {'OK' if ok and not entry['err'] else 'FAIL'} ({entry['sec']}s)", flush=True)
 
+    def _green(e: dict) -> bool:
+        return bool(e.get("rows_match") and e.get("schema_match") and e.get("values_match"))
+
+    # Every staged dependency's OWNER must be independently green in this
+    # same sweep, else the dependent greens certify nothing (ADVICE r5).
+    dep_owners = sorted(
+        {d for e in report.values() for d in e.get("depends_on_staged", [])}
+    )
     summary = {
         "sf_dir": sf_dir,
         "n_queries": len(report),
         "n_oracle_green": sum(
-            1 for e in report.values()
-            if e.get("mode") == "oracle"
-            and e.get("rows_match") and e.get("schema_match") and e.get("values_match")
+            1 for e in report.values() if e.get("mode") == "oracle" and _green(e)
+        ),
+        "n_staged_roundtrip_green": sum(
+            1 for e in report.values() if e.get("mode") == "staged_roundtrip" and _green(e)
         ),
         "n_rows_only": sum(1 for e in report.values() if e.get("mode") == "rows_only"),
         "n_errors": sum(1 for e in report.values() if e.get("mode") == "error"),
+        "staged_dependency_owners": dep_owners,
+        "staged_dependencies_green": all(_green(report.get(o, {})) for o in dep_owners),
         "total_sec": round(time.time() - t_start, 1),
     }
     with open(out_path, "w") as f:

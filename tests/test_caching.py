@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from dateng_data_lakes_apache_spark_spark import cached_indexes, release_caches
 from dateng_data_lakes_apache_spark_spark.caching import track, tracked_count
 from dateng_data_lakes_apache_spark_spark.registry import get_queries
+from dateng_data_lakes_apache_spark_spark.staging import STAGED_BUILDERS, clear_stage_memo
 
 QS = get_queries()
 
@@ -24,8 +25,11 @@ def _storage_empty(spark) -> bool:
 
 
 def test_three_query_session_releases_all_caches(spark, sf_dir):
-    # Start clean: any caches left by earlier tests belong to them.
+    # Start clean: any caches left by earlier tests belong to them, and
+    # a memoized staged minhash from an earlier test file would skip the
+    # index build this test asserts on.
     release_caches()
+    clear_stage_memo()
     spark.catalog.clearCache()
     assert _storage_empty(spark)
     with cached_indexes():
@@ -42,7 +46,9 @@ def test_three_query_session_releases_all_caches(spark, sf_dir):
 
 def test_release_is_idempotent_and_counts(spark, sf_dir):
     release_caches()
-    QS["q_dedup_minhash"](spark, sf_dir).count()
+    # The BUILDER frame (registered q_dedup_minhash memoizes its staged
+    # artifact, so a repeat call builds no cache to release).
+    STAGED_BUILDERS["q_dedup_minhash"](spark, sf_dir).count()
     n = release_caches()
     assert n >= 1
     assert release_caches() == 0  # second drain releases nothing
@@ -63,3 +69,44 @@ def test_nested_scopes_release_only_their_own(spark, sf_dir):
     assert not _storage_empty(spark)
     assert release_caches() == 1
     assert _storage_empty(spark)
+
+
+def test_release_superseded_exact_object_contract(spark):
+    """ADVICE r5: the checkpoint handle rides on the EXACT frame
+    local_checkpoint returned — a derived frame silently no-ops (and
+    would leak in a loop). Pin the contract both ways, plus released-
+    twice idempotence."""
+    from dateng_data_lakes_apache_spark_spark.caching import (
+        local_checkpoint,
+        release_superseded,
+    )
+
+    ck = local_checkpoint(spark.range(100))
+    derived = ck.select("id")
+    assert release_superseded(derived) is False  # no handle on derived frames
+    assert release_superseded(ck) is True
+    assert release_superseded(ck) is False  # already released
+
+
+def test_iterative_loops_release_every_superseded_round(spark, monkeypatch):
+    """ADVICE r5 done-criterion: in a real iterative operator, every
+    release after round 1 must return True (False would mean the loop
+    passed a derived frame and is silently leaking checkpoint blocks)."""
+    import dateng_data_lakes_apache_spark_spark.operators.graph as graph
+    from .conftest import SF_SMALL
+
+    returns: list[bool] = []
+    orig = graph.release_superseded
+
+    def spy(df):
+        r = orig(df)
+        returns.append(r)
+        return r
+
+    monkeypatch.setattr(graph, "release_superseded", spy)
+    QS["q_pagerank"](spark, SF_SMALL).collect()
+    release_caches()
+    assert returns, "pagerank never called release_superseded"
+    assert all(returns), (
+        "a release returned False mid-loop — superseded checkpoint blocks leaked"
+    )

@@ -27,3 +27,20 @@ def test_rows_only_runs(spark, sf_dir, name):
     rows = df.count()
     assert rows >= 0
     assert len(df.columns) > 0
+
+
+def test_resolve_consumers_depend_on_independent_resolve_oracle(spark, sf_dir):
+    """ADVICE r5: q_dedup_cluster_stats / q_dedup_rate_by_source /
+    q_split_by_cluster oracles read Spark's STAGED resolve table, so
+    their greens are conditional on q_dedup_resolve's own oracle — the
+    INDEPENDENT recursive-CTE fixpoint — being green on the same staged
+    bytes. This combined check enforces that ordering explicitly:
+    resolve's independent re-derivation first, then the three consumers
+    (cheap: resolved_clusters memoizes, so no pipeline re-runs)."""
+    for name in (
+        "q_dedup_resolve",
+        "q_dedup_cluster_stats",
+        "q_dedup_rate_by_source",
+        "q_split_by_cluster",
+    ):
+        compare_query(spark, sf_dir, QUERIES[name], ORACLES[name])

@@ -85,3 +85,57 @@ def test_no_cartesian_and_no_row_python(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+# ---------------------------------------------------------------------------
+# Staged-expectation queries: the registered query returns a re-read of
+# staged bytes (a trivial parquet scan the rules above would pass
+# vacuously), so the lint targets the pre-staging BUILDER frame — the
+# real pipeline where a scale-killer could appear (VERDICT r5 item 2).
+# Builders whose CONSTRUCTION runs iterative jobs lint at sf0.001 to
+# keep that construction cheap; the plan SHAPE is conf/data-independent
+# for these rules.
+# ---------------------------------------------------------------------------
+
+from dateng_data_lakes_apache_spark_spark.caching import release_caches  # noqa: E402
+from dateng_data_lakes_apache_spark_spark.staging import STAGED_BUILDERS  # noqa: E402
+
+from .conftest import SF_SMALL  # noqa: E402
+
+#: q_ann_ivf/q_ann_pq intentionally crossJoin a BROADCAST single-row /
+#: k-row constants frame (argmin against k centroids); those carry an
+#: EXPLICIT F.broadcast() hint, which survives the no-auto-broadcast
+#: session below — so nothing is excluded here.
+STAGED_LINTABLE = sorted(STAGED_BUILDERS)
+
+
+@pytest.fixture(scope="module")
+def no_autobroadcast_session(spark):
+    """Auto-broadcast off: a bare crossJoin/non-equi join can no longer
+    hide behind size-based BroadcastNestedLoopJoin — it plans as
+    CartesianProduct and fails the rule. Deliberate broadcasts keep
+    their explicit hint and still plan as broadcast joins, so the lint
+    separates intent from accident."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return s
+
+
+@pytest.mark.parametrize("name", STAGED_LINTABLE)
+def test_staged_builder_frame_no_cartesian_no_row_python(no_autobroadcast_session, name):
+    df = STAGED_BUILDERS[name](no_autobroadcast_session, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_caches()
+    assert "CartesianProduct" not in plan, f"{name} builder: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name} builder: row-at-a-time Python UDF"
+
+
+def test_staged_builder_lint_catches_injected_crossjoin(no_autobroadcast_session):
+    """Negative control (VERDICT r5 item 2 done-criterion): a bare
+    crossJoin of two data frames MUST trip the rule in this session —
+    proves the lint is not vacuous."""
+    s = no_autobroadcast_session
+    a = s.read.parquet(f"{SF_SMALL}/nation.parquet")
+    b = s.read.parquet(f"{SF_SMALL}/region.parquet")
+    plan = a.crossJoin(b)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in plan

@@ -1,10 +1,11 @@
 """Committed plan artifacts stay true (VERDICT r3 item 7).
 
-PLANS_r4/ pins the full normalized physical plan of the 20 headline
-queries; this test regenerates every plan against the live engine and
-fails on ANY drift, so optimizer/plan regressions surface as a git diff
-of the artifact, not just a broken property assert. To accept an
-intentional plan change, re-run:
+PLANS/ pins the full normalized physical plan of the top-cost bench
+queries (staged-expectation queries pin their pre-staging BUILDER frame
+— see plans.snapshot.snapshot_frame); this test regenerates every plan
+against the live engine and fails on ANY drift, so optimizer/plan
+regressions surface as a git diff of the artifact, not just a broken
+property assert. To accept an intentional plan change, re-run:
 
     python -m dateng_data_lakes_apache_spark_spark.plans.snapshot
 """

@@ -20,6 +20,7 @@ import pytest
 
 from dateng_data_lakes_apache_spark_spark.caching import release_caches
 from dateng_data_lakes_apache_spark_spark.registry import get_queries
+from dateng_data_lakes_apache_spark_spark.staging import STAGED_BUILDERS
 
 from .conftest import SF_SMALL
 
@@ -61,9 +62,14 @@ def hostile_session(spark):
 
 @pytest.mark.parametrize("name", STAGED_DETERMINISTIC)
 def test_staged_query_partitioning_invariant(spark, hostile_session, name):
+    """Base side = the REGISTERED query (build→stage→re-read, so the
+    roundtrip is under test too); hostile side = the raw BUILDER frame
+    (bypasses the session memo, so the pipeline genuinely recomputes
+    under the hostile confs — a memoized staged read would be a vacuous
+    comparison)."""
     qs = get_queries()
     base = _canon(qs[name](spark, SF_SMALL))
-    hostile = _canon(qs[name](hostile_session, SF_SMALL))
+    hostile = _canon(STAGED_BUILDERS[name](hostile_session, SF_SMALL))
     assert base == hostile, (
         f"{name} output changed under different scan/shuffle partitioning — "
         "its staged-expectation oracle would pin a layout-dependent artifact"
@@ -72,14 +78,21 @@ def test_staged_query_partitioning_invariant(spark, hostile_session, name):
 
 
 def test_staged_inventory_is_complete():
-    """Every staged_oracle() call site is either probed here or q_sample."""
+    """Every staged_oracle() call site is either probed here or q_sample,
+    and every one of them registers a builder frame for the structural
+    guards (plan snapshot + lint) to target."""
     import re
     from pathlib import Path
 
+    get_queries()  # builders register at operator-module import time
     pkg = Path(__file__).resolve().parent.parent / "dateng_data_lakes_apache_spark_spark"
     names = set()
     for py in pkg.rglob("*.py"):
         names |= set(re.findall(r"staged_oracle\(\s*\"(q_\w+)\"", py.read_text()))
     assert names == set(STAGED_DETERMINISTIC) | {"q_sample"}, (
         f"staged queries drifted: {sorted(names)}"
+    )
+    assert set(STAGED_BUILDERS) == names, (
+        "every staged query must register its pre-staging builder frame "
+        f"(missing: {sorted(names - set(STAGED_BUILDERS))})"
     )
