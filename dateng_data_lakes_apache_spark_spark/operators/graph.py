@@ -25,7 +25,12 @@ _SCALE = 10**12
 _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as exact integer ratio
 
 
-def pagerank(edges: DataFrame, iters: int = 5, ckpt_every: int = 2) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    ckpt_every: int = 2,
+    edge_pre_partition: bool = False,
+) -> DataFrame:
     """Damped PageRank over a directed edge list (src, dst), returning
     (node, rank_scaled) with rank_scaled a ×1e12 fixed-point long.
 
@@ -57,7 +62,22 @@ def pagerank(edges: DataFrame, iters: int = 5, ckpt_every: int = 2) -> DataFrame
     # iteration, and without it AQE's broadcast of each round's (small)
     # contribution table re-derives the whole unpersisted chain on the
     # driver — measured to OOM the broadcast build at sf0.1.
-    indexed = track(edges.join(deg, "src"))
+    indexed = edges.join(deg, "src")
+    if edge_pre_partition:
+        # r4 task #7 experiment, measured at sf0.1 local[32] (BASELINE.md
+        # r6): NO structural difference — with or without the explicit
+        # repartition, every round plans the SAME BroadcastHashJoin of
+        # the small rank table onto the cached edge index (there is no
+        # edge-side exchange to elide) over the same 64 cached
+        # partitions, and ranks are bit-identical. Wall-clock deltas
+        # between the variants sat inside the noise band once run order
+        # and page-cache warmth were controlled, so the default stays
+        # False (no free shuffle at build time). Kept as an option
+        # because on a real cluster with |V| too big to broadcast the
+        # rounds degrade to SMJ, where pinning hashpartitioning(src) on
+        # the persisted index IS the standard co-location play.
+        indexed = indexed.repartition("src")
+    indexed = track(indexed)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

@@ -46,6 +46,13 @@ ENGINE_CONF: dict[str, str] = {
     # UI off for test/bench speed; harmless on a cluster.
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
+    # Local-mode JVM heap: without this the driver JVM (which IS the
+    # executor in local[...]) runs on the 1 GB java default — measured
+    # to OOM a broadcast build after a few repeated iterative-operator
+    # runs in one session (r6; bench now runs median-of-3). Only takes
+    # effect when THIS builder launches the JVM; on a cluster the
+    # submit-time --driver-memory/--executor-memory win as usual.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
