@@ -133,6 +133,12 @@ def normalized_plan(df: DataFrame) -> str:
     text = re.sub(r"\b([a-z])_\d+", r"\1_", text)
     # cached-relation / rdd identity hashes
     text = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[_]", text)
+    # RDD creation call-sites ("at localCheckpoint at X:0"): X flips from
+    # NativeMethodAccessorImpl.java to <unknown> once HotSpot replaces the
+    # reflection accessor with generated bytecode (~15 reflective calls),
+    # i.e. it depends on how much JVM work preceded the snapshot — pure
+    # run-environment noise, found via the full-suite drift of q_ann_pq r6.
+    text = re.sub(r" at [\w.<>$]+:\d+", " at _:0", text)
     text = re.sub(r"\bcachedPlan=\S+", "cachedPlan=_", text)
     # scratch staging uses per-run uuids in some writers
     text = re.sub(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "_uuid_", text)

@@ -90,15 +90,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     #   r2 (all green): q_dedup_ngram_jaccard, q_doc_fingerprint,
     #       q_dedup_resolve (no_oracle then), q_ntile_global,
     #       q_multimodal_decode, q_corpus_pipeline
-    #   r3 (current): the two newly-oracled iterative queries + the LLM
-    #       flagships the judge called out.
-    #   r4 (planned): q_starjoin_pricing, q_dedup_lines,
-    #       q_stream_chained, q_stream_restart, q_dq_constraints,
-    #       q_scd2_lookup — then fold in the r3 extension wave
-    #       (q_penny_allocation, q_record_linkage, q_bootstrap_ci,
-    #       q_cross_format_parity, q_content_filter, ...) in later
-    #       rounds, highest-signal first
-    #   r5+ (planned): q_stream_full_outer, q_scd2_build, remaining
+    #   r3: the two newly-oracled iterative queries + the LLM flagships
+    #       (q_dedup_resolve, q_pagerank, q_decontaminate,
+    #       q_split_train_test, q_tfidf, q_hybrid_search) — all green in
+    #       CORRECTNESS_r04/r05.
+    #   r6 (current): the long-planned next wave — star-join pricing,
+    #       cross-doc line dedup, chained/restart streaming, DQ
+    #       constraint audit, SCD2 lookup.
+    #   r7+ (planned): q_stream_full_outer, q_scd2_build, remaining
     #       starjoin shapes, formats/roundtrips (snapshot/dynamic
     #       overwrite/text/dirty-JSON), window pack, events analytics
     #       (attribution, skyline, period growth), then the r3
@@ -108,12 +107,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     #       first; every candidate is already green in the local parity
     #       replica (PARITY_r{N}.json), so rotation converts verified
     #       queries into driver evidence, never gambles on new ones.
-    "q_dedup_resolve",  # newly oracled: recursive-CTE min-label fixpoint
-    "q_pagerank",  # newly oracled: unrolled fixed-point integer rounds
-    "q_decontaminate",
-    "q_split_train_test",
-    "q_tfidf",
-    "q_hybrid_search",
+    "q_starjoin_pricing",
+    "q_dedup_lines",
+    "q_stream_chained",
+    "q_stream_restart",
+    "q_dq_constraints",
+    "q_scd2_lookup",
 )
 
 _LOADED = False
