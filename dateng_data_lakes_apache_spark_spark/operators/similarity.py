@@ -332,14 +332,59 @@ def embedding_lsh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _argmin_assign(
+    frame: DataFrame, cents: DataFrame, vec_col: str, extra_key: str | None = None
+) -> DataFrame:
+    """Map-only nearest-centroid assignment.
+
+    Collapses the (tiny: ≤ k, or ≤ M×K with ``extra_key``) centroid table
+    to ONE array row per ``extra_key``, broadcasts it, and takes
+    ``array_min`` over per-centroid ``(d2, cell_id)`` structs. The struct
+    ordering (distance first, then cell_id) reproduces the former
+    broadcast-join + ``min(struct)`` groupBy argmin bit-for-bit — same
+    double arithmetic per element, same lowest-cell-id tie-break, and
+    ``array_min`` is order-insensitive so the nondeterministic
+    ``collect_list`` order cannot leak into the result.
+
+    The difference is the shape: the old form shuffled the full data side
+    (k-fanned, map-side-combined back to |V| rows WITH the vector payload)
+    once per assignment pass; this form is a broadcast hash join plus a
+    projection — zero exchange on the data side. At 100 TB, Lloyd
+    assignment and PQ encoding become pure map work.
+
+    Returns ``frame``'s columns plus a ``best`` struct ``(d, cell_id)``.
+    """
+    packed = cents.groupBy(*([extra_key] if extra_key else [])).agg(
+        F.collect_list(F.struct("cell_id", "cent")).alias("_cents")
+    )
+    joined = (
+        frame.join(F.broadcast(packed), extra_key)
+        if extra_key
+        else frame.crossJoin(F.broadcast(packed))
+    )
+
+    def per_cent(c):
+        diff = F.zip_with(
+            F.col(vec_col), c.getField("cent"), lambda x, y: x.cast("double") - y.cast("double")
+        )
+        return F.struct(
+            _dot(diff, diff).alias("d"), c.getField("cell_id").alias("cell_id")
+        )
+
+    return joined.withColumn("best", F.array_min(F.transform("_cents", per_cent))).drop(
+        "_cents"
+    )
+
+
 def kmeans_centroids(e: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     """Distributed Lloyd's k-means for the IVF coarse quantizer:
     (cell_id, cent: array<double>) after ``iters`` assign/recompute rounds
     from a deterministic seed (the k lowest vec_ids).
 
-    Each round is (1) assignment — broadcast the k centroids, argmin by a
-    min-struct aggregate (ties to the lowest cell_id), no window and no
-    retained cross-product — and (2) recomputation via the same
+    Each round is (1) assignment — map-only via :func:`_argmin_assign`
+    (broadcast the k centroids as ONE array row, ``array_min`` over
+    (d2, cell_id) structs; ties to the lowest cell_id; no shuffle of the
+    data side at all) — and (2) recomputation via the same
     posexplode + fixed-point-scaled integer sums as q_vector_centroid,
     so centroids are bit-deterministic regardless of partition order.
     Per round the full data is scanned once and shuffled only by
@@ -354,18 +399,8 @@ def kmeans_centroids(e: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     )
     prev = None
     for _ in range(iters):
-        diff = F.zip_with(
-            "embedding", "cent", lambda x, y: x.cast("double") - y.cast("double")
-        )
-        d2 = _dot(diff, diff)
-        assigned = (
-            e.crossJoin(F.broadcast(cents))
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct(d2.alias("d"), F.col("cell_id"))).alias("best"),
-                F.first("embedding").alias("embedding"),
-            )
-            .select(F.col("best.cell_id").alias("cell_id"), "embedding")
+        assigned = _argmin_assign(e, cents, "embedding").select(
+            F.col("best.cell_id").alias("cell_id"), "embedding"
         )
         ex = assigned.select(
             "cell_id", F.posexplode("embedding").alias("pos", "v")
@@ -401,8 +436,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Coarse centroids come from :func:`kmeans_centroids` — two genuine
     distributed Lloyd iterations from a deterministic seed, not a sample
-    stand-in. Assignment = argmin cell distance via a broadcast join +
-    min-struct trick (no window, no cross-product kept). Query probes
+    stand-in. Assignment = map-only argmin over the broadcast centroid
+    array (no window, no cross-product kept, no shuffle). Query probes
     its 2 nearest cells, exact cosine inside ~2/8 of the data.
     """
     return run_staged(spark, sf_dir, "q_ann_ivf")
@@ -414,20 +449,9 @@ def ann_ivf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd rounds; the returned frame is the probe + re-rank plan)."""
     e = table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(e, k=8, iters=2)
-    # cell assignment: min (distance, cell_id) struct per vector
-    dist2 = _dot(
-        F.zip_with("embedding", "cent", lambda x, y: x.cast("double") - y.cast("double")),
-        F.zip_with("embedding", "cent", lambda x, y: x.cast("double") - y.cast("double")),
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct(dist2.alias("d"), F.col("cell_id"))).alias("best"),
-            F.first("embedding").alias("embedding"),
-            F.first("label").alias("label"),
-        )
-        .select("vec_id", "label", "embedding", F.col("best.cell_id").alias("cell_id"))
+    # cell assignment: map-only argmin over the broadcast centroid array
+    assigned = _argmin_assign(e, cents, "embedding").select(
+        "vec_id", "label", "embedding", F.col("best.cell_id").alias("cell_id")
     )
     q = assigned.where(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("q_embedding")
@@ -898,7 +922,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is broadcast-join relational — no literal-baked
     expressions, no Python in the row path:
     - build: the corpus explodes ONCE to (vec_id, m, subvector); each
-      of the 2 Lloyd rounds is one broadcast-join + min-struct argmin +
+      of the 2 Lloyd rounds is one map-only broadcast-array argmin +
       fixed-point recompute over that frame (2 corpus passes total for
       ALL M codebooks; an earlier per-subspace formulation paid M×2
       sequential rounds — 31 s at sf0.1); the 128-row centroid table is
@@ -943,15 +967,10 @@ def ann_pq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = track(subs)
 
     def assign(frame, cents):
-        diff = F.zip_with("sv", "cent", lambda x, y: x.cast("double") - y.cast("double"))
-        d2 = _dot(diff, diff)
-        return (
-            frame.join(F.broadcast(cents), "m")
-            .groupBy("vec_id", "m")
-            .agg(
-                F.min(F.struct(d2.alias("d"), F.col("cell_id"))).alias("best"),
-                F.first("sv").alias("sv"),
-            )
+        # map-only per-subspace argmin: each row meets its M-keyed
+        # centroid array once via broadcast hash join, no groupBy shuffle
+        return _argmin_assign(frame, cents, "sv", extra_key="m").select(
+            "vec_id", "m", "best", "sv"
         )
 
     # ---- build: 2 Lloyd rounds over ALL subspaces at once ------------
