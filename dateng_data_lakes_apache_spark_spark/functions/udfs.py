@@ -239,9 +239,10 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sums: both columns are 2-dp money, so round(v*100) recovers the
         # exact cents of every value (worst float error here is ~4e-9,
         # measured) and the int64 sum is exact; a naked float sum would
-        # diverge from the oracle in the last ulp. Vectorized — the
-        # earlier per-element Decimal(str(v)) loop computed the same
-        # total at ~100x the cost.
+        # diverge from the oracle in the last ulp. Vectorized per batch;
+        # note the query's wall-clock floor is the per-group cogroup
+        # call + 1-row-frame overhead (~10-row groups here), not the
+        # arithmetic — measured a wash vs the Decimal loop at sf0.1.
         return int(np.rint(values.to_numpy(dtype="float64") * 100.0).astype("int64").sum())
 
     def reconcile(key, orders_pdf: "pd.DataFrame", cust_pdf: "pd.DataFrame") -> "pd.DataFrame":
