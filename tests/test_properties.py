@@ -369,3 +369,133 @@ def test_business_day_closed_form_property(day):
         # spot-check consistency: g(day) - g(day-7) must be exactly 5
         g_prev = 5 * ((day - 7 + 4) // 7) + min((day - 7 + 4) % 7, 5) - 3
         assert g - g_prev == 5
+
+
+@st.composite
+def penny_books(draw):
+    """Random order books: 2-dp totals generated as exact integer cents
+    (written as cents/100 doubles, the catalog's money encoding) and
+    occasionally-duplicated line PKs to exercise the dedup pre-agg."""
+    n_orders = draw(st.integers(min_value=1, max_value=4))
+    orders, lines = [], []
+    for okey in range(1, n_orders + 1):
+        orders.append((okey, draw(st.integers(min_value=1, max_value=50_000))))
+        for ln in range(1, draw(st.integers(min_value=1, max_value=6)) + 1):
+            for _ in range(draw(st.integers(min_value=1, max_value=2))):
+                lines.append((okey, ln, draw(st.integers(min_value=1, max_value=50))))
+    return orders, lines
+
+
+def _penny_reference(orders, lines):
+    """Pure-Python largest-remainder allocation: floor every share, hand
+    leftover cents to the largest fractional remainders, ties to the
+    lower line number. PK-duplicate quantities pre-sum like the query."""
+    from collections import defaultdict
+
+    qty: dict[tuple[int, int], int] = defaultdict(int)
+    for k, ln, q in lines:
+        qty[(k, ln)] += q
+    out = {}
+    for okey, t in orders:
+        items = sorted((ln, q) for (k, ln), q in qty.items() if k == okey)
+        if not items:
+            continue
+        qs = sum(q for _, q in items)
+        base = {ln: t * q // qs for ln, q in items}
+        rem = {ln: (t * q) % qs for ln, q in items}
+        leftover = t - sum(base.values())
+        for i, (ln, _q) in enumerate(sorted(items, key=lambda x: (-rem[x[0]], x[0]))):
+            if i < leftover:
+                base[ln] += 1
+        for ln, v in base.items():
+            out[(okey, ln)] = v
+    return out
+
+
+@given(book=penny_books())
+@settings(**_SETTINGS)
+def test_penny_allocation_matches_reference_and_conserves(
+    spark, tmp_path_factory, book
+):
+    """The REGISTERED q_penny_allocation, driven through tmp parquet
+    tables, must reproduce the pure-Python largest-remainder allocator
+    exactly AND reconcile per-order: sum(alloc_cents) == round(total*100)
+    for every generated order book."""
+    import uuid
+    from collections import defaultdict
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    orders, lines = book
+    sf = str(tmp_path_factory.mktemp("penny") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [(k, c / 100.0) for k, c in orders], "o_orderkey long, o_totalprice double"
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_linenumber long, l_quantity long"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    rows = get_queries()["q_penny_allocation"](spark, sf).collect()
+    got = {(r.l_orderkey, r.l_linenumber): r.alloc_cents for r in rows}
+    assert got == _penny_reference(orders, lines)
+    per_order: dict[int, int] = defaultdict(int)
+    for (okey, _ln), cents in got.items():
+        per_order[okey] += cents
+    assert per_order == {k: c for k, c in orders}
+
+
+@st.composite
+def weighted_rows(draw):
+    return draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["A", "N", "R"]),
+                st.integers(min_value=1, max_value=10),       # quantity
+                st.integers(min_value=0, max_value=100_000),  # price cents
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+
+
+def _weighted_median_reference(rows):
+    """Smallest qty whose cumulative price weight reaches half the group
+    total — exact integer-cents arithmetic (2*cum >= tot, zero-weight
+    values eligible), mirroring the query's DECIMAL(30,8) cut."""
+    from collections import defaultdict
+
+    w: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for rf, q, pc in rows:
+        w[rf][q] += pc
+    out = {}
+    for rf, d in w.items():
+        tot = sum(d.values())
+        cum = 0
+        for q in sorted(d):
+            cum += d[q]
+            if 2 * cum >= tot:
+                out[rf] = q
+                break
+    return out
+
+
+@given(rows=weighted_rows())
+@settings(**_SETTINGS)
+def test_weighted_median_matches_reference(spark, tmp_path_factory, rows):
+    """The REGISTERED q_weighted_median on arbitrary 2-dp weights must
+    pick the same boundary row as the integer-cents reference — the
+    exactness the DECIMAL(30,8) accumulation is there to guarantee."""
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("wmed") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [(rf, q, pc / 100.0) for rf, q, pc in rows],
+        "l_returnflag string, l_quantity long, l_extendedprice double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r.wmedian_qty
+        for r in get_queries()["q_weighted_median"](spark, sf).collect()
+    }
+    assert got == _weighted_median_reference(rows)
