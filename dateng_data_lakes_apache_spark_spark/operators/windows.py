@@ -204,11 +204,19 @@ def q_ntile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(r + F.floor((rn - big - 1) / q) + 1)
             .cast("int")
         )
+    # PERCENT_RANK of a single row is 0 by definition; the (rn-1)/(N-1)
+    # form would divide 0/0 -> NULL there (N=1 never occurs in the
+    # catalog tables, but the operator shouldn't depend on that).
+    pct_rank = (
+        F.lit(0.0)
+        if n_total <= 1
+        else F.round((rn - 1) / F.lit(n_total - 1), 6)
+    )
     out = ranged.join(F.broadcast(offsets), "pid").select(
         "c_custkey",
         "c_acctbal",
         quartile.alias("quartile"),
-        F.round((rn - 1) / F.lit(n_total - 1), 6).alias("pct_rank"),
+        pct_rank.alias("pct_rank"),
         F.round(rn / F.lit(n_total), 6).alias("cume"),
     )
     return out

@@ -499,3 +499,124 @@ def test_weighted_median_matches_reference(spark, tmp_path_factory, rows):
         for r in get_queries()["q_weighted_median"](spark, sf).collect()
     }
     assert got == _weighted_median_reference(rows)
+
+
+@st.composite
+def customer_balances(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    bals = draw(
+        st.lists(
+            st.integers(min_value=-99_999, max_value=99_999),  # balance cents
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return [(i + 1, c) for i, c in enumerate(bals)]
+
+
+def _ntile_reference(rows, k=4):
+    """Plain global-window reference: sort by (acctbal, custkey), global
+    row numbers, SQL NTILE tile sizes (first N mod k tiles get one extra
+    row), percent_rank/cume_dist closed-form on the unique total order."""
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    n = len(ordered)
+    q, r = divmod(n, k)
+    out = {}
+    for i, (ck, _bal) in enumerate(ordered):
+        rn = i + 1
+        if q == 0:
+            tile = rn
+        elif rn <= (q + 1) * r:
+            tile = (rn - 1) // (q + 1) + 1
+        else:
+            tile = r + (rn - (q + 1) * r - 1) // q + 1
+        pct = 0.0 if n == 1 else (rn - 1) / (n - 1)
+        out[ck] = (tile, pct, rn / n)
+    return out
+
+
+@given(rows=customer_balances())
+@settings(**_SETTINGS)
+def test_ntile_global_matches_plain_window_reference(
+    spark, tmp_path_factory, rows
+):
+    """The two-pass range-partition + offset formulation of
+    q_ntile_global must equal a plain global ranking: exact tile
+    assignments and row-derived fractions for arbitrary (including
+    duplicate-balance and single-row) inputs."""
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("ntile") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [(ck, c / 100.0) for ck, c in rows],
+        "c_custkey long, c_acctbal double",
+    ).write.parquet(f"{sf}/customer.parquet")
+    got = {
+        r.c_custkey: (r.quartile, r.pct_rank, r.cume)
+        for r in get_queries()["q_ntile_global"](spark, sf).collect()
+    }
+    want = _ntile_reference(rows)
+    assert set(got) == set(want)
+    for ck, (tile, pct, cume) in want.items():
+        gt, gp, gc = got[ck]
+        assert gt == tile, f"custkey {ck}: tile {gt} != {tile}"
+        # fractions are rounded to 6dp in the query; allow only the
+        # rounding, never an off-by-one-row shift (>= 1/n >= 0.025 here)
+        assert gp is not None and abs(gp - pct) < 2e-6
+        assert gc is not None and abs(gc - cume) < 2e-6
+
+
+def _winsor_reference(rows):
+    """Discrete-order-statistic winsorized mean in exact integer cents:
+    cuts at ranks ceil(.05n)/ceil(.95n) computed with the SAME double
+    multiplication the query's F.ceil(0.05 * n) performs."""
+    import math
+    from collections import defaultdict
+
+    by: dict[str, list[int]] = defaultdict(list)
+    for rf, pc in rows:
+        by[rf].append(pc)
+    out = {}
+    for rf, vals in by.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[math.ceil(0.05 * n) - 1]
+        hi = vals[math.ceil(0.95 * n) - 1]
+        n_clamped = sum(1 for v in vals if v < lo or v > hi)
+        clamped = [min(max(v, lo), hi) for v in vals]
+        out[rf] = (n, n_clamped, (sum(vals) / 100) / n, (sum(clamped) / 100) / n)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.integers(min_value=0, max_value=1_000_000),  # price cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_winsorize_matches_exact_reference(spark, tmp_path_factory, rows):
+    """q_winsorize's ranked-window cut points and decimal-sum means must
+    equal the integer-cents reference bit-for-bit (the /100 and /n
+    divisions are the same two correctly-rounded double ops in both)."""
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("winsor") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [(rf, i + 1, 1, pc / 100.0) for i, (rf, pc) in enumerate(rows)],
+        "l_returnflag string, l_orderkey long, l_linenumber long, "
+        "l_extendedprice double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.n, r.n_clamped, r.raw_mean, r.winsor_mean)
+        for r in get_queries()["q_winsorize"](spark, sf).collect()
+    }
+    assert got == _winsor_reference(rows)
