@@ -620,3 +620,110 @@ def test_winsorize_matches_exact_reference(spark, tmp_path_factory, rows):
         for r in get_queries()["q_winsorize"](spark, sf).collect()
     }
     assert got == _winsor_reference(rows)
+
+
+def _mad_reference(rows):
+    """Discrete-median MAD screen in the query's own float arithmetic:
+    element picks at rank ceil(n/2), |v-med| doubles, 4.4478*mad cut."""
+    import math
+    from collections import defaultdict
+
+    by: dict[str, list[float]] = defaultdict(list)
+    for rf, pc in rows:
+        by[rf].append(pc / 100.0)
+    out = {}
+    for rf, vals in by.items():
+        n = len(vals)
+        med = sorted(vals)[math.ceil(n / 2) - 1]
+        ds = [abs(v - med) for v in vals]
+        mad = sorted(ds)[math.ceil(n / 2) - 1]
+        out[rf] = (n, med, mad, sum(1 for d in ds if d > 4.4478 * mad))
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.integers(min_value=0, max_value=1_000_000),  # price cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_mad_outlier_matches_exact_reference(spark, tmp_path_factory, rows):
+    """q_mad_outlier's two ranked-window median picks and the outlier
+    count must match the reference on arbitrary 2-dp prices, including
+    all-equal groups (mad=0 -> zero outliers)."""
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("mad") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [(rf, i + 1, 1, pc / 100.0) for i, (rf, pc) in enumerate(rows)],
+        "l_returnflag string, l_orderkey long, l_linenumber long, "
+        "l_extendedprice double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.n, r.med, r.mad, r.n_outliers)
+        for r in get_queries()["q_mad_outlier"](spark, sf).collect()
+    }
+    want = _mad_reference(rows)
+    assert set(got) == set(want)
+    for rf, (n, med, mad, n_out) in want.items():
+        gn, gmed, gmad, gout = got[rf]
+        assert (gn, gout) == (n, n_out), f"{rf}: counts {got[rf]} != {want[rf]}"
+        # the query rounds med/mad to 4dp; 2-dp inputs make that lossless
+        assert abs(gmed - med) < 1e-12 and abs(gmad - mad) < 1e-12
+
+
+def _qnorm_reference(rows):
+    """Rank-to-rank quantile mapping: error value at global rank rn maps
+    to the view value at rank ceil(rn*m/n), all in exact integers."""
+    src = sorted((v, eid) for eid, t, v in rows if t == "error")
+    ref = sorted((v, eid) for eid, t, v in rows if t == "view")
+    n, m = len(src), len(ref)
+    if n == 0 or m == 0:
+        return {}
+    return {
+        eid: (v, ref[(rn * m + n - 1) // n - 1][0])
+        for rn, (v, eid) in enumerate(src, start=1)
+    }
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["error", "view", "click"]),  # click = ignored noise
+            st.integers(min_value=0, max_value=500),      # value (ties likely)
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_quantile_normalize_matches_rank_reference(
+    spark, tmp_path_factory, rows
+):
+    """q_quantile_normalize's bigint rank mapping (rn*m + n - 1) div n
+    must equal the pure-Python rank-to-rank lookup for arbitrary
+    distributions, tie-heavy values, and empty src/ref sides."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("qnorm") / uuid.uuid4().hex[:8])
+    data = [
+        (i + 1, t, float(v), dt.datetime(2024, 1, 1)) for i, (t, v) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data, "event_id long, event_type string, value double, ts timestamp"
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.event_id: (r.orig_value, r.normalized_value)
+        for r in get_queries()["q_quantile_normalize"](spark, sf).collect()
+    }
+    assert got == _qnorm_reference([(i + 1, t, float(v)) for i, (t, v) in enumerate(rows)])
