@@ -258,13 +258,35 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null_price"),
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
-        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("sum_price_dec"),
+        # decimal accumulation, then ONE cast to double inside the
+        # observation: the exact total correctly rounded (identical to
+        # float(Decimal) driver-side), and — unlike a DecimalType metric
+        # — a NULL double survives Observation.get (PySpark's toPyRow
+        # crashes on a null decimal in the observed row, probed on an
+        # empty input).
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+        .cast("double")
+        .alias("sum_price_dec"),
     )
     # the observed job: any action over the observed frame populates obs
     observed.groupBy("o_orderstatus").count().write.format("noop").mode(
         "overwrite"
     ).save()
-    m = obs.get
+    try:
+        m = obs.get
+    except Exception:
+        # A zero-file source collapses to a LocalRelation, the observe
+        # node never executes, no ObservedMetrics event fires, and
+        # Observation.get crashes converting the missing row (probed on
+        # an empty catalog). The audit of a job that processed nothing
+        # is the empty audit.
+        m = {
+            "n_rows": 0,
+            "n_null_price": 0,
+            "min_key": None,
+            "max_key": None,
+            "sum_price_dec": None,
+        }
     return spark.createDataFrame(
         [
             (
@@ -272,7 +294,7 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 m["n_null_price"],
                 m["min_key"],
                 m["max_key"],
-                float(m["sum_price_dec"]),
+                m["sum_price_dec"],
             )
         ],
         "n_rows bigint, n_null_price bigint, min_key bigint, max_key bigint, sum_price double",

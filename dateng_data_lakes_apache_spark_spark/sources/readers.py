@@ -43,10 +43,29 @@ def read_csv(
     return reader.csv(paths)
 
 
-def read_parquet(spark: SparkSession, path: str | Sequence[str]) -> DataFrame:
-    """Parquet reader — self-describing, never schema-forced (§4.3-Q8)."""
+def read_parquet(
+    spark: SparkSession,
+    path: str | Sequence[str],
+    empty_schema: StructType | None = None,
+) -> DataFrame:
+    """Parquet reader — self-describing, never schema-forced (§4.3-Q8).
+
+    ``empty_schema`` is a FALLBACK only: a dataset with zero data files
+    (a partitioned write of an empty frame leaves just _SUCCESS) has
+    nothing to infer from, and callers staging their own output can
+    supply the schema they wrote so the query degrades to an empty
+    frame instead of UNABLE_TO_INFER_SCHEMA. The non-empty path is
+    untouched — inference stays authoritative when files exist."""
+    from pyspark.errors import AnalysisException
+
     paths = [path] if isinstance(path, str) else list(path)
-    return spark.read.parquet(*paths)
+    try:
+        return spark.read.parquet(*paths)
+    except AnalysisException as exc:
+        # Only the no-data-files case degrades; path errors etc. stay loud.
+        if empty_schema is None or "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
+        return spark.createDataFrame([], empty_schema)
 
 
 def write_parquet(

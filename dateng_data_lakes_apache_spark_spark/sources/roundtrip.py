@@ -195,7 +195,9 @@ def q_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_parquet(
             table(spark, sf_dir, "orders"), path, partition_by=["o_orderpriority"]
         )
-    o = read_parquet(spark, path).where(F.col("o_orderpriority") == "1-URGENT")
+    o = read_parquet(
+        spark, path, empty_schema=table(spark, sf_dir, "orders").schema
+    ).where(F.col("o_orderpriority") == "1-URGENT")
     return o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("sum_price"),
@@ -545,7 +547,9 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_parquet(
             table(spark, sf_dir, "orders"), path, partition_by=["o_orderpriority"]
         )
-    fact = read_parquet(spark, path)
+    fact = read_parquet(
+        spark, path, empty_schema=table(spark, sf_dir, "orders").schema
+    )
     dim = (
         fact.select(F.col("o_orderpriority").alias("p_priority"))
         .distinct()
@@ -618,7 +622,15 @@ def q_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("min_ck") <= hi) & (F.col("max_ck") >= lo)
         ).collect()
     ]
-    pruned = spark.read.parquet(*files).where(F.col("o_custkey").between(lo, hi))
+    if files:
+        src = spark.read.parquet(*files)
+    else:
+        # Manifest pruned EVERY file (possible when no file's [min,max]
+        # intersects the predicate): scanning zero files == empty input.
+        src = read_parquet(
+            spark, data_dir, empty_schema=table(spark, sf_dir, "orders").schema
+        ).limit(0)
+    pruned = src.where(F.col("o_custkey").between(lo, hi))
     return pruned.agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("sum_price"),
@@ -761,7 +773,7 @@ def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
     return (
-        read_parquet(spark, path)
+        read_parquet(spark, path, empty_schema=table(spark, sf_dir, "orders").schema)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -116,13 +116,22 @@ def _stage_versioned_orders(spark: SparkSession, sf_dir: str) -> str:
         .agg(F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi"))
         .collect()
     )
+    # Zero-row files produce no stats row: .get keeps them untouched
+    # (an empty file cannot intersect the predicate).
     by_name = {os.path.basename(r.file): r for r in stats}
     touched = [
         p
         for p in v0_files
-        if by_name[os.path.basename(p)].lo <= _UPD_HI
-        and by_name[os.path.basename(p)].hi >= _UPD_LO
+        if (s := by_name.get(os.path.basename(p))) is not None
+        and s.lo <= _UPD_HI
+        and s.hi >= _UPD_LO
     ]
+    if not touched:
+        # The predicate matched no file: v1 is a legitimate no-op CoW
+        # commit (same live set as v0) — exactly what a production
+        # format records for an UPDATE that touched nothing.
+        commit(root, 1, added=[], removed=[])
+        return root
     data1 = os.path.join(root, "d1")
     (
         spark.read.parquet(*touched)

@@ -30,25 +30,42 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__
 
 
 def _stage_events_dir(sf_dir: str) -> str:
-    """Spark's file-stream source lists a *directory*; the catalog stores
-    events as a single parquet file. Stage (hard-link/copy) it into a
-    scratch dir once per scale factor — on a cluster the source would be
-    the landing directory itself and this step disappears. Re-stages when
-    the source file changes (different inode or mtime)."""
+    """Spark's file-stream source lists a *directory*; the catalog may
+    store events as a single parquet file (the test fixtures) or as a
+    Spark-written DIRECTORY of part files (any real lake layout). Stage
+    (hard-link/copy) every data file into a scratch dir once per scale
+    factor — on a cluster the source would be the landing directory
+    itself and this step disappears. Re-stages when the first source
+    file changes (different inode or mtime)."""
     src = table_path(sf_dir, "events")
+    if os.path.isdir(src):
+        srcs = sorted(
+            os.path.join(src, n)
+            for n in os.listdir(src)
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        )
+    else:
+        srcs = [src]
     tag = os.path.basename(os.path.normpath(sf_dir))
     stage_dir = os.path.join(_SCRATCH, "stream_src", tag)
-    staged = os.path.join(stage_dir, "events-000.parquet")
-    if os.path.exists(staged):
-        s_src, s_st = os.stat(src), os.stat(staged)
+    staged0 = os.path.join(stage_dir, "events-000.parquet")
+    if not srcs:  # source dir with no data files: stage an empty dir
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        os.makedirs(stage_dir, exist_ok=True)
+        return stage_dir
+    if os.path.exists(staged0):
+        s_src, s_st = os.stat(srcs[0]), os.stat(staged0)
         if (s_src.st_ino, s_src.st_mtime_ns) != (s_st.st_ino, s_st.st_mtime_ns):
             shutil.rmtree(stage_dir, ignore_errors=True)
-    if not os.path.exists(staged):
+    if not os.path.exists(staged0):
+        shutil.rmtree(stage_dir, ignore_errors=True)
         os.makedirs(stage_dir, exist_ok=True)
-        try:
-            os.link(src, staged)
-        except OSError:
-            shutil.copyfile(src, staged)
+        for i, s in enumerate(srcs):
+            staged = os.path.join(stage_dir, f"events-{i:03d}.parquet")
+            try:
+                os.link(s, staged)
+            except OSError:
+                shutil.copyfile(s, staged)
     return stage_dir
 
 
@@ -587,8 +604,15 @@ def _stage_events_ordered(spark: SparkSession, sf_dir: str, n_batches: int = 4) 
     cuts = ev.select(
         F.percentile(key, F.array(*[F.lit(i / n_batches) for i in range(1, n_batches)])).alias("c")
     ).collect()[0]["c"]
-    bounds = [float("-inf")] + [int(c) for c in cuts] + [float("inf")]
-    for k in range(n_batches):
+    # percentile over an EMPTY table returns NULL: degrade to a single
+    # (empty) batch instead of crashing — the replay shape is moot with
+    # no rows, but the stream queries must still run end-to-end.
+    bounds = (
+        [float("-inf")]
+        + ([int(c) for c in cuts] if cuts is not None else [])
+        + [float("inf")]
+    )
+    for k in range(len(bounds) - 1):
         lo, hi = bounds[k], bounds[k + 1]
         part = ev.where((key > F.lit(lo)) if lo != float("-inf") else F.lit(True)).where(
             (key <= F.lit(hi)) if hi != float("inf") else F.lit(True)
