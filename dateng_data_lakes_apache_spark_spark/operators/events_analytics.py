@@ -1443,8 +1443,15 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr(_BAL_DELTA).alias("delta")
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.expr(_BAL_DELTA).alias("delta"))
+        # A NULL value row carries no balance information: drop it before
+        # the kernel (NaN would poison the int64 cumsums; the SQL twin
+        # would propagate NULL through the user's entire walk — a
+        # malformed-input artifact, not a semantic). No-op on the
+        # catalog tables, which have no null values.
+        .where(F.col("delta").isNotNull())
     )
 
     def kernel(batches):
@@ -1529,8 +1536,12 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr(_EWMA_X).alias("x")
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.expr(_EWMA_X).alias("x"))
+        # Null observations carry no signal: drop them before the kernel
+        # (same discipline and rationale as q_clamped_balance).
+        .where(F.col("x").isNotNull())
     )
 
     def kernel(batches):

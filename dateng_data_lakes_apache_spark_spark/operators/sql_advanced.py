@@ -127,12 +127,16 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the difference is real scan CPU: variant decode is a
     binary offset walk, JSON re-parse is a text scan per path. The
     missing-path probe documents NULL semantics (absent path → NULL,
-    matching JSON oracle behavior).
+    matching JSON oracle behavior). ``try_parse_json`` (not
+    ``parse_json``) so a malformed or empty props string degrades to a
+    NULL variant instead of failing the whole scan FAILFAST — at scale
+    one bad record must never kill the job; pair with an audit count
+    (the q_csv_malformed_audit pattern) when bad-record rates matter.
     """
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        WITH v AS (SELECT parse_json(props) AS pv FROM events)
+        WITH v AS (SELECT try_parse_json(props) AS pv FROM events)
         SELECT variant_get(pv, '$.k', 'int') % 10 AS k_bucket,
                COUNT(*) AS n_events,
                MAX(variant_get(pv, '$.k', 'int')) AS max_k

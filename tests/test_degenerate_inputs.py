@@ -14,10 +14,16 @@ fixtures). This pins the fixes for:
   frame (readers.read_parquet empty_schema fallback) and a manifest
   that pruned every file (roundtrip.q_manifest_pruned_scan),
 - Observation.get crashing when a zero-file plan collapses to a
-  LocalRelation and the observe node never runs (data_quality.py).
+  LocalRelation and the observe node never runs (data_quality.py),
+- NULL/empty-string HOSTILE data (what real corpora contain): NaN
+  deltas poisoning the clamped-balance / EWMA integer kernels (null
+  observations are now dropped at the source — they carry no signal,
+  and the SQL twin would propagate NULL through the whole walk) and
+  parse_json FAILFAST killing the variant scan on an empty props
+  string (try_parse_json degrades it to a NULL variant).
 
-The full 336-query sweep over both catalogs was run out-of-band
-(0 failures); the suite keeps the previously-failing set plus one
+The full 336-query sweeps over all three catalogs were run out-of-band
+(0 failures); the suite keeps the previously-failing sets plus one
 representative per family so the property stays cheap to check.
 """
 
@@ -69,6 +75,22 @@ _COVERED = [
     "q_text_stats",
 ]
 
+#: Queries whose kernels/expressions touch the hostile (null / empty
+#: string) columns directly — the set that broke, plus the text/JSON
+#: surface most exposed to dirty corpora.
+_HOSTILE_COVERED = [
+    "q_clamped_balance",
+    "q_ewma_smooth",
+    "q_variant_funcs",
+    "q_json_funcs",
+    "q_string_funcs",
+    "q_text_stats",
+    "q_lang_id",
+    "q_token_count",
+    "q_dedup_exact",
+    "q_explode_wordcount",
+]
+
 _TABLES = [
     "region",
     "nation",
@@ -101,6 +123,45 @@ def degenerate_catalogs(spark, tmp_path_factory):
     return roots
 
 
+@pytest.fixture(scope="session")
+def hostile_catalog(spark, tmp_path_factory):
+    """Six rows per table; in every NON-key column, row 0 carries NULL
+    and (for strings) row 1 carries the empty string."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, LongType, StringType
+
+    keys = {
+        "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey",
+        "c_nationkey", "s_suppkey", "s_nationkey", "p_partkey",
+        "o_orderkey", "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "event_id", "user_id", "doc_id", "vec_id", "ts",
+        "event_type",
+    }
+    root = str(tmp_path_factory.mktemp("degcat_hostile"))
+    for t in _TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(6)
+        df = df.withColumn("_rid", F.monotonically_increasing_id())
+        cols = []
+        for f_ in df.schema.fields:
+            if f_.name == "_rid":
+                continue
+            c = F.col(f_.name)
+            if f_.name not in keys:
+                if isinstance(f_.dataType, StringType):
+                    c = (
+                        F.when(F.col("_rid") == 0, F.lit(None).cast("string"))
+                        .when(F.col("_rid") == 1, F.lit(""))
+                        .otherwise(c)
+                    )
+                elif isinstance(f_.dataType, (DoubleType, LongType)):
+                    c = F.when(F.col("_rid") == 0, F.lit(None)).otherwise(c)
+            cols.append(c.alias(f_.name))
+        df.select(*cols).write.mode("overwrite").parquet(
+            os.path.join(root, f"{t}.parquet")
+        )
+    return root
+
+
 @pytest.mark.parametrize("variant", ["empty", "one"])
 @pytest.mark.parametrize("name", _COVERED)
 def test_query_survives_degenerate_catalog(
@@ -111,4 +172,10 @@ def test_query_survives_degenerate_catalog(
     # degenerate inputs are covered by the oracle/property suites where
     # they are defined.
     rows = get_queries()[name](spark, degenerate_catalogs[variant]).collect()
+    assert isinstance(rows, list)
+
+
+@pytest.mark.parametrize("name", _HOSTILE_COVERED)
+def test_query_survives_hostile_nulls(spark, hostile_catalog, name):
+    rows = get_queries()[name](spark, hostile_catalog).collect()
     assert isinstance(rows, list)
