@@ -1,0 +1,107 @@
+"""Full-registry robustness sweep over degenerate catalogs.
+
+Builds three synthetic catalogs under .scratch/degcat/ with the REAL
+table schemas (taken from sf0.001) and runs every registered query
+against each, reporting anything that raises:
+
+- ``empty``  — 0 rows per table, Spark-written parquet DIRECTORIES
+               (the real lake layout, vs the single-file fixtures)
+- ``one``    — 1 row per table, same directory layout
+- ``hostile``— 6 rows per table; every NON-key column carries NULL in
+               row 0 and (for strings) the empty string in row 1 — the
+               dirt real corpora contain
+
+This is the out-of-band counterpart of tests/test_degenerate_inputs.py
+(which pins the previously-failing sets): run it after touching source
+staging, Python kernels, or parse/scan expressions. Round-6 state:
+0 failures / 336 queries on all three variants.
+
+Usage: python tools/degenerate_sweep.py [empty one hostile]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC_SF = "/root/testdata/sf0.001"
+ROOT = os.path.join(REPO, ".scratch", "degcat")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+#: Join/sort keys and event-time stay intact so plans exercise their
+#: real shapes; everything else is fair game for NULL/empty dirt.
+KEYS = {
+    "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey", "c_nationkey",
+    "s_suppkey", "s_nationkey", "p_partkey", "o_orderkey", "o_custkey",
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "event_id", "user_id", "doc_id", "vec_id", "ts", "event_type",
+}
+
+
+def build(spark, variant: str) -> str:
+    out = os.path.join(ROOT, variant)
+    for t in TABLES:
+        df = spark.read.parquet(f"{SRC_SF}/{t}.parquet")
+        if variant == "empty":
+            df = df.limit(0)
+        elif variant == "one":
+            df = df.limit(1)
+        else:  # hostile
+            df = df.limit(6).withColumn("_rid", F.monotonically_increasing_id())
+            cols = []
+            for f_ in df.schema.fields:
+                if f_.name == "_rid":
+                    continue
+                c = F.col(f_.name)
+                if f_.name not in KEYS:
+                    if isinstance(f_.dataType, StringType):
+                        c = (
+                            F.when(F.col("_rid") == 0, F.lit(None).cast("string"))
+                            .when(F.col("_rid") == 1, F.lit(""))
+                            .otherwise(c)
+                        )
+                    elif isinstance(f_.dataType, (DoubleType, LongType)):
+                        c = F.when(F.col("_rid") == 0, F.lit(None)).otherwise(c)
+                cols.append(c.alias(f_.name))
+            df = df.select(*cols)
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def main() -> None:
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+    from dateng_data_lakes_apache_spark_spark.session import get_spark
+    from dateng_data_lakes_apache_spark_spark.staging import clear_stage_memo
+
+    variants = sys.argv[1:] or ["empty", "one", "hostile"]
+    spark = get_spark(app_name="degenerate-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = get_queries()
+    total_fails = 0
+    for variant in variants:
+        sf = build(spark, variant)
+        fails = {}
+        for name, fn in qs.items():
+            try:
+                fn(spark, sf).collect()
+            except Exception as exc:  # noqa: BLE001 — a sweep reports, never stops
+                fails[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:160]}"
+                print(f"[{variant}] {name}: {fails[name]}", flush=True)
+        clear_stage_memo()
+        total_fails += len(fails)
+        print(f"=== {variant}: {len(fails)} failures / {len(qs)} queries", flush=True)
+    sys.exit(1 if total_fails else 0)
+
+
+if __name__ == "__main__":
+    main()
