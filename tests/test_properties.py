@@ -727,3 +727,124 @@ def test_quantile_normalize_matches_rank_reference(
         for r in get_queries()["q_quantile_normalize"](spark, sf).collect()
     }
     assert got == _qnorm_reference([(i + 1, t, float(v)) for i, (t, v) in enumerate(rows)])
+
+
+@st.composite
+def asof_event_streams(draw):
+    """(event_id, user_id, type, minute): minutes span past both the
+    1 h nearest window and the 1 day staleness tolerance, with heavy
+    same-minute ties."""
+    return draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),                    # user
+                st.sampled_from(["error", "purchase", "click", "view"]),  # type
+                st.integers(min_value=0, max_value=3000),                 # minute
+            ),
+            min_size=0,
+            max_size=30,
+        )
+    )
+
+
+def _nearest_reference(rows, tol_us=3_600_000_000):
+    """Closest purchase within ±1 h per error; ties to the earlier side
+    (back); equal-ts tie rules mirror the window orders: back = max
+    (ts, id) among ts<=err, fwd = min (ts, id) among ts>=err."""
+    from collections import defaultdict
+
+    purs = defaultdict(list)
+    for eid, uid, t, us in rows:
+        if t == "purchase":
+            purs[uid].append((us, eid))
+    out = {}
+    for eid, uid, t, us in rows:
+        if t != "error":
+            continue
+        back = max(((p, i) for p, i in purs[uid] if p <= us), default=None)
+        fwd = min(((p, i) for p, i in purs[uid] if p >= us), default=None)
+        bd = us - back[0] if back else None
+        fd = fwd[0] - us if fwd else None
+        bid = back[1] if back and bd <= tol_us else None
+        fid = fwd[1] if fwd and fd <= tol_us else None
+        if bid is not None and (fid is None or bd <= fd):
+            out[eid] = (bid, bd, "back")
+        elif fid is not None:
+            out[eid] = (fid, fd, "fwd")
+        else:
+            out[eid] = (None, None, None)
+    return out
+
+
+def _write_events(spark, tmp_path_factory, rows, label):
+    import datetime as dt
+    import uuid
+
+    sf = str(tmp_path_factory.mktemp(label) / uuid.uuid4().hex[:8])
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i + 1, uid, t, base + dt.timedelta(minutes=m), 1.0)
+        for i, (uid, t, m) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).write.parquet(f"{sf}/events.parquet")
+    return sf, [
+        (i + 1, uid, t, int((base + dt.timedelta(minutes=m)).timestamp() * 1_000_000))
+        for i, (uid, t, m) in enumerate(rows)
+    ]
+
+
+@given(rows=asof_event_streams())
+@settings(**_SETTINGS)
+def test_asof_nearest_matches_bidirectional_reference(
+    spark, tmp_path_factory, rows
+):
+    """q_join_asof_nearest's one-pass dual-window formulation must equal
+    the brute-force bidirectional pick: closest purchase within ±1 h,
+    ties to the back side, equal-ts ties by the window id rules."""
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf, tagged = _write_events(spark, tmp_path_factory, rows, "nearest")
+    got = {
+        r.error_id: (r.nearest_purchase_id, r.delta_us, r.direction)
+        for r in get_queries()["q_join_asof_nearest"](spark, sf).collect()
+    }
+    assert got == _nearest_reference(tagged)
+
+
+@given(rows=asof_event_streams())
+@settings(**_SETTINGS)
+def test_asof_tolerance_matches_staleness_reference(
+    spark, tmp_path_factory, rows
+):
+    """q_join_asof_tolerance: latest click at-or-before each purchase,
+    nulled when more than 1 day stale. Click TIMESTAMPS compare exactly;
+    ids are skipped (equal-ts click ties are unordered by design — the
+    same caveat the base asof property test documents)."""
+    import datetime as dt
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf, tagged = _write_events(spark, tmp_path_factory, rows, "tol")
+    got = {
+        r.event_id: r.click_ts_fresh
+        for r in get_queries()["q_join_asof_tolerance"](spark, sf).collect()
+    }
+    want = {}
+    clicks = {}
+    for eid, uid, t, us in tagged:
+        if t == "click":
+            clicks.setdefault(uid, []).append(us)
+    for eid, uid, t, us in tagged:
+        if t != "purchase":
+            continue
+        cand = [c for c in clicks.get(uid, []) if c <= us]
+        latest = max(cand) if cand else None
+        if latest is not None and latest >= us - 86_400_000_000:
+            want[eid] = dt.datetime.utcfromtimestamp(latest / 1_000_000).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+        else:
+            want[eid] = None
+    assert got == want
