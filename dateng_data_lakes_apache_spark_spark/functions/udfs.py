@@ -243,7 +243,14 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # note the query's wall-clock floor is the per-group cogroup
         # call + 1-row-frame overhead (~10-row groups here), not the
         # arithmetic — measured a wash vs the Decimal loop at sf0.1.
-        return int(np.rint(values.to_numpy(dtype="float64") * 100.0).astype("int64").sum())
+        # NULL money values arrive as NaN after to_numpy(float64), and
+        # np.rint(NaN).astype("int64") is undefined (typically INT64_MIN,
+        # ~-9.2e18 cents) — one dirty row would silently corrupt the
+        # total. Drop NaNs first: that is exactly the NULL-skipping
+        # semantics of the engine's SUM and the DuckDB oracle.
+        arr = values.to_numpy(dtype="float64")
+        arr = arr[~np.isnan(arr)]
+        return int(np.rint(arr * 100.0).astype("int64").sum())
 
     def reconcile(key, orders_pdf: "pd.DataFrame", cust_pdf: "pd.DataFrame") -> "pd.DataFrame":
         return pd.DataFrame(

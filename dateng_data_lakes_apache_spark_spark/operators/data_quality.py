@@ -279,7 +279,11 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # node never executes, no ObservedMetrics event fires, and
         # Observation.get crashes converting the missing row (probed on
         # an empty catalog). The audit of a job that processed nothing
-        # is the empty audit.
+        # is the empty audit — but ONLY then: a genuine runtime failure
+        # in the observed job must not be masked as a clean empty result
+        # (ADVICE r6), so re-raise unless the source is provably empty.
+        if not o.isEmpty():
+            raise
         m = {
             "n_rows": 0,
             "n_null_price": 0,

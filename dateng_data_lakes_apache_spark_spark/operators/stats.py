@@ -1122,22 +1122,31 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Bolstad et al. 2003). q_ecdf_normalize maps values to decile IDs;
     this maps them onto a full reference DISTRIBUTION.
 
-    Integer-exact end to end: ranks come from total-order windows, the
+    Integer-exact end to end: ranks come from total-order rankings, the
     target rank is the ceiling division (rn·m + n − 1) div n in pure
     bigints (no float ever touches the mapping), and the lookup is a
-    hash equi-join on the integer rank. At 100 TB the global
-    row_number is the one concession — swap it for the q_ntile_global
-    range-partition + offset construction; the mapping join is already
-    metadata-light (rank ints + one double column).
+    hash equi-join on the integer rank. Scale-safe ranking: both
+    subsets rank via the ``global_row_number`` range-partition +
+    per-partition-offset construction (one range shuffle each, no
+    single-task window over data — the q_ntile_global data path); the
+    mapping join is metadata-light (rank ints + one double column).
     """
+    from .windows import global_row_number
+
     e = table(spark, sf_dir, "events")
-    w_src = Window.orderBy("value", "event_id")
-    src = e.where(F.col("event_type") == "error").select(
-        "event_id", "value", F.row_number().over(w_src).alias("rn")
+    order = [F.col("value").asc(), F.col("event_id").asc()]
+    src = global_row_number(
+        e.where(F.col("event_type") == "error").select("event_id", "value"),
+        order,
+        "rn",
     )
-    ref = e.where(F.col("event_type") == "view").select(
-        F.col("value").alias("ref_value"), F.row_number().over(w_src).alias("rr")
-    )
+    ref = global_row_number(
+        e.where(F.col("event_type") == "view").select(
+            "event_id", F.col("value").alias("ref_value")
+        ),
+        [F.col("ref_value").asc(), F.col("event_id").asc()],
+        "rr",
+    ).select("ref_value", "rr")
     # sizes from the raw filters (no window in the count subtrees)
     sizes = (
         e.where(F.col("event_type") == "error")

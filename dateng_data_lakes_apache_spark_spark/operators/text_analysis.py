@@ -1183,9 +1183,13 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     -1; boilerplate-heavy or synthetic corpora drift off it).
 
     Scale split: the data-sized pass is the wordcount (map-side
-    combined explode); the rank window and the regression run over the
-    VOCABULARY table (sublinear in corpus) and its top-{_ZIPF_TOP} cut.
-    Log points round to 8 dp then accumulate as DECIMAL(20,8) — the
+    combined explode); the top-{_ZIPF_TOP} cut is an
+    ``orderBy().limit()`` — planned as TakeOrderedAndProject, a
+    per-partition top-k + driver merge, so the vocabulary NEVER funnels
+    through a single-task global sort (VERDICT r6 item 3: on an
+    open-vocabulary corpus the vocab table is itself huge) — and only
+    the {_ZIPF_TOP} surviving rows pay the rank window. Log points
+    round to 8 dp then accumulate as DECIMAL(20,8) — the
     engine-exact-sum discipline applied to a float-valued regression
     (q_agg_stats recombination, q_regression_slope shapes).
     """
@@ -1196,10 +1200,13 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # TakeOrderedAndProject top-k; the identically-ordered row_number
+    # window then ranks ONLY these top rows (same ranks as ranking the
+    # full vocabulary first, because both use the same total order)
+    top = freq.orderBy(F.desc("n"), "word").limit(_ZIPF_TOP)
     w = Window.orderBy(F.desc("n"), "word")
     pts = (
-        freq.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= _ZIPF_TOP)
+        top.withColumn("rnk", F.row_number().over(w))
         .select(
             F.round(F.log("rnk"), 8).cast("decimal(20,8)").alias("x"),
             F.round(F.log("n"), 8).cast("decimal(20,8)").alias("y"),

@@ -93,8 +93,23 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     global total order. NOTE: an unpartitioned window funnels all rows
     through one task — acceptable for dimension-sized inputs only; for
     fact-scale inputs use q_ntile_global (identical results, range-
-    partitioned data path, no single-task window)."""
+    partitioned data path, no single-task window).
+
+    The dim-only contract is ENFORCED, not just documented (VERDICT r6
+    item 2): inputs above ``spark.graft.dimWindowMaxRows`` (default
+    10M) fail loudly before the single-task window can be scheduled,
+    pointing callers at the scale-safe twin. The guard count is one
+    cheap job over a dimension table.
+    """
     c = table(spark, sf_dir, "customer")
+    max_rows = int(spark.conf.get("spark.graft.dimWindowMaxRows", "10000000"))
+    n = c.count()
+    if n > max_rows:
+        raise ValueError(
+            f"q_window_ntile input has {n} rows > dim threshold {max_rows} "
+            "(spark.graft.dimWindowMaxRows): a global window would funnel "
+            "them through ONE task — use q_ntile_global instead"
+        )
     w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
     return c.select(
         "c_custkey",
@@ -144,6 +159,47 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def global_row_number(df: DataFrame, order_cols, rn_name: str = "rn") -> DataFrame:
+    """Exact global ``row_number`` over a total order WITHOUT a
+    single-task window — the scale-safe ranking building block.
+
+    The data path: range-partition on the order key (global order
+    across partitions), local row_number per partition, then add each
+    partition's cumulative row offset — exact global row numbers with
+    the data shuffled ONCE, by range. The only unpartitioned window
+    runs over the P per-partition counts (metadata-scale: one row per
+    partition), so a 100× fact table changes nothing. The ranged frame
+    is persisted (track) so the pid assignment is pinned across its two
+    uses (offset aggregation + final join).
+
+    ``order_cols`` must be a total order (include a unique tiebreaker)
+    for deterministic ranks. Returns df's columns + ``rn_name`` bigint.
+    """
+    spark = df.sparkSession
+    out_cols = df.columns
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = track(
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "_gpid", F.spark_partition_id()
+        )
+    )
+    # cumulative offsets over per-partition counts: P rows, metadata-scale
+    w_off = Window.orderBy("_gpid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_gpid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_goffset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("_gpid", "_goffset")
+    )
+    w_local = Window.partitionBy("_gpid").orderBy(*order_cols)
+    return ranged.join(F.broadcast(offsets), "_gpid").select(
+        *out_cols,
+        (F.row_number().over(w_local) + F.col("_goffset"))
+        .cast("bigint")
+        .alias(rn_name),
+    )
+
+
 @query(
     "q_ntile_global",
     oracle="""
@@ -159,39 +215,18 @@ def q_ntile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe global quantiles: same results as q_window_ntile, but no
     single-task window over the data.
 
-    The data path is: range-partition on the order key (global order
-    across partitions), local row_number per partition, then add each
-    partition's cumulative row offset — giving exact global row numbers
-    with the data only ever shuffled once, by range. ntile/percent_rank/
-    cume_dist are then closed-form in (global_rn, N) because the order
-    key is a total order (unique tiebreaker). The only unpartitioned
-    window runs over the P per-partition counts — metadata-scale (one
-    row per partition), not data-scale, so a 100× fact table changes
-    nothing. The partition-id→offset map is computed from a persisted
-    projection so the pid assignment is pinned across the two uses.
+    Ranks come from ``global_row_number`` (range-partition + local
+    row_number + per-partition offsets — one shuffle, no single-task
+    window). ntile/percent_rank/cume_dist are then closed-form in
+    (global_rn, N) because the order key is a total order (unique
+    tiebreaker).
     """
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     n_total = c.count()
-    n_parts = spark.sparkContext.defaultParallelism
-    ranged = (
-        track(
-            c.repartitionByRange(
-                n_parts, F.col("c_acctbal").asc(), F.col("c_custkey").asc()
-            ).withColumn("pid", F.spark_partition_id())
-        )
+    ranked = global_row_number(
+        c, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()], "gr"
     )
-    # cumulative offsets over per-partition counts: P rows, metadata-scale
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        ranged.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
-        .select("pid", "offset")
-    )
-    w_local = Window.partitionBy("pid").orderBy(
-        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
-    )
-    rn = (F.row_number().over(w_local) + F.col("offset")).cast("bigint")
+    rn = F.col("gr")
     # NTILE(k): first (N mod k) tiles get ceil(N/k) rows, the rest floor(N/k)
     k = 4
     q, r = divmod(n_total, k)
@@ -212,14 +247,13 @@ def q_ntile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_total <= 1
         else F.round((rn - 1) / F.lit(n_total - 1), 6)
     )
-    out = ranged.join(F.broadcast(offsets), "pid").select(
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
         quartile.alias("quartile"),
         pct_rank.alias("pct_rank"),
         F.round(rn / F.lit(n_total), 6).alias("cume"),
     )
-    return out
 
 
 @query(

@@ -138,7 +138,10 @@ def normalized_plan(df: DataFrame) -> str:
     # reflection accessor with generated bytecode (~15 reflective calls),
     # i.e. it depends on how much JVM work preceded the snapshot — pure
     # run-environment noise, found via the full-suite drift of q_ann_pq r6.
-    text = re.sub(r" at [\w.<>$]+:\d+", " at _:0", text)
+    # Anchored to the checkpoint call-site context: an unanchored
+    # " at X:N" would also rewrite legitimate plan content (e.g. string
+    # literals in pushed filters) and mask a real diff (ADVICE r6).
+    text = re.sub(r"\b(localCheckpoint|checkpoint) at [\w.<>$]+:\d+", r"\1 at _:0", text)
     text = re.sub(r"\bcachedPlan=\S+", "cachedPlan=_", text)
     # scratch staging uses per-run uuids in some writers
     text = re.sub(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "_uuid_", text)

@@ -15,6 +15,7 @@ on a cluster — only the source/sink lines change.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -35,8 +36,11 @@ def _stage_events_dir(sf_dir: str) -> str:
     Spark-written DIRECTORY of part files (any real lake layout). Stage
     (hard-link/copy) every data file into a scratch dir once per scale
     factor — on a cluster the source would be the landing directory
-    itself and this step disappears. Re-stages when the first source
-    file changes (different inode or mtime)."""
+    itself and this step disappears. Re-stages when the source file SET
+    changes: the manifest of every (basename, inode, mtime_ns) is
+    compared, not just the first file — adding/removing part files in a
+    directory-layout table while the lexicographically-first file stays
+    untouched must invalidate the stage too (ADVICE r6)."""
     src = table_path(sf_dir, "events")
     if os.path.isdir(src):
         srcs = sorted(
@@ -48,16 +52,23 @@ def _stage_events_dir(sf_dir: str) -> str:
         srcs = [src]
     tag = os.path.basename(os.path.normpath(sf_dir))
     stage_dir = os.path.join(_SCRATCH, "stream_src", tag)
-    staged0 = os.path.join(stage_dir, "events-000.parquet")
-    if not srcs:  # source dir with no data files: stage an empty dir
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        os.makedirs(stage_dir, exist_ok=True)
-        return stage_dir
-    if os.path.exists(staged0):
-        s_src, s_st = os.stat(srcs[0]), os.stat(staged0)
-        if (s_src.st_ino, s_src.st_mtime_ns) != (s_st.st_ino, s_st.st_mtime_ns):
+    manifest_path = os.path.join(stage_dir, "_manifest.json")
+    manifest = [
+        # basename + inode + mtime identifies the file set; hard-linked
+        # stage files share the inode/mtime, so the manifest also proves
+        # the staged copies themselves are current.
+        [os.path.basename(s), os.stat(s).st_ino, os.stat(s).st_mtime_ns]
+        for s in srcs
+    ]
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as fh:
+                stale = json.load(fh) != manifest
+        except (OSError, ValueError):
+            stale = True
+        if stale:
             shutil.rmtree(stage_dir, ignore_errors=True)
-    if not os.path.exists(staged0):
+    if not os.path.exists(manifest_path):
         shutil.rmtree(stage_dir, ignore_errors=True)
         os.makedirs(stage_dir, exist_ok=True)
         for i, s in enumerate(srcs):
@@ -66,6 +77,8 @@ def _stage_events_dir(sf_dir: str) -> str:
                 os.link(s, staged)
             except OSError:
                 shutil.copyfile(s, staged)
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh)
     return stage_dir
 
 

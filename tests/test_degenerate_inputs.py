@@ -179,3 +179,31 @@ def test_query_survives_degenerate_catalog(
 def test_query_survives_hostile_nulls(spark, hostile_catalog, name):
     rows = get_queries()[name](spark, hostile_catalog).collect()
     assert isinstance(rows, list)
+
+
+def test_cogroup_reconcile_skips_null_money_values(spark, tmp_path):
+    """VALUE-level NaN regression (ADVICE r6 medium): a NULL
+    o_totalprice arrives in the cogroup kernel as NaN, and
+    np.rint(NaN).astype('int64') is undefined behavior (typically
+    INT64_MIN ≈ -9.2e18 cents) — one dirty row must NOT poison the
+    customer's total. The kernel now drops NaNs, matching the
+    NULL-skipping SUM of the oracle. The run-only hostile sweep cannot
+    catch this (the failure is a wrong value, not an exception)."""
+    import os
+
+    root = str(tmp_path)
+    spark.createDataFrame(
+        [(10, 100.0), (10, None), (20, None)],
+        "o_custkey bigint, o_totalprice double",
+    ).write.parquet(os.path.join(root, "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 6000.0)], "c_custkey bigint, c_acctbal double"
+    ).write.parquet(os.path.join(root, "customer.parquet"))
+    out = {
+        r["custkey"]: r.asDict()
+        for r in get_queries()["q_cogroup_reconcile"](spark, root).collect()
+    }
+    assert out[10]["total_spend"] == 100.0  # NULL skipped, not INT64_MIN
+    assert out[10]["n_orders"] == 2  # presence still counted
+    assert out[10]["total_bal"] == 6000.0
+    assert out[20]["total_spend"] == 0.0  # all-NULL group sums to zero

@@ -7,7 +7,13 @@ Rules (SURVEY §4.4 / package design rules):
   BroadcastNestedLoopJoin over a 1-row side — allowed);
 - no BatchEvalPython (row-at-a-time Python UDF) — Python in the row
   path must be Arrow-vectorized (ArrowEvalPython / mapInPandas are
-  allowed).
+  allowed);
+- no data-scale SinglePartition funnel (VERDICT r6 item 6): an
+  ``Exchange SinglePartition`` whose subtree reaches a fact-table /
+  persisted / checkpointed scan without an intervening row-reducing
+  node (aggregate / limit) is the global-window scale-killer —
+  plans.lint.single_partition_violations, dim-table scans exempt by
+  catalog contract.
 
 Queries whose CONSTRUCTION already runs jobs (streaming replays,
 iterative builders with driver-side convergence actions, staged
@@ -19,9 +25,18 @@ from __future__ import annotations
 
 import pytest
 
+from dateng_data_lakes_apache_spark_spark.plans.explain import formatted_plan
+from dateng_data_lakes_apache_spark_spark.plans.lint import single_partition_violations
 from dateng_data_lakes_apache_spark_spark.registry import get_queries
 
 QS = get_queries()
+
+#: Documented dim-only operators allowed a global window (their input
+#: is dimension-scale by API contract; each names its scale-safe twin
+#: in the docstring). Currently empty: every global window in the
+#: registry either runs over a dim table (exempt by catalog contract)
+#: or over an aggregated frame (covered by the reducer rule).
+SINGLE_PARTITION_ALLOWLIST: set[str] = set()
 
 # construction runs real jobs (iterative builders, streaming replays,
 # fixture staging with collect) — excluded from the cheap lint sweep
@@ -85,6 +100,27 @@ def test_no_cartesian_and_no_row_python(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in SINGLE_PARTITION_ALLOWLIST:
+        v = single_partition_violations(formatted_plan(df))
+        assert not v, f"{name}: data-scale SinglePartition funnel: {v}"
+
+
+def test_single_partition_lint_catches_global_fact_window(spark, sf_dir):
+    """Negative control: a global (unpartitioned) window straight over
+    the events fact table MUST trip the lint — proves it is not
+    vacuous — while the range-partition + per-partition-count offsets
+    construction (global_row_number) must NOT."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dateng_data_lakes_apache_spark_spark.catalog import table
+    from dateng_data_lakes_apache_spark_spark.operators.windows import global_row_number
+
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    bad = e.select("event_id", F.row_number().over(Window.orderBy("value", "event_id")).alias("rn"))
+    assert single_partition_violations(formatted_plan(bad))
+    good = global_row_number(e, [F.col("value").asc(), F.col("event_id").asc()])
+    assert not single_partition_violations(formatted_plan(good))
 
 
 # ---------------------------------------------------------------------------
@@ -125,9 +161,13 @@ def no_autobroadcast_session(spark):
 def test_staged_builder_frame_no_cartesian_no_row_python(no_autobroadcast_session, name):
     df = STAGED_BUILDERS[name](no_autobroadcast_session, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    fplan = formatted_plan(df)
     release_caches()
     assert "CartesianProduct" not in plan, f"{name} builder: cartesian product"
     assert "BatchEvalPython" not in plan, f"{name} builder: row-at-a-time Python UDF"
+    if name not in SINGLE_PARTITION_ALLOWLIST:
+        v = single_partition_violations(fplan)
+        assert not v, f"{name} builder: data-scale SinglePartition funnel: {v}"
 
 
 def test_staged_builder_lint_catches_injected_crossjoin(no_autobroadcast_session):

@@ -493,6 +493,50 @@ def test_quantile_normalize_rank_join_is_hash(spark, sf_dir):
     assert joins >= 1
 
 
+def test_quantile_normalize_ranking_is_range_partitioned(spark, sf_dir):
+    """VERDICT r6 item 1 done-criterion: both ranked event subsets use
+    the global_row_number range-partition + offset construction — the
+    ranking path carries NO data-scale single-partition exchange (the
+    only SinglePartition exchanges sit above the metadata-scale
+    per-partition-count aggregates)."""
+    from dateng_data_lakes_apache_spark_spark.plans.lint import (
+        single_partition_violations,
+    )
+
+    plan = formatted_plan(QS["q_quantile_normalize"](spark, sf_dir))
+    assert plan.lower().count("rangepartitioning") >= 2  # one per subset
+    assert single_partition_violations(plan) == []
+
+
+def test_zipf_vocab_cut_is_take_ordered(spark, sf_dir):
+    """VERDICT r6 item 3 done-criterion: the top-1000 vocabulary cut is
+    a TakeOrderedAndProject (per-partition top-k + driver merge), never
+    a global-sort window over the full open vocabulary; the rank window
+    runs over the bounded cut only."""
+    from dateng_data_lakes_apache_spark_spark.plans.lint import (
+        single_partition_violations,
+    )
+
+    plan = formatted_plan(QS["q_zipf_fit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert single_partition_violations(plan) == []
+
+
+def test_window_ntile_dim_guard(spark, sf_dir):
+    """VERDICT r6 item 2 done-criterion: q_window_ntile enforces its
+    dim-only contract — above the configurable threshold it fails
+    loudly pointing at q_ntile_global; below it, it runs."""
+    import pytest
+
+    spark.conf.set("spark.graft.dimWindowMaxRows", "10")
+    try:
+        with pytest.raises(ValueError, match="q_ntile_global"):
+            QS["q_window_ntile"](spark, sf_dir)
+    finally:
+        spark.conf.unset("spark.graft.dimWindowMaxRows")
+    assert QS["q_window_ntile"](spark, sf_dir).columns[0] == "c_custkey"
+
+
 def test_bootstrap_no_python_and_partial_agg(spark, sf_dir):
     # all 50 replicates ride one explode + hash aggregate: no Python
     # eval anywhere, and the replicate means come from a partial/final

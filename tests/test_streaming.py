@@ -363,3 +363,43 @@ def test_checkpoint_recovery_no_reread_no_loss(spark, tmp_path):
     b = run_phase(f"crb_{uuid.uuid4().hex[:6]}")
     assert sum(b.values()) == 120  # exactly-once across the restart
     assert b == {0: 40, 1: 40, 2: 40}
+
+
+def test_stage_events_dir_restages_on_part_file_set_change(spark, tmp_path):
+    """Manifest-based re-stage (ADVICE r6): adding a part file to a
+    directory-layout events table while the lexicographically-first
+    file is untouched MUST invalidate the stage — the old first-file
+    (inode, mtime) check silently served stale data."""
+    import os
+
+    from dateng_data_lakes_apache_spark_spark.streaming.stream_queries import (
+        _stage_events_dir,
+    )
+
+    root = str(tmp_path)
+    ev_dir = os.path.join(root, "events.parquet")
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(10)
+    df.coalesce(1).write.mode("overwrite").parquet(ev_dir)
+
+    stage1 = _stage_events_dir(root)
+    n1 = len([f for f in os.listdir(stage1) if f.endswith(".parquet")])
+    assert n1 == 1
+
+    # append a SECOND part file, named to sort after the existing one
+    # (first file untouched: same inode, same mtime)
+    extra = os.path.join(ev_dir, "part-zzz-extra.parquet")
+    df.limit(3).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "_tmp"))
+    src = next(
+        f for f in os.listdir(os.path.join(root, "_tmp")) if f.endswith(".parquet")
+    )
+    os.link(os.path.join(root, "_tmp", src), extra)
+
+    stage2 = _stage_events_dir(root)
+    n2 = len([f for f in os.listdir(stage2) if f.endswith(".parquet")])
+    assert n2 == 2  # stale single-file stage was rebuilt
+
+    # removing the extra file restages back down too
+    os.remove(extra)
+    stage3 = _stage_events_dir(root)
+    n3 = len([f for f in os.listdir(stage3) if f.endswith(".parquet")])
+    assert n3 == 1
