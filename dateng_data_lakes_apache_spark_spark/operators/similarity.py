@@ -148,6 +148,38 @@ _LSH_TABLES = 8
 _LSH_PLANES_PER_TABLE = 4
 
 
+def _plane_sql_literal(plane: list[float]) -> str:
+    """DuckDB DOUBLE[] literal with exact round-trip floats — repr() is
+    the shortest representation that parses back to the identical
+    double, so the SQL twin hashes the same plane constants the Spark
+    side embeds via F.lit."""
+    return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+
+def _lsh_bucket_union_sql() -> str:
+    """The multi-table sign-bucket assignment as pure SQL over CTE ``e``
+    (vec_id, label, v DOUBLE[]) — one UNION ALL branch per LSH table,
+    bucket = Σ sign-bit<<i with the SAME seeded hyperplane constants as
+    :func:`lsh_bucket_table`. Both engines compute each plane dot as a
+    strict in-order double fold (F.aggregate vs list_dot_product over
+    DOUBLE[]), so the sign — hence the bucket id — is bit-identical;
+    this is what lets the LSH queries carry a fully INDEPENDENT oracle
+    (VERDICT r6 item 4) instead of a staged roundtrip."""
+    planes = _hyperplanes(_LSH_TABLES * _LSH_PLANES_PER_TABLE, _DIM)
+    selects = []
+    for t in range(_LSH_TABLES):
+        tp = planes[t * _LSH_PLANES_PER_TABLE : (t + 1) * _LSH_PLANES_PER_TABLE]
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_plane_sql_literal(p)}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(tp)
+        )
+        selects.append(
+            f"SELECT vec_id, label, v, {t} AS table_id, {bucket} AS bucket FROM e"
+        )
+    return "\nUNION ALL ".join(selects)
+
+
 def lsh_bucket_table(embeddings: DataFrame, n_tables: int = _LSH_TABLES,
                      k: int = _LSH_PLANES_PER_TABLE, dim: int = _DIM) -> DataFrame:
     """(vec_id, label, embedding, table_id, bucket) — one row per LSH table.
@@ -172,11 +204,30 @@ def lsh_bucket_table(embeddings: DataFrame, n_tables: int = _LSH_TABLES,
 
 @query(
     "q_ann_lsh",
-    # Staged-expectation oracle: planes are seeded constants, so the
-    # approximate top-k is a pure function of the data (the 32×64
-    # hyperplane constants remain impractical as SQL text — staging.py
-    # documents what the hash match certifies instead).
-    oracle=staged_oracle("q_ann_lsh", "*"),
+    # INDEPENDENT oracle (VERDICT r6 item 4, formerly staged): the
+    # 32×64 seeded hyperplane constants are embedded as DOUBLE[]
+    # literals and the whole bucket→probe→re-rank pipeline is
+    # re-derived in SQL — see _lsh_bucket_union_sql for why the sign
+    # bits (hence buckets, candidates, and rounded cosines) are
+    # bit-identical across both engines.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS ({_lsh_bucket_union_sql()}),
+    q AS (SELECT table_id, bucket, v AS qv FROM b WHERE vec_id = {_QUERY_VEC_ID}),
+    cands AS (
+      SELECT b.vec_id, b.label, b.v, q.qv,
+             row_number() OVER (PARTITION BY b.vec_id ORDER BY b.table_id) AS rn
+      FROM b JOIN q USING (table_id, bucket)
+      WHERE b.vec_id <> {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, label,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 4) AS cosine
+    FROM cands WHERE rn = 1
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
@@ -187,13 +238,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic (seeded planes); recall vs brute force is asserted in
     tests/test_similarity.py.
     """
-    return run_staged(spark, sf_dir, "q_ann_lsh")
+    return ann_lsh_frame(spark, sf_dir)
 
 
-@staged_builder("q_ann_lsh")
 def ann_lsh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-staging frame for :func:`q_ann_lsh` — the bucket-join + exact
-    re-rank plan the snapshot/lint guards pin."""
+    """The bucket-join + exact re-rank pipeline frame for
+    :func:`q_ann_lsh` (also the frame the snapshot/lint guards pin)."""
     e = table(spark, sf_dir, "embeddings")
     bucketed = lsh_bucket_table(e)
     q = bucketed.where(F.col("vec_id") == _QUERY_VEC_ID).select(
@@ -607,9 +657,35 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_knn_graph",
-    # Staged-expectation oracle: seeded planes + row_number tie-break on
-    # (cosine DESC, vec_b) → deterministic k-NN edge list.
-    oracle=staged_oracle("q_knn_graph", "*"),
+    # INDEPENDENT oracle (VERDICT r6 item 4, formerly staged): the full
+    # bucket pair-join + per-source top-5 ranking re-derived in SQL
+    # with the embedded hyperplane constants (see _lsh_bucket_union_sql
+    # for the bit-identical sign-fold argument).
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS ({_lsh_bucket_union_sql()}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM b a JOIN b c ON a.table_id = c.table_id AND a.bucket = c.bucket
+                        AND a.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT p.vec_a, p.vec_b,
+             round(list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v))
+                      * sqrt(list_dot_product(eb.v, eb.v))), 4) AS cosine
+      FROM pairs p JOIN e ea ON ea.vec_id = p.vec_a
+                   JOIN e eb ON eb.vec_id = p.vec_b
+    ),
+    ranked AS (
+      SELECT vec_a, vec_b, cosine,
+             CAST(row_number() OVER (PARTITION BY vec_a
+                                     ORDER BY cosine DESC, vec_b) AS INT) AS rank
+      FROM scored
+    )
+    SELECT vec_a, vec_b, cosine, rank FROM ranked WHERE rank <= 5
+    """,
 )
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-vectors k-NN graph (k=5) via the multi-table LSH index — the
@@ -628,13 +704,12 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes, (cosine desc, vec_b) tie-break); recall vs the exact graph
     is asserted in tests/test_similarity.py.
     """
-    return run_staged(spark, sf_dir, "q_knn_graph")
+    return knn_graph_frame(spark, sf_dir)
 
 
-@staged_builder("q_knn_graph")
 def knn_graph_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-staging frame for :func:`q_knn_graph` — the bucket pair-join +
-    WindowGroupLimit top-k plan the snapshot/lint guards pin."""
+    """The bucket pair-join + WindowGroupLimit top-k pipeline frame for
+    :func:`q_knn_graph` (also the frame the snapshot/lint guards pin)."""
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "embeddings")

@@ -2,8 +2,12 @@
 
 Several engine operators are exact deterministic functions of the input
 data but have no DuckDB-SQL twin (xxhash64 LSH bands, HLL/CMS/Bloom
-sketches, hyperplane signatures): their PIPELINE can't be re-expressed
-in SQL, but their OUTPUT is reproducible bit-for-bit. For those, the
+sketches): their PIPELINE can't be re-expressed in SQL, but their
+OUTPUT is reproducible bit-for-bit. (Hyperplane-signature queries used
+to be staged too, until q_ann_lsh/q_knn_graph gained fully independent
+oracles by embedding the seeded plane constants as SQL literals —
+operators/similarity.py — shrinking this set to the genuinely
+non-expressible hash/sketch pipelines.) For those, the
 registered query pins its result to parquet ("stages the expectation")
 and the oracle reads the SAME bytes back through DuckDB.
 

@@ -48,8 +48,6 @@ _HEAVY_CONSTRUCTION = {
     "q_dedup_resolve",
     "q_ann_ivf",
     "q_ann_pq",
-    "q_ann_lsh",
-    "q_knn_graph",
     "q_manifest_pruned_scan",
     "q_snapshot_read",
     "q_dynamic_overwrite",

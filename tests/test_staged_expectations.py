@@ -31,11 +31,9 @@ STAGED_DETERMINISTIC = [
     "q_agg_approx_distinct",
     "q_dedup_minhash",
     "q_dedup_simhash",
-    "q_ann_lsh",
     "q_ann_ivf",
     "q_ann_pq",
     "q_dedup_embedding_lsh",
-    "q_knn_graph",
     "q_sketch_count_min",
     "q_agg_approx_quantile",
     "q_sketch_hll_merge",
