@@ -325,8 +325,30 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_embedding_lsh",
-    # Staged-expectation oracle: seeded planes → deterministic pair set.
-    oracle=staged_oracle("q_dedup_embedding_lsh", "*"),
+    # INDEPENDENT oracle (formerly staged): bucket assignment, pair
+    # generation, and the UNROUNDED >=0.35 cosine verify re-derived in
+    # SQL with the embedded plane constants — the threshold compares
+    # the same strict-double-fold value on both engines, so even
+    # boundary pairs classify identically.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS ({_lsh_bucket_union_sql()}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM b a JOIN b c ON a.table_id = c.table_id AND a.bucket = c.bucket
+                        AND a.vec_id < c.vec_id
+    ),
+    scored AS (
+      SELECT p.vec_a, p.vec_b,
+             list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))) AS raw
+      FROM pairs p JOIN e ea ON ea.vec_id = p.vec_a
+                   JOIN e eb ON eb.vec_id = p.vec_b
+    )
+    SELECT vec_a, vec_b, round(raw, 4) AS cosine FROM scored WHERE raw >= 0.35
+    """,
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: LSH-bucketed candidate pairs + exact
@@ -341,13 +363,12 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes); recall vs the exact pair set is asserted in
     tests/test_similarity.py.
     """
-    return run_staged(spark, sf_dir, "q_dedup_embedding_lsh")
+    return embedding_lsh_frame(spark, sf_dir)
 
 
-@staged_builder("q_dedup_embedding_lsh")
 def embedding_lsh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-staging frame for :func:`q_dedup_embedding_lsh` — the bucketed
-    pair-join + cosine-verify plan the snapshot/lint guards pin."""
+    """The bucketed pair-join + cosine-verify pipeline frame for
+    :func:`q_dedup_embedding_lsh` (also what the snapshot/lint guards pin)."""
     e = table(spark, sf_dir, "embeddings")
     bucketed = lsh_bucket_table(e).select("vec_id", "embedding", "table_id", "bucket")
     # The bucket index is reused by both sides of the pair join — persist

@@ -33,7 +33,6 @@ STAGED_DETERMINISTIC = [
     "q_dedup_simhash",
     "q_ann_ivf",
     "q_ann_pq",
-    "q_dedup_embedding_lsh",
     "q_sketch_count_min",
     "q_agg_approx_quantile",
     "q_sketch_hll_merge",
