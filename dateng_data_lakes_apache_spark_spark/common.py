@@ -39,6 +39,30 @@ def o_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) / COUNT({expr})"
 
 
+def det_round(col: Column, n: int) -> Column:
+    """Tie-deterministic double rounding: ``floor(x·10ⁿ + 0.5) / 10ⁿ``.
+
+    ``round()`` on a double is the one place the engines' decimal
+    tie-breaking can diverge (Spark routes through BigDecimal HALF_UP
+    on the full decimal expansion; DuckDB rounds ``x·10ⁿ`` half away
+    from zero in doubles) — found by the degenerate/sf sweeps on
+    quotients that land a hair's width from a .xxxx5 boundary. The
+    floor form is one IEEE multiply, add, floor, divide on BOTH
+    engines, so the result is bit-identical everywhere, and it never
+    emits ``-0.0`` (the other cross-engine repr trap). Semantics:
+    round-half-toward-+∞. Only for |x·10ⁿ| < 2⁶³ (Spark's floor yields
+    a bigint) — fine for every rounded metric in this engine.
+    """
+    f = float(10**n)
+    return F.floor(col * F.lit(f) + F.lit(0.5)) / F.lit(f)
+
+
+def o_det_round(expr: str, n: int) -> str:
+    """DuckDB twin of :func:`det_round`."""
+    f = float(10**n)
+    return f"floor(({expr}) * {f} + 0.5) / {f}"
+
+
 def spread(df, spark):
     """Round-robin repartition ONLY when the scan under-parallelizes.
 

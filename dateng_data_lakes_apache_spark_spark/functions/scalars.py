@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..common import o_ts_str, ts_str
+from ..common import det_round, o_det_round, o_ts_str, ts_str
 from ..registry import query
 
 
@@ -161,12 +161,12 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_array_funcs",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-           round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
-                 + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE), 4)
+           {o_det_round('CAST(embedding[1] AS DOUBLE)', 4)} AS first_val,
+           {o_det_round('CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)'
+                        ' + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)', 4)}
              AS head4_sum,
            CAST(embedding[1] > 0 AS BOOLEAN) AS first_positive
     FROM embeddings
@@ -176,7 +176,9 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array scalar pack over embeddings.embedding (array<float>).
 
     Element access + arithmetic stays JVM-side; float→double casts are
-    exact so the explicit 4-term sum is engine-identical.
+    exact so the explicit 4-term sum is engine-identical. Rounding is
+    det_round: a tiny-negative head4_sum rounded through the engines'
+    native round() diverges as -0.0 vs 0.0 (sf0.001 sweep find).
     """
     em = table(spark, sf_dir, "embeddings")
 
@@ -186,8 +188,8 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.select(
         "vec_id",
         F.size("embedding").cast("int").alias("dim"),
-        F.round(el(1), 4).alias("first_val"),
-        F.round(el(1) + el(2) + el(3) + el(4), 4).alias("head4_sum"),
+        det_round(el(1), 4).alias("first_val"),
+        det_round(el(1) + el(2) + el(3) + el(4), 4).alias("head4_sum"),
         (F.element_at("embedding", 1) > 0).alias("first_positive"),
     )
 

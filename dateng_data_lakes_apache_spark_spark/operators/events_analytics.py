@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..caching import track
 from ..catalog import table
-from ..common import date_str, dsum, o_date_str, o_dsum
+from ..common import date_str, det_round, dsum, o_date_str, o_det_round, o_dsum
 from ..registry import query
 
 # The funnel's ordered stages. Strict ts ordering between stages: a
@@ -875,13 +875,13 @@ _BACKTEST_SPLIT = "2024-01-16"  # train < split <= test (30-day window)
     SELECT t.event_type,
            CAST(t.hour AS INT) AS hour,
            t.n_train, e.n_test,
-           round(CAST(t.s_train AS DOUBLE) / t.n_train, 4) AS pred,
-           round(CAST(e.s_test AS DOUBLE) / e.n_test, 4) AS actual,
-           round(abs(CAST(e.s_test AS DOUBLE) / e.n_test
-                     - CAST(t.s_train AS DOUBLE) / t.n_train), 4) AS abs_err,
-           round(abs(CAST(e.s_test AS DOUBLE) / e.n_test
-                     - CAST(t.s_train AS DOUBLE) / t.n_train)
-                 / (CAST(e.s_test AS DOUBLE) / e.n_test), 4) AS ape
+           {o_det_round('CAST(t.s_train AS DOUBLE) / t.n_train', 4)} AS pred,
+           {o_det_round('CAST(e.s_test AS DOUBLE) / e.n_test', 4)} AS actual,
+           {o_det_round('abs(CAST(e.s_test AS DOUBLE) / e.n_test'
+                        ' - CAST(t.s_train AS DOUBLE) / t.n_train)', 4)} AS abs_err,
+           {o_det_round('abs(CAST(e.s_test AS DOUBLE) / e.n_test'
+                        ' - CAST(t.s_train AS DOUBLE) / t.n_train)'
+                        ' / (CAST(e.s_test AS DOUBLE) / e.n_test)', 4)} AS ape
     FROM train t JOIN test e
       ON t.event_type = e.event_type AND t.hour = e.hour
     """,
@@ -923,15 +923,18 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pred = F.col("s_train").cast("double") / F.col("n_train")
     actual = F.col("s_test").cast("double") / F.col("n_test")
+    # det_round: an APE quotient landed a hair from a .xxxx5 boundary
+    # at sf0.001 and the engines' native round() split HALF_UP vs
+    # half-away-in-doubles — the floor form is tie-deterministic
     return train.join(test, ["event_type", "hour"]).select(
         "event_type",
         F.col("hour").cast("int").alias("hour"),
         "n_train",
         "n_test",
-        F.round(pred, 4).alias("pred"),
-        F.round(actual, 4).alias("actual"),
-        F.round(F.abs(actual - pred), 4).alias("abs_err"),
-        F.round(F.abs(actual - pred) / actual, 4).alias("ape"),
+        det_round(pred, 4).alias("pred"),
+        det_round(actual, 4).alias("actual"),
+        det_round(F.abs(actual - pred), 4).alias("abs_err"),
+        det_round(F.abs(actual - pred) / actual, 4).alias("ape"),
     )
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..caching import local_checkpoint, release_superseded, track
 from ..catalog import table
+from ..common import det_round, o_det_round
 from ..registry import query
 from ..staging import run_staged, staged_builder, staged_oracle
 
@@ -45,26 +46,29 @@ def _norm(a) -> Column:
 
 @query(
     "q_vector_norm",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            label,
-           round(sqrt(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
-           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-                 / len(embedding), 4) AS mean_val
+           {o_det_round('sqrt(list_sum(list_transform(embedding,'
+                        ' x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))', 4)}
+             AS l2_norm,
+           {o_det_round('list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))'
+                        ' / len(embedding)', 4)} AS mean_val
     FROM embeddings
     """,
 )
 def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector L2 norm and mean — the basic vector-math kernel."""
+    """Per-vector L2 norm and mean — the basic vector-math kernel.
+    det_round: a near-zero mean rounded through native round() diverges
+    as -0.0 vs 0.0 between the engines (sf0.001 sweep find)."""
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     mean = _dot(emb, F.transform(emb, lambda x: F.lit(1.0))) / F.size(emb)
     return e.select(
         "vec_id",
         "label",
-        F.round(_norm(emb), 4).alias("l2_norm"),
-        F.round(mean, 4).alias("mean_val"),
+        det_round(_norm(emb), 4).alias("l2_norm"),
+        det_round(mean, 4).alias("mean_val"),
     )
 
 

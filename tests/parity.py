@@ -32,6 +32,8 @@ def _canon_value(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "<NaN>"
+        if v == 0.0:
+            v = 0.0  # -0.0 == 0.0 numerically; repr would split them
         return ("f", repr(v))
     if isinstance(v, bytes):
         return ("b", v.hex())
