@@ -39,6 +39,15 @@ def o_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) / COUNT({expr})"
 
 
+def nsize(col: Column) -> Column:
+    """Null-safe ``size()``: a NULL array (split/regexp of NULL text)
+    counts as NULL, not the legacy Spark ``-1`` — a fake -1 token/match
+    count leaking into dirty-corpus audits is exactly the wrong-value
+    class the hostile-catalog sweep exists to catch, and SQL engines
+    (the oracles included) return NULL here."""
+    return F.when(col.isNull(), F.lit(None)).otherwise(F.size(col))
+
+
 def det_round(col: Column, n: int) -> Column:
     """Tie-deterministic double rounding: ``floor(x·10ⁿ + 0.5) / 10ⁿ``.
 

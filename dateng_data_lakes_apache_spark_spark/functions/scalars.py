@@ -136,9 +136,9 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_funcs",
     oracle="""
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
-           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+           json_extract_string(NULLIF(props, ''), '$.k') AS k_str,
+           CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) AS k_int,
+           CASE WHEN CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) >= 50
                 THEN 'high' ELSE 'low' END AS k_band
     FROM events
     """,
@@ -278,9 +278,12 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_struct",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k,
-           CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL AS parsed_ok,
-           concat('{"k":', CAST(CAST(json_extract_string(props, '$.k') AS INT) AS VARCHAR), '}') AS rebuilt
+           CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) AS k,
+           CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) IS NOT NULL AS parsed_ok,
+           CASE WHEN CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) IS NULL
+                THEN NULL  -- Spark: from_json of dirt -> NULL struct -> NULL to_json
+                ELSE concat('{"k":', CAST(CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) AS VARCHAR), '}')
+           END AS rebuilt
     FROM events
     """,
 )

@@ -47,21 +47,28 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_funcs",
     oracle="""
     SELECT event_id,
-           CAST(len(json_keys(props)) AS INT) AS n_keys,
-           CAST(json_keys(props)[1] AS VARCHAR) AS first_key,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+           CAST(len(json_keys(NULLIF(props, ''))) AS INT) AS n_keys,
+           CAST(json_keys(NULLIF(props, ''))[1] AS VARCHAR) AS first_key,
+           CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) AS k_val
     FROM events
     """,
 )
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed map access: props parsed once via from_json into
     map<string,int>, then map_keys/element_at — the scale-correct
-    alternative to repeated get_json_object parses (one parse per row)."""
+    alternative to repeated get_json_object parses (one parse per row).
+
+    NULL/unparseable props → NULL n_keys (explicit isNull guard: the
+    legacy ``size(NULL) = -1`` wart must not leak a fake count into
+    dirty-corpus audits — hostile-catalog sweep find)."""
     e = table(spark, sf_dir, "events")
     m = F.from_json("props", MapType(StringType(), IntegerType()))
     return e.select(
         "event_id",
-        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.when(m.isNull(), F.lit(None))
+        .otherwise(F.size(F.map_keys(m)))
+        .cast("int")
+        .alias("n_keys"),
         F.element_at(F.map_keys(m), 1).alias("first_key"),
         F.element_at(m, "k").cast("int").alias("k_val"),
     )

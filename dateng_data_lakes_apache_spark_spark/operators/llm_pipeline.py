@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..caching import track
 from ..catalog import table
-from ..common import spread
+from ..common import nsize, spread
 from ..registry import query
 from ..staging import run_staged, staged_builder, staged_oracle
 
@@ -121,7 +121,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ntile_global instead.
     """
     d = table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    n_tokens = nsize(F.filter(F.split("text", " "), lambda w: w != ""))
     base = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
     w = (
         Window.partitionBy("source")
@@ -325,10 +325,10 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         "doc_id",
-        F.size(F.regexp_extract_all("staged", F.lit(_EMAIL_RE), 0))
+        nsize(F.regexp_extract_all("staged", F.lit(_EMAIL_RE), 0))
         .cast("int")
         .alias("n_emails"),
-        F.size(F.regexp_extract_all("staged", F.lit(_PHONE_RE), 0))
+        nsize(F.regexp_extract_all("staged", F.lit(_PHONE_RE), 0))
         .cast("int")
         .alias("n_phones"),
         F.substring(redacted, 1, 80).alias("redacted_head"),
@@ -1126,14 +1126,14 @@ def q_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != "")
-    n_hard = F.size(F.filter(toks, lambda w: w.isin(*_HARD_BLOCK)))
-    n_soft = F.size(F.filter(toks, lambda w: w.isin(*_SOFT_BLOCK)))
+    n_hard = nsize(F.filter(toks, lambda w: w.isin(*_HARD_BLOCK)))
+    n_soft = nsize(F.filter(toks, lambda w: w.isin(*_SOFT_BLOCK)))
     scored = d.select(
         "source",
         "lang",
         n_hard.alias("n_hard"),
         n_soft.alias("n_soft"),
-        F.size(toks).alias("ntok"),
+        nsize(toks).alias("ntok"),
     )
     dropped = F.when(F.col("n_hard") > 0, 1).when(
         (F.col("ntok") > 0)
@@ -1356,7 +1356,8 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     fold = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
             .cast("int") % 5)
-    ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    # nsize: a NULL text must not leak legacy -1 into the token budget
+    ntok = nsize(F.filter(F.split("text", " "), lambda w: w != ""))
     return (
         d.select("lang", fold.alias("fold"), ntok.alias("ntok"))
         .groupBy("lang", "fold")

@@ -289,9 +289,14 @@ def _o_corr(x: str, y: str) -> str:
     sxx = f"CAST(SUM(CAST({x} * {x} AS DECIMAL(30,8))) AS DOUBLE)"
     syy = f"CAST(SUM(CAST({y} * {y} AS DECIMAL(30,8))) AS DOUBLE)"
     sxy = f"CAST(SUM(CAST({x} * {y} AS DECIMAL(30,8))) AS DOUBLE)"
+    # n < 2: the co-moment residue is pure rounding noise and can land a
+    # hair NEGATIVE, where DuckDB's SQRT raises while Spark yields NaN —
+    # correlation of fewer than two points is NULL by SQL convention,
+    # on both sides (one-row-catalog sweep find)
     return (
+        f"CASE WHEN COUNT(*) < 2 THEN NULL ELSE "
         f"ROUND(({n} * {sxy} - {sx} * {sy}) / "
-        f"(SQRT({n} * {sxx} - {sx} * {sx}) * SQRT({n} * {syy} - {sy} * {sy})), 6)"
+        f"(SQRT({n} * {sxx} - {sx} * {sx}) * SQRT({n} * {syy} - {sy} * {sy})), 6) END"
     )
 
 
@@ -353,11 +358,15 @@ def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = F.col("n").cast("double")
         sx, sy = F.col(f"sx_{tag}"), F.col(f"sy_{tag}")
         sxx, syy, sxy = F.col(f"sxx_{tag}"), F.col(f"syy_{tag}"), F.col(f"sxy_{tag}")
-        return F.round(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
-        )
+        # corr of < 2 points is NULL by SQL convention (see _o_corr)
+        return F.when(
+            F.col("n") >= 2,
+            F.round(
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                6,
+            ),
+        ).otherwise(F.lit(None))
 
     return base.select(
         "l_returnflag",

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..caching import track
 from ..catalog import table
-from ..common import davg, o_davg, spread
+from ..common import davg, nsize, o_davg, spread
 from ..registry import query
 
 # Tiny English stopword list used by the quality scorer (public knowledge).
@@ -66,7 +66,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     tokens = F.filter(F.split("text", " "), lambda w: w != "")
     return (
-        d.select("lang", F.size(tokens).alias("n_tokens"), F.length("text").alias("n_chars"))
+        d.select("lang", nsize(tokens).alias("n_tokens"), F.length("text").alias("n_chars"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -95,8 +95,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer (letter runs / digit runs / single punctuation) — the
     standard pre-tokenizer shape used before byte-pair merging."""
     d = table(spark, sf_dir, "documents")
-    ws = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
-    bpe = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    ws = nsize(F.filter(F.split("text", " "), lambda w: w != ""))
+    bpe = nsize(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
     return d.select(
         "doc_id",
         ws.cast("int").alias("ws_tokens"),
@@ -173,7 +173,8 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "q_lang_id",
     oracle=f"""
     SELECT doc_id, lang AS lang_true,
-           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           CASE WHEN s_en IS NULL THEN NULL
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
                 WHEN s_fr >= s_es THEN 'fr'
                 ELSE 'es' END AS lang_pred,
@@ -190,14 +191,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language identification with deterministic argmax
-    (ties break in fixed en>de>fr>es priority order)."""
+    (ties break in fixed en>de>fr>es priority order). NULL text scores
+    NULL and predicts NULL — never a fake language (hostile sweep)."""
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
 
     def marker_score(markers: tuple[str, ...]):
         # closure-bound (not lambda-default) so the HOF lambda stays 1-arg
         arr = F.array(*[F.lit(x) for x in markers])
-        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+        return nsize(F.filter(words, lambda w: F.array_contains(arr, w)))
 
     scores = {k: marker_score(m) for k, m in LANG_MARKERS.items()}
     base = d.select(
@@ -207,7 +209,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
     pred = (
-        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        F.when(s["en"].isNull(), F.lit(None).cast("string"))
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
         .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
         .when(s["fr"] >= s["es"], "fr")
         .otherwise("es")
@@ -225,10 +228,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            md5(lower(trim(text))) AS content_md5,
-           list_min(list_transform(
-             range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
-             i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))
-           )) AS min_shingle_md5
+           CASE WHEN text IS NULL THEN NULL ELSE
+             list_min(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+               i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))
+             )) END AS min_shingle_md5
     FROM documents
     """,
 )
@@ -248,7 +252,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
-        F.array_min(shingle_hashes).alias("min_shingle_md5"),
+        # NULL text -> NULL fingerprint: concat_ws would silently turn the
+        # NULL shingle slice into md5('') — a fake match-everything
+        # fingerprint in a dedup index (hostile sweep find)
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_min(shingle_hashes))
+        .alias("min_shingle_md5"),
     )
 
 
@@ -909,7 +918,8 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pred AS (
       SELECT lang AS lang_true,
-             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             CASE WHEN s_en IS NULL THEN NULL
+                  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
                   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
                   WHEN s_fr >= s_es THEN 'fr'
                   ELSE 'es' END AS lang_pred
@@ -940,11 +950,12 @@ def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _marker_count(markers):
         # closure-bound (NOT a lambda default: pyspark counts lambda
         # params to pick the (x) vs (x, i) HOF form — the dedup.py trap)
-        return F.size(F.filter(F.split("text", " "), lambda w: w.isin(*markers)))
+        return nsize(F.filter(F.split("text", " "), lambda w: w.isin(*markers)))
 
     scores = {k: _marker_count(tuple(m)) for k, m in LANG_MARKERS.items()}
     pred = (
-        F.when(
+        F.when(scores["en"].isNull(), F.lit(None).cast("string"))
+        .when(
             (scores["en"] >= scores["de"])
             & (scores["en"] >= scores["fr"])
             & (scores["en"] >= scores["es"]),

@@ -85,7 +85,7 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(PERCENT_RANK() OVER w, 6) AS pct_rank,
            round(CUME_DIST() OVER w, 6) AS cume
     FROM customer
-    WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+    WINDOW w AS (ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC)
     """,
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,7 +208,7 @@ def global_row_number(df: DataFrame, order_cols, rn_name: str = "rn") -> DataFra
            round(PERCENT_RANK() OVER w, 6) AS pct_rank,
            round(CUME_DIST() OVER w, 6) AS cume
     FROM customer
-    WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+    WINDOW w AS (ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC)
     """,
 )
 def q_ntile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
