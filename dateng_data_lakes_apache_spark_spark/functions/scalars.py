@@ -232,9 +232,12 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_setops",
     oracle="""
     WITH t AS (
+      -- NULL name/type = the EMPTY word set (explicit on both sides:
+      -- set algebra over NULL otherwise NULL-propagates differently
+      -- per engine — hostile sweep find)
       SELECT p_partkey,
-             list_sort(list_distinct(string_split(lower(p_name), ' '))) AS a,
-             list_sort(list_distinct(string_split(lower(p_type), ' '))) AS b
+             list_sort(list_distinct(COALESCE(string_split(lower(p_name), ' '), []))) AS a,
+             list_sort(list_distinct(COALESCE(string_split(lower(p_type), ' '), []))) AS b
       FROM part
     )
     SELECT p_partkey,
@@ -262,8 +265,9 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-speed.
     """
     p = table(spark, sf_dir, "part")
-    a = F.array_sort(F.array_distinct(F.split(F.lower("p_name"), " ")))
-    b = F.array_sort(F.array_distinct(F.split(F.lower("p_type"), " ")))
+    empty = F.array().cast("array<string>")
+    a = F.array_sort(F.array_distinct(F.coalesce(F.split(F.lower("p_name"), " "), empty)))
+    b = F.array_sort(F.array_distinct(F.coalesce(F.split(F.lower("p_type"), " "), empty)))
     t = p.select("p_partkey", a.alias("a"), b.alias("b"))
     return t.select(
         "p_partkey",

@@ -70,16 +70,27 @@ _GROUP_SCHEMA = StructType(
 
 def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     """Robust stats (median / p90 / MAD) — not built into Spark SQL's
-    exact aggregate set, the canonical applyInPandas use case."""
-    v = np.sort(pdf["value"].to_numpy(dtype="float64"))
-    med = float(np.median(v))
+    exact aggregate set, the canonical applyInPandas use case.
+
+    NULL-skipping like every SQL order statistic: NULLs arrive as NaN
+    and would poison np.median (hostile sweep find — same class as the
+    cents() kernel); n still counts ALL rows, matching COUNT(*)."""
+    arr = pdf["value"].to_numpy(dtype="float64")
+    v = np.sort(arr[~np.isnan(arr)])
+    if len(v) == 0:
+        med = p90 = mad = None
+    else:
+        med = float(np.median(v))
+        p90 = round(float(np.percentile(v, 90)), 6)
+        mad = round(float(np.median(np.abs(v - med))), 6)
+        med = round(med, 6)
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
-            "n": [len(v)],
-            "median_value": [round(med, 6)],
-            "p90_value": [round(float(np.percentile(v, 90)), 6)],
-            "mad_value": [round(float(np.median(np.abs(v - med))), 6)],
+            "n": [len(pdf)],
+            "median_value": [med],
+            "p90_value": [p90],
+            "mad_value": [mad],
         }
     )
 

@@ -260,8 +260,8 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_array_collect",
     oracle="""
     SELECT l_returnflag,
-           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
-             AS statuses,
+           COALESCE(array_to_string(list_sort(list(DISTINCT l_linestatus)), ','), '')
+             AS statuses,  -- all-NULL group: Spark collect_set -> [] -> ''
            COUNT(DISTINCT l_linestatus) AS n_statuses
     FROM lineitem
     GROUP BY l_returnflag

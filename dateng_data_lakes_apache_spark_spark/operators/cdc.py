@@ -229,9 +229,9 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(COALESCE(floor(o_totalprice * 100 + 0.5), 0) AS BIGINT)) AS BIGINT)
              AS total_cents,
-           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           CAST(SUM(CAST(COALESCE(floor(o_totalprice * 100 + 0.5), 0) AS BIGINT)) AS DOUBLE)
              / COUNT(*) AS avg_cents
     FROM orders
     GROUP BY o_orderpriority
@@ -259,7 +259,10 @@ def q_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the nightly-ETL pattern: partial-state tables
     persist; only deltas shuffle.
     """
-    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    # NULL price contributes 0 cents (explicit, both sides): a NULL
+    # inside a partial sum is indistinguishable from a missing partial
+    # in the merge algebra, so the NULL is resolved at the SOURCE
+    cents = "CAST(COALESCE(floor(o_totalprice * 100 + 0.5), 0) AS BIGINT)"
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", F.expr(cents).alias("cents")
     )

@@ -241,8 +241,11 @@ def q_melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``DataFrame.unpivot`` plans as a Generate (expand) projection —
     map-only, zero shuffle, 4× row fan-out strictly in the executor —
-    the same scale shape as explode. No NULL-dropping surprise: unpivot
-    drops rows where val IS NULL, matching DuckDB's UNPIVOT default.
+    the same scale shape as explode. NULL measures are dropped
+    EXPLICITLY: Spark's unpivot keeps them while SQL UNPIVOT (DuckDB
+    included) excludes them by default (hostile sweep find) — the
+    SQL convention is the tidy-data one, so the filter makes the
+    cross-engine semantics explicit instead of accidental.
     """
     li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
     return li.unpivot(
@@ -250,4 +253,4 @@ def q_melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         "measure",
         "val",
-    )
+    ).where(F.col("val").isNotNull())

@@ -192,6 +192,7 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY value, event_id) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events
+      WHERE value IS NOT NULL  -- order stats skip NULLs on both engines
     ),
     q AS (
       SELECT event_type,
@@ -222,7 +223,14 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type (5 keys here; at 100 TB swap the exact rank for
     approx_percentile fences — the fence CONSUMER is unchanged).
     """
-    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    # NULL values are excluded BEFORE ranking: Spark sorts NULL first
+    # and DuckDB last, so a ranked NULL lands in opposite quartile
+    # slots (hostile sweep find); order statistics skip NULLs anyway.
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .where(F.col("value").isNotNull())
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
