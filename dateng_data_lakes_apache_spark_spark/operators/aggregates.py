@@ -150,6 +150,10 @@ def approx_distinct_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY ROLLUP (r.r_name, n.n_name)
+    -- Spark emits NO rows from rollup/cube on empty input (the SQL
+    -- standard emits the () grand-total row); only that degenerate row
+    -- can ever have COUNT 0, so the guard mirrors the engine exactly.
+    HAVING COUNT(*) > 0
     """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,6 +175,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            {o_dsum('o_totalprice')} AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0  -- empty-input grand-total row: see q_rollup
     """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:

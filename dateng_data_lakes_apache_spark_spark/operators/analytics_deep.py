@@ -675,9 +675,22 @@ def q_starjoin_stockshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     path every other oracled aggregate rides; doubles only appear in
     the final projection.
     """
+    # The nation band is a real semi-join against the dim, not a
+    # `s_nationkey % 5` shortcut: the shortcut silently assumes FK
+    # integrity and keeps suppliers whose nation row doesn't exist
+    # (hostile sweep find). The dim is 25 rows — broadcast, free.
+    nat = (
+        table(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") % 5 == 0)
+        .select("n_nationkey")
+    )
     supp_in = (
         table(spark, sf_dir, "supplier")
-        .where(F.col("s_nationkey") % 5 == 0)
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "semi",
+        )
         .select("s_suppkey")
     )
     l = table(spark, sf_dir, "lineitem").select(  # noqa: E741

@@ -126,12 +126,16 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey")  # noqa: E741
+    # count(when(cond, 1)) not sum(when(...)): SUM over an EMPTY audit
+    # target is NULL, turning "no violations" into unknown — a
+    # conditional COUNT is 0 there, matching the oracle's scalar counts
+    # (empty-catalog sweep find).
     passes = o.agg(
         F.count(F.lit(1)).alias("row_count"),
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_custkeys"),
-        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("price_violations"),
-        F.sum(
-            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkeys"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("price_violations"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
         ).alias("status_violations"),
     )
     dups = (

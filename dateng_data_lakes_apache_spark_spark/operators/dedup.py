@@ -59,11 +59,25 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _word_shingles(text_col, k: int = 3):
-    """k-word shingle array from a text column (JVM higher-order fns)."""
+    """k-word shingle array from a text column (JVM higher-order fns).
+
+    NULL text yields NULL shingles — concat_ws otherwise coerces the
+    NULL word list to the [''] degenerate shingle, which pairs every
+    NULL doc with every EMPTY doc at jaccard 1.0 across the whole
+    near-dup ladder (hostile sweep find); the oracles NULL-propagate
+    through string_split, so NULL-in/NULL-out is the shared semantic.
+    An empty-string doc keeps its [''] shingle on BOTH engines (two
+    empty docs ARE exact duplicates; that is the exact ladder's call).
+    """
     words = F.filter(F.split(text_col, " "), lambda w: w != "")
     n = F.greatest(F.size(words) - (k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return F.when(
+        text_col.isNotNull(),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(words, i, k))
+            )
+        ),
     )
 
 
@@ -825,7 +839,12 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         _word_shingles(F.col("text"), k=3).alias("shingles"),
         F.array_sort(F.array_distinct(words)).alias("ws"),
-    )
+        # NULL-text docs hold NO candidate slot: legacy size(NULL) = -1
+        # would score any neighbor pair (-1)/(-1) = 1.0 (hostile sweep
+        # find). The oracle keeps them but their NULL jaccard fails the
+        # threshold, and they sort to the END of the all-empty block
+        # (NULLS LAST) — so dropping them here is output-equivalent.
+    ).where(F.col("shingles").isNotNull())
     keyed = sh.select(
         "doc_id",
         "shingles",
@@ -901,7 +920,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(
         table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000), spark
     )
-    sh = d.select("doc_id", _word_shingles(F.col("text"), k=3).alias("shingles"))
+    # NULL shingles would make every pair involving the doc score
+    # (-1)/least(-1, n) = 1.0 under legacy size(NULL) = -1 — a NULL-text
+    # doc is contained in nothing (hostile sweep find; the oracle's NULL
+    # containment fails the threshold the same way).
+    sh = d.select("doc_id", _word_shingles(F.col("text"), k=3).alias("shingles")).where(
+        F.col("shingles").isNotNull()
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))).cast(
@@ -1178,7 +1203,12 @@ def q_dedup_union_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5 verify threshold are the demonstration that the verify stage,
     not the blocker, owns precision.
     """
-    d = table(spark, sf_dir, "documents")
+    # A NULL-text doc emits NO blocking fingerprints: concat_ws would
+    # coerce its NULL slice to md5('') — colliding with every genuinely
+    # empty doc — and its NULL token set would verify at (-1)/(-1) = 1.0
+    # under legacy size(NULL) (hostile sweep find). The oracle keeps the
+    # row but its NULL md5 keys never equi-join, so this is equivalent.
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     words = F.split("text", " ")
     toks = d.select(
         "doc_id",

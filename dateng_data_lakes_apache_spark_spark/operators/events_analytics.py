@@ -1397,6 +1397,7 @@ _BAL_DELTA = "CAST(floor(value * 100 + 0.5) AS BIGINT) - 5000"
       SELECT user_id, {_BAL_DELTA} AS delta,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
       FROM events
+      WHERE value IS NOT NULL  -- same no-signal drop as the kernel
     ),
     walk AS (
       SELECT user_id, 1 AS rn,
@@ -1503,6 +1504,7 @@ _EWMA_X = "CAST(floor(value * 100 + 0.5) AS BIGINT)"  # cents, engine-identical
       SELECT user_id, {_EWMA_X} AS x,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
       FROM events
+      WHERE value IS NOT NULL  -- same no-signal drop as the kernel
     ),
     walk AS (
       SELECT user_id, 1 AS rn, x AS ew, x AS mx FROM ev WHERE rn = 1

@@ -233,7 +233,12 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal step (rewriting text minus duplicated spans) is the same
     join feeding a filter + concat_ws instead of a count.
     """
-    d = table(spark, sf_dir, "documents")
+    # NULL text has NO spans (drop before the explode): legacy
+    # size(NULL) = -1 otherwise feeds sequence(0, -1) = [0, -1] and the
+    # doc gains two phantom md5('') spans that poison the frequency
+    # table (hostile sweep find); the oracle's len(w) predicate drops
+    # the same rows via NULL comparison.
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     words = F.split("text", " ")
     n = F.size(words)
     span_hashes = F.transform(

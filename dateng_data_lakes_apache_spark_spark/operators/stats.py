@@ -106,6 +106,7 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
            {o_dsum('o_totalprice')} AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING COUNT(*) > 0  -- empty-input () row: Spark emits none
     """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,6 +134,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            {o_dsum('value')} AS sum_value
     FROM events
     GROUP BY ROLLUP (1, 2)
+    HAVING COUNT(*) > 0  -- empty-input grand-total row: Spark emits none
     """,
 )
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

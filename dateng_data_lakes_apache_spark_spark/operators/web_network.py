@@ -112,10 +112,15 @@ def q_lpm_route_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- URL parsing -------------------------------------------------------
 
+# `||` instead of concat(): DuckDB's concat SKIPS NULL args while
+# Spark's propagates them, so a NULL source/lang synthesized different
+# URLs per engine (hostile sweep find). `||` NULL-propagates in BOTH —
+# a doc with no source/lang has no URL, and the NULL parse group
+# carries it visibly.
 _URL = (
-    "concat('https://', source, '.example.com/', lang, '/p',"
-    " CAST(doc_id % 97 AS STRING), '?id=', CAST(doc_id AS STRING),"
-    " '&ref=', lang)"
+    "'https://' || source || '.example.com/' || lang || '/p' ||"
+    " CAST(doc_id % 97 AS STRING) || '?id=' || CAST(doc_id AS STRING) ||"
+    " '&ref=' || lang"
 )
 
 
@@ -175,9 +180,10 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Crawl variant synth: the page identity is (source, lang, doc_id % 500)
 # but each fetch carries a volatile tracking param — the thing URL
 # canonicalization exists to strip.
+# `||` for the same NULL-propagation parity as _URL above.
 _CRAWL_URL = (
-    "concat('https://', source, '.example.com/', lang, '/p',"
-    " CAST(doc_id % 500 AS STRING), '?sid=', CAST(doc_id AS STRING))"
+    "'https://' || source || '.example.com/' || lang || '/p' ||"
+    " CAST(doc_id % 500 AS STRING) || '?sid=' || CAST(doc_id AS STRING)"
 )
 _CANON = f"regexp_replace({_CRAWL_URL}, '[?&]sid=[0-9]+', '')"
 

@@ -28,6 +28,14 @@ def read_json(
     return spark.read.schema(schema).option("multiLine", multi_line).json(paths)
 
 
+#: NULL sentinel for the engine's CSV dialect. Spark's default writes
+#: BOTH NULL and '' as an empty field, so a CSV roundtrip silently
+#: merges them (hostile sweep find). With an explicit nullValue, NULL
+#: serializes as \\N and '' as "" — lossless on the read-back and
+#: readable by DuckDB/Postgres with nullstr='\\N' (the COPY convention).
+CSV_NULL = "\\N"
+
+
 def read_csv(
     spark: SparkSession,
     path: str | Sequence[str],
@@ -37,7 +45,11 @@ def read_csv(
 ) -> DataFrame:
     """CSV reader (reference S5 / the commented-out K3 sink's format)."""
     paths = [path] if isinstance(path, str) else list(path)
-    reader = spark.read.option("header", header).option("sep", sep)
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("nullValue", CSV_NULL)
+    )
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(paths)
@@ -88,8 +100,14 @@ def write_parquet(
 
 def write_csv(df: DataFrame, path: str, sep: str = ",", header: bool = True, mode: str = "overwrite") -> None:
     """CSV sink (reference K3, ETL_from_Notebook.py:120-122 — commented
-    out there, first-class here)."""
-    df.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+    out there, first-class here). NULL-vs-'' lossless via ``CSV_NULL``."""
+    (
+        df.write.mode(mode)
+        .option("header", header)
+        .option("sep", sep)
+        .option("nullValue", CSV_NULL)
+        .csv(path)
+    )
 
 
 def avro_available(spark: SparkSession) -> bool:

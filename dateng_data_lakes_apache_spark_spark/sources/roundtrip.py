@@ -519,7 +519,9 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_orders,
            {o_dsum('o_totalprice')} AS sum_price
     FROM orders
-    WHERE CAST(string_split(o_orderpriority, '-')[1] AS INT) <= 2
+    -- TRY_CAST: Spark's CAST('' AS INT) is NULL while DuckDB's raises;
+    -- a priority with no numeric prefix simply fails the filter
+    WHERE TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) <= 2
     GROUP BY o_orderstatus
     """,
 )
@@ -661,8 +663,14 @@ def _stage_malformed_csv(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(path, "part-000.csv"), "w") as f:
         for r in sorted(rows, key=lambda r: r["doc_id"]):
             bad = r["doc_id"] % 15 == 0
-            n = "corrupted!" if bad else str(r["n_chars"])
-            f.write(f"{r['doc_id']},{n},{r['lang']}\n")
+            # NULL fields serialize as EMPTY, never Python's str(None) —
+            # a literal "None" lang parsed back as a real language group
+            # (hostile sweep find). This raw feed deliberately has no
+            # null sentinel, so '' and NULL both land as empty fields —
+            # the oracle mirrors that with NULLIF(lang, '').
+            n = "corrupted!" if bad else ("" if r["n_chars"] is None else str(r["n_chars"]))
+            lang = "" if r["lang"] is None else r["lang"]
+            f.write(f"{r['doc_id']},{n},{lang}\n")
     open(marker, "w").close()
     return path
 
@@ -673,14 +681,14 @@ def _stage_malformed_csv(spark: SparkSession, sf_dir: str) -> str:
     # staging rule: every doc_id % 15 == 0 row is corrupt (n_chars
     # nulled, raw line captured), everything else parses clean.
     oracle=f"""
-    SELECT lang,
+    SELECT NULLIF(lang, '') AS lang,  -- raw feed: '' and NULL both land empty
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(*) FILTER (doc_id % 15 = 0) AS BIGINT) AS n_corrupt,
            {o_dsum('CASE WHEN doc_id % 15 = 0 THEN NULL ELSE n_chars END')}
              AS sum_chars_clean
     FROM documents
     WHERE doc_id % 5 = 0
-    GROUP BY lang
+    GROUP BY NULLIF(lang, '')
     """,
 )
 def q_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,14 +722,18 @@ def q_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dynamic_overwrite",
     oracle=f"""
-    SELECT o_orderpriority,
+    -- NULLIF: hive directory layout cannot represent '' in a partition
+    -- value — Spark writes both NULL and '' to __HIVE_DEFAULT_PARTITION__
+    -- and reads both back as NULL. That collapse is a property of ANY
+    -- hive-partitioned lake (not this engine); the oracle models it.
+    SELECT NULLIF(o_orderpriority, '') AS o_orderpriority,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
                               THEN o_totalprice * 2
                               ELSE o_totalprice END AS DECIMAL(30,8))) AS DOUBLE)
              AS sum_price
     FROM orders
-    GROUP BY o_orderpriority
+    GROUP BY NULLIF(o_orderpriority, '')
     """,
 )
 def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,7 +800,8 @@ def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-           md5(string_agg(text, chr(10) ORDER BY doc_id)) AS corpus_md5
+           md5(COALESCE(string_agg(text, chr(10) ORDER BY doc_id), ''))
+             AS corpus_md5  -- all-NULL group: Spark array_join -> ''
     FROM documents
     GROUP BY lang
     """,
@@ -815,14 +828,19 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).limit(1).count()
         if bad:
             raise ValueError("text corpus must be tab/newline-free for line staging")
+        # NULL fields serialize as the \\N sentinel: concat_ws SKIPS null
+        # args entirely, so a NULL lang would silently shift every later
+        # field one slot left on the parse (hostile sweep find). The
+        # corpus is synthetic words (no literal \\N), same convention as
+        # the CSV dialect (readers.CSV_NULL).
         (
             d.select(
                 F.concat_ws(
                     "\t",
-                    F.col("doc_id").cast("string"),
-                    F.col("lang"),
-                    F.col("n_chars").cast("string"),
-                    F.col("text"),
+                    F.coalesce(F.col("doc_id").cast("string"), F.lit("\\N")),
+                    F.coalesce(F.col("lang"), F.lit("\\N")),
+                    F.coalesce(F.col("n_chars").cast("string"), F.lit("\\N")),
+                    F.coalesce(F.col("text"), F.lit("\\N")),
                 ).alias("value")
             )
             .write.mode("overwrite")
@@ -830,11 +848,15 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     lines = spark.read.text(path)
     parts = F.split(F.col("value"), "\t", 4)
+
+    def _field(i: int):
+        return F.nullif(parts.getItem(i), F.lit("\\N"))
+
     parsed = lines.select(
-        parts.getItem(0).cast("bigint").alias("doc_id"),
-        parts.getItem(1).alias("lang"),
-        parts.getItem(2).cast("bigint").alias("n_chars"),
-        parts.getItem(3).alias("text"),
+        _field(0).cast("bigint").alias("doc_id"),
+        _field(1).alias("lang"),
+        _field(2).cast("bigint").alias("n_chars"),
+        _field(3).alias("text"),
     )
     kept = F.sort_array(F.collect_list(F.struct("doc_id", "text")))
     return parsed.groupBy("lang").agg(
@@ -900,6 +922,9 @@ def _stage_malformed_json(spark: SparkSession, sf_dir: str) -> str:
            NULL AS sum_chars_clean
     FROM documents
     WHERE doc_id % 5 = 0 AND doc_id % 15 = 0
+    -- drop the global-agg zero row when no corrupt lines exist: the
+    -- PERMISSIVE reader has no corrupt GROUP to emit then (empty sweep)
+    HAVING COUNT(*) > 0
     """,
 )
 def q_json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

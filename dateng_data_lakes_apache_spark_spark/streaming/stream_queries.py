@@ -280,16 +280,30 @@ def custom_state_stream(ev: DataFrame, timeout_ms: int) -> DataFrame:
             return
         n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
         for pdf in pdfs:
+            # SQL aggregate semantics: COUNT(*) counts every row, but
+            # SUM/MAX skip NULL observations (arriving as NaN — max(m,
+            # NaN) would otherwise poison the running max; hostile
+            # sweep find). m == -inf doubles as the "no value yet"
+            # sentinel so an all-NULL key emits NULL sum/max like the
+            # batch twin.
             n += len(pdf)
-            # accumulate exact integer CENTS (value is 2-dp), carried in
-            # the double state field — order-independent and engine-exact,
-            # so the final state oracles against a DuckDB decimal sum
-            s += float((pdf["value"] * 100).round().sum())
-            m = max(m, float(pdf["value"].max()))
+            vals = pdf["value"].dropna()
+            if len(vals):
+                # accumulate exact integer CENTS (value is 2-dp), carried in
+                # the double state field — order-independent and engine-exact,
+                # so the final state oracles against a DuckDB decimal sum
+                s += float((vals * 100).round().sum())
+                m = max(m, float(vals.max()))
         state.update((n, s, m))
         state.setTimeoutDuration(timeout_ms)
+        seen = m != float("-inf")
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [s / 100.0], "max_value": [m]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s / 100.0 if seen else None],
+                "max_value": [m if seen else None],
+            }
         )
 
     return ev.groupBy("user_id").applyInPandasWithState(
@@ -700,11 +714,16 @@ def q_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empirically: a purchase exactly AT the watermark stays buffered).
     # The oracle reproduces both halves of that rule.
     oracle="""
-    WITH mx AS (
-      SELECT LEAST(
-        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
-        (SELECT MAX(ts) FROM events WHERE event_type = 'click')
-      ) AS mts
+    WITH mxp AS (SELECT MAX(ts) AS mp FROM events WHERE event_type = 'purchase'),
+    mxc AS (SELECT MAX(ts) AS mc FROM events WHERE event_type = 'click'),
+    -- STRICT two-sided min: a side that saw NO data leaves Spark's
+    -- per-node watermark unset (epoch 0), pinning the min-policy global
+    -- watermark so no outer row ever emits. DuckDB's LEAST skips NULLs,
+    -- which would wrongly let the populated side drive (hostile sweep).
+    mx AS (
+      SELECT CASE WHEN mp IS NULL OR mc IS NULL THEN NULL
+                  ELSE LEAST(mp, mc) END AS mts
+      FROM mxp, mxc
     ),
     p AS (
       SELECT event_id AS purchase_id, user_id, ts FROM events
@@ -1145,11 +1164,13 @@ def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Watermark = LEAST(max purchase ts, max click ts) − 10 min, per the
     # multipleWatermarkPolicy="min" rule documented on q_stream_outer_join.
     oracle="""
-    WITH mx AS (
-      SELECT LEAST(
-        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
-        (SELECT MAX(ts) FROM events WHERE event_type = 'click')
-      ) AS mts
+    WITH mxp AS (SELECT MAX(ts) AS mp FROM events WHERE event_type = 'purchase'),
+    mxc AS (SELECT MAX(ts) AS mc FROM events WHERE event_type = 'click'),
+    -- STRICT two-sided min — see q_stream_outer_join's mx note.
+    mx AS (
+      SELECT CASE WHEN mp IS NULL OR mc IS NULL THEN NULL
+                  ELSE LEAST(mp, mc) END AS mts
+      FROM mxp, mxc
     ),
     p AS (
       SELECT event_id AS purchase_id, user_id, ts FROM events

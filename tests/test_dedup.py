@@ -88,6 +88,32 @@ def test_ngram_jaccard_bounds(spark, planted):
     assert jac[(0, 3)] == 0.0  # unrelated
 
 
+def test_null_text_forms_no_shingles_or_pairs(spark):
+    """NULL text → NULL shingles (hostile-sweep pin, round 7): without
+    the guard, concat_ws coerces the NULL word list to the [''] shingle
+    and every NULL-text doc pairs with every EMPTY-text doc at
+    jaccard 1.0 through the whole near-dup ladder."""
+    from dateng_data_lakes_apache_spark_spark.operators.dedup import (
+        exact_jaccard_pairs,
+    )
+
+    d = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a b c d"), (3, "a b c e")],
+        ["doc_id", "text"],
+    )
+    sh = d.select("doc_id", _word_shingles(F.col("text"), k=3).alias("shingles"))
+    rows = {r.doc_id: r.shingles for r in sh.collect()}
+    assert rows[0] is None  # NULL in, NULL out
+    assert rows[1] == [""]  # empty doc keeps its degenerate shingle
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in exact_jaccard_pairs(sh, threshold=0.01).collect()
+    }
+    # the real near-dup pair survives; no pair ever touches doc 0
+    assert (2, 3) in pairs
+    assert all(0 not in p for p in pairs)
+
+
 def test_connected_components_chain_and_islands(spark):
     from dateng_data_lakes_apache_spark_spark.operators.dedup import (
         connected_components,

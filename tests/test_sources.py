@@ -24,8 +24,12 @@ from dateng_data_lakes_apache_spark_spark.sources.readers import (
 
 
 def test_csv_round_trip_preserves_values(spark, tmp_path):
+    # Row 4 ('') vs row 3 (None): Spark's DEFAULT dialect writes both as
+    # an empty field and reads both back as NULL — the engine dialect's
+    # \N sentinel (readers.CSV_NULL) keeps them distinct through the
+    # round trip (hostile-sweep find, round 7).
     df = spark.createDataFrame(
-        [(1, "a,b", 1.5), (2, 'quo"te', -0.25), (3, None, 0.0)],
+        [(1, "a,b", 1.5), (2, 'quo"te', -0.25), (3, None, 0.0), (4, "", 2.0)],
         "id long, s string, v double",
     )
     path = str(tmp_path / "csv_out")
