@@ -1166,16 +1166,24 @@ def ann_pq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
       FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
     )
+    -- variance numerator n*S2 - S*S computed EXACTLY in DECIMAL(38,0):
+    -- subtracting two independently-rounded doubles could land a hair
+    -- negative on a zero-variance (all-tied) dimension, where DuckDB's
+    -- SQRT raises (ties-catalog sweep find); the integer form is >= 0
+    -- by Cauchy-Schwarz. n < 2: sample std undefined -> NULL.
     SELECT dim,
            CAST(COUNT(*) AS BIGINT) AS n,
            round(CAST(SUM(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)
                  / (COUNT(*) * 1000000.0), 4) AS mean,
-           round(sqrt(
-             (CAST(SUM(CAST(floor(v * 1000000) AS BIGINT)
-                       * CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE) / 1e12
-              - CAST(SUM(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)
-                * SUM(CAST(floor(v * 1000000) AS BIGINT)) / 1e12 / COUNT(*))
-             / (COUNT(*) - 1)), 4) AS std
+           CASE WHEN COUNT(*) < 2 THEN NULL ELSE
+             round(sqrt(
+               CAST(CAST(COUNT(*) AS DECIMAL(38,0))
+                      * SUM(CAST(floor(v * 1000000) AS BIGINT)
+                            * CAST(floor(v * 1000000) AS BIGINT))
+                    - CAST(SUM(CAST(floor(v * 1000000) AS BIGINT)) AS DECIMAL(38,0))
+                      * SUM(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1e12 / (COUNT(*) * (COUNT(*) - 1))), 4)
+           END AS std
     FROM ex
     GROUP BY dim
     """,
@@ -1205,15 +1213,19 @@ def q_embedding_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     mean = F.col("s").cast("double") / (n * 1_000_000.0)
-    var = (
-        (F.col("s2").cast("double") / 1e12)
-        - F.col("s").cast("double") * F.col("s") / 1e12 / n
-    ) / (n - 1)
+    # exact DECIMAL(38,0) numerator n*S2 - S^2 (>= 0 by Cauchy-Schwarz):
+    # the double-rounded form could go a hair negative on a
+    # zero-variance dimension and leak NaN through sqrt (ties-catalog
+    # sweep find — the oracle carries the same shape). n < 2 -> NULL.
+    num = (
+        n.cast("decimal(38,0)") * F.col("s2") - F.col("s").cast("decimal(38,0)") * F.col("s")
+    ).cast("double")
+    var = num / 1e12 / (n * (n - 1))
     return agg.select(
         "dim",
         "n",
         F.round(mean, 4).alias("mean"),
-        F.round(F.sqrt(var), 4).alias("std"),
+        F.when(n >= 2, F.round(F.sqrt(var), 4)).alias("std"),
     )
 
 

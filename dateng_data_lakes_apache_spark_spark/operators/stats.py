@@ -299,14 +299,17 @@ def _o_corr(x: str, y: str) -> str:
     sxx = f"CAST(SUM(CAST({x} * {x} AS DECIMAL(30,8))) AS DOUBLE)"
     syy = f"CAST(SUM(CAST({y} * {y} AS DECIMAL(30,8))) AS DOUBLE)"
     sxy = f"CAST(SUM(CAST({x} * {y} AS DECIMAL(30,8))) AS DOUBLE)"
-    # n < 2: the co-moment residue is pure rounding noise and can land a
-    # hair NEGATIVE, where DuckDB's SQRT raises while Spark yields NaN —
-    # correlation of fewer than two points is NULL by SQL convention,
-    # on both sides (one-row-catalog sweep find)
+    # n < 2 OR zero variance: the co-moment residue is pure rounding
+    # noise and can land a hair NEGATIVE, where DuckDB's SQRT raises
+    # while Spark yields NaN — correlation of fewer than two points or
+    # of a CONSTANT series is NULL (undefined) by SQL convention, on
+    # both sides (one-row + all-tied catalog sweep finds)
+    vx = f"({n} * {sxx} - {sx} * {sx})"
+    vy = f"({n} * {syy} - {sy} * {sy})"
     return (
-        f"CASE WHEN COUNT(*) < 2 THEN NULL ELSE "
+        f"CASE WHEN COUNT(*) < 2 OR {vx} <= 0 OR {vy} <= 0 THEN NULL ELSE "
         f"ROUND(({n} * {sxy} - {sx} * {sy}) / "
-        f"(SQRT({n} * {sxx} - {sx} * {sx}) * SQRT({n} * {syy} - {sy} * {sy})), 6) END"
+        f"(SQRT({vx}) * SQRT({vy})), 6) END"
     )
 
 
@@ -368,14 +371,14 @@ def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = F.col("n").cast("double")
         sx, sy = F.col(f"sx_{tag}"), F.col(f"sy_{tag}")
         sxx, syy, sxy = F.col(f"sxx_{tag}"), F.col(f"syy_{tag}"), F.col(f"sxy_{tag}")
-        # corr of < 2 points is NULL by SQL convention (see _o_corr)
+        # corr of < 2 points or of a CONSTANT series is NULL (see
+        # _o_corr — the zero-variance residue can round a hair negative
+        # and sqrt(-eps) would leak NaN into the profile)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
         return F.when(
-            F.col("n") >= 2,
-            F.round(
-                (n * sxy - sx * sy)
-                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-                6,
-            ),
+            (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6),
         ).otherwise(F.lit(None))
 
     return base.select(

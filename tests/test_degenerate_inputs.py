@@ -162,6 +162,71 @@ def hostile_catalog(spark, tmp_path_factory):
     return root
 
 
+@pytest.fixture(scope="session")
+def ties_catalog(spark, tmp_path_factory):
+    """Six IDENTICAL copies of one row per table, distinct only in the
+    primary key (FKs pinned to key 0 so joins resolve): every value is
+    tied, the worst case for top-k / LIMIT / rank determinism."""
+    from pyspark.sql import functions as F
+
+    pk = {
+        "region": "r_regionkey", "nation": "n_nationkey",
+        "customer": "c_custkey", "supplier": "s_suppkey",
+        "part": "p_partkey", "orders": "o_orderkey",
+        "lineitem": "l_linenumber", "events": "event_id",
+        "documents": "doc_id", "embeddings": "vec_id",
+    }
+    fk = {
+        "n_regionkey", "c_nationkey", "s_nationkey", "o_custkey",
+        "l_orderkey", "l_partkey", "l_suppkey", "user_id",
+    }
+    root = str(tmp_path_factory.mktemp("degcat_ties"))
+    for t in _TABLES:
+        one = (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(1)
+            .crossJoin(spark.range(6).select(F.col("id").alias("_rid")))
+        )
+        cols = []
+        for f_ in one.schema.fields:
+            if f_.name == "_rid":
+                continue
+            c = F.col(f_.name)
+            if f_.name == pk[t]:
+                c = F.col("_rid").cast(f_.dataType)
+            elif f_.name in fk:
+                c = F.lit(0).cast(f_.dataType)
+            cols.append(c.alias(f_.name))
+        one.select(*cols).write.mode("overwrite").parquet(
+            os.path.join(root, f"{t}.parquet")
+        )
+    return root
+
+
+#: Tie-sensitive representatives: every cut (LIMIT, top-k, rank, sketch
+#: head) whose determinism rests on a complete sort key. Values on the
+#: ties catalog are oracle-compared out-of-band (degenerate_oracle_sweep
+#: — 0 mismatches); the in-suite pin asserts run-to-run determinism.
+_TIES_COVERED = [
+    "q_sort_limit",
+    "q_window_topk_per_group",
+    "q_approx_top_k",
+    "q_similarity_topk",
+    "q_hybrid_search",
+    "q_dedup_exact",
+    "q_window_rank",
+    "q_agg_groupby",
+]
+
+
+@pytest.mark.parametrize("name", _TIES_COVERED)
+def test_query_deterministic_on_all_tied_values(spark, ties_catalog, name):
+    qs = get_queries()
+    a = qs[name](spark, ties_catalog).collect()
+    b = qs[name](spark, ties_catalog).collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+
 @pytest.mark.parametrize("variant", ["empty", "one"])
 @pytest.mark.parametrize("name", _COVERED)
 def test_query_survives_degenerate_catalog(

@@ -12,7 +12,7 @@ queries are skipped (their oracle reads bytes the query stages — a
 roundtrip compare is vacuous for value-level dirt detection); they are
 covered by the run-only sweep plus their unit properties.
 
-Usage: python tools/degenerate_oracle_sweep.py [empty one hostile]
+Usage: python tools/degenerate_oracle_sweep.py [empty one hostile ties]
 Exit 1 on any mismatch/error. Catalogs are built (or reused) under
 .scratch/degcat/ by degenerate_sweep.build.
 """
@@ -51,7 +51,7 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.session import get_spark
     from dateng_data_lakes_apache_spark_spark.staging import STAGED_BUILDERS, clear_stage_memo
 
-    variants = sys.argv[1:] or ["empty", "one", "hostile"]
+    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties"]
     spark = get_spark(app_name="degenerate-oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = get_queries(), get_oracles()

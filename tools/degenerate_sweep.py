@@ -10,13 +10,19 @@ against each, reporting anything that raises:
 - ``hostile``— 6 rows per table; every NON-key column carries NULL in
                row 0 and (for strings) the empty string in row 1 — the
                dirt real corpora contain
+- ``ties``   — 6 IDENTICAL copies of one row per table, distinct only
+               in the primary key (FKs remapped onto key 0 so joins
+               resolve): every value is tied, so any top-k / LIMIT /
+               rank cut whose determinism rests on an incomplete sort
+               key diverges from its oracle here
 
 This is the out-of-band counterpart of tests/test_degenerate_inputs.py
 (which pins the previously-failing sets): run it after touching source
-staging, Python kernels, or parse/scan expressions. Round-6 state:
-0 failures / 336 queries on all three variants.
+staging, Python kernels, or parse/scan expressions. Round-7 state:
+0 failures / 336 queries on all four variants (and 0 value mismatches
+on the oracle sibling, tools/degenerate_oracle_sweep.py).
 
-Usage: python tools/degenerate_sweep.py [empty one hostile]
+Usage: python tools/degenerate_sweep.py [empty one hostile ties]
 """
 
 from __future__ import annotations
@@ -48,6 +54,22 @@ KEYS = {
 }
 
 
+#: Per-table PRIMARY key — the one column the ``ties`` variant varies.
+PK = {
+    "region": "r_regionkey", "nation": "n_nationkey", "customer": "c_custkey",
+    "supplier": "s_suppkey", "part": "p_partkey", "orders": "o_orderkey",
+    "lineitem": "l_linenumber", "events": "event_id", "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+#: Foreign keys the ``ties`` variant pins to 0 (the PK value every
+#: table is guaranteed to have) so joins resolve instead of emptying.
+FK = {
+    "n_regionkey", "c_nationkey", "s_nationkey", "o_custkey",
+    "l_orderkey", "l_partkey", "l_suppkey", "user_id",
+}
+
+
 def build(spark, variant: str) -> str:
     out = os.path.join(ROOT, variant)
     for t in TABLES:
@@ -56,6 +78,21 @@ def build(spark, variant: str) -> str:
             df = df.limit(0)
         elif variant == "one":
             df = df.limit(1)
+        elif variant == "ties":
+            one = df.limit(1).crossJoin(
+                spark.range(6).select(F.col("id").alias("_rid"))
+            )
+            cols = []
+            for f_ in one.schema.fields:
+                if f_.name == "_rid":
+                    continue
+                c = F.col(f_.name)
+                if f_.name == PK[t]:
+                    c = F.col("_rid").cast(f_.dataType)
+                elif f_.name in FK:
+                    c = F.lit(0).cast(f_.dataType)
+                cols.append(c.alias(f_.name))
+            df = one.select(*cols)
         else:  # hostile
             df = df.limit(6).withColumn("_rid", F.monotonically_increasing_id())
             cols = []
@@ -83,7 +120,7 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.session import get_spark
     from dateng_data_lakes_apache_spark_spark.staging import clear_stage_memo
 
-    variants = sys.argv[1:] or ["empty", "one", "hostile"]
+    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties"]
     spark = get_spark(app_name="degenerate-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs = get_queries()
