@@ -178,16 +178,27 @@ def q_stats_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     query that uses the stats (production lakes refresh on ingest).
     """
     from ..sources.roundtrip import _stage_dir, _staged, write_parquet
+    from ..staging import _sf_tag
 
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     stat_cols = {
         "customer": "c_custkey, c_nationkey",
         "orders": "o_custkey, o_totalprice",
         "nation": "n_nationkey, n_name",
     }
+    # Catalog table names carry the sf tag: a bare `{t}_cbo` would be
+    # reused across DIFFERENT catalogs in one session (tableExists
+    # short-circuits), silently serving another sf_dir's data — found
+    # by the multi-variant degenerate sweep, where the ties run read
+    # the empty variant's tables.
+    tag = _sf_tag(sf_dir).replace("-", "_").replace(".", "_")
+    # CBO stays ON session-wide deliberately (the returned frame plans
+    # LAZILY, so a restore-after would un-CBO it at the driver's
+    # action): with statistics only on the *_cbo tables, it is a no-op
+    # for every path-based scan in the registry.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     for t, cols in stat_cols.items():
-        name = f"{t}_cbo"
+        name = f"{t}_cbo_{tag}"
         if not spark.catalog.tableExists(name):
             path = _stage_dir(sf_dir, f"cbo_{t}")
             if not _staged(path):
@@ -195,13 +206,13 @@ def q_stats_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{path}'")
             spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
     return spark.sql(
-        """
+        f"""
         SELECT n_name,
                COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price
-        FROM orders_cbo o
-        JOIN customer_cbo c ON o.o_custkey = c.c_custkey
-        JOIN nation_cbo n ON c.c_nationkey = n.n_nationkey
+        FROM orders_cbo_{tag} o
+        JOIN customer_cbo_{tag} c ON o.o_custkey = c.c_custkey
+        JOIN nation_cbo_{tag} n ON c.c_nationkey = n.n_nationkey
         GROUP BY n_name
         """
     )

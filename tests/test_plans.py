@@ -359,8 +359,12 @@ def test_cbo_reorders_star_join(spark, sf_dir):
     assert len(join_lines) == 2
     assert "o_custkey" in join_lines[0]
     assert "n_nationkey" in join_lines[1]
-    # and the stats really exist in the catalog
-    stats = spark.sql("DESC EXTENDED customer_cbo c_custkey").collect()
+    # and the stats really exist in the catalog (table names carry the
+    # sf tag so concurrent catalogs in one session never collide)
+    from dateng_data_lakes_apache_spark_spark.staging import _sf_tag
+
+    tag = _sf_tag(sf_dir).replace("-", "_").replace(".", "_")
+    stats = spark.sql(f"DESC EXTENDED customer_cbo_{tag} c_custkey").collect()
     vals = {r.info_name: r.info_value for r in stats}
     assert vals.get("max") not in (None, "NULL")
 
