@@ -37,8 +37,15 @@ def stage_bucketed(
 ) -> str:
     """Write a bucketed external twin of a catalog table; return its
     catalog name. Reused within a session (catalog hit); rewritten by a
-    fresh session (deterministic staging, in-memory catalog)."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    fresh session (deterministic staging, in-memory catalog).
+
+    The tag is the md5 sf tag, not the path basename: two catalogs with
+    the same basename in one session would otherwise hit the
+    tableExists short-circuit and serve each other's data (the
+    q_stats_cbo bug class, found by the multi-variant sweep)."""
+    from ..staging import _sf_tag
+
+    tag = _sf_tag(sf_dir).replace("-", "_").replace(".", "_")
     tbl = f"bucketed_{tag}_{name}"
     if spark.catalog.tableExists(tbl):
         return tbl
