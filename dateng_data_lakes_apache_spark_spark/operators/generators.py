@@ -13,7 +13,6 @@ from pyspark.sql.types import IntegerType, MapType, StringType
 from ..catalog import table
 from ..common import dsum
 from ..registry import query
-from ..staging import run_staged, staged_builder, staged_oracle
 
 
 @query(
@@ -76,31 +75,53 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sample",
-    # Staged-expectation oracle: the kept set is pinned to parquet by the
-    # Spark query itself; DuckDB reads those bytes back, so the hash
-    # match certifies the exact surviving rows (sink/scan roundtrip
-    # included) — the sampling DECISION stays engine-specific (XORShift
-    # is not SQL-expressible); the real correctness check on the decision
-    # is the binomial-bound + seed-reproducibility unit test. Stage paths
-    # are sf-tagged with an atomic `current` pointer (ADVICE r4 race
-    # fix) — see staging.py.
-    oracle=staged_oracle("q_sample", "l_orderkey, l_linenumber, l_quantity"),
+    # Fully independent oracle (VERDICT r7 item 4): the kept-set is a
+    # pure md5-threshold function of the row key, so DuckDB re-derives
+    # the SAME decision from first principles — no staging involved.
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE CAST((instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)),1,1))-1)*4096
+             + (instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)),2,1))-1)*256
+             + (instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)),3,1))-1)*16
+             + (instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)),4,1))-1) AS INT) % 100
+          < 10
+    """,
 )
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli TABLESAMPLE with a fixed seed — reproducible for a given
-    dataset+partitioning (the corpus-subsampling primitive for training-
-    data ablations). Row count additionally asserted within binomial
-    bounds in tests; the registered oracle reads the staged kept-set
-    back (roundtrip-only by design — see staging.py)."""
-    return run_staged(spark, sf_dir, "q_sample")
+    """Deterministic 10% Bernoulli sample — keep a row iff
+    md5(l_orderkey|l_linenumber) mod 100 < 10 (the corpus-subsampling
+    primitive for training-data ablations).
 
-
-@staged_builder("q_sample")
-def sample_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-staging frame for :func:`q_sample` (partitioning-dependent by
-    design — excluded from the determinism probe, see staging docs)."""
+    HASH-based, not RNG-based (the q_sample_stratified discipline,
+    formerly `sample(seed=42)` behind a staged oracle): the keep
+    decision is a pure function of the row key, so it is reproducible
+    across engines, runs, partitionings, and cluster sizes — which is
+    what a training-data ablation actually needs (re-running the
+    pipeline after a repartition must select the SAME corpus), and what
+    makes the oracle fully independent. Map-only: the filter rides the
+    scan, no shuffle, embarrassingly parallel at 100 TB. Row count
+    additionally asserted within binomial bounds in tests."""
     li = table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    return li.where(bucket < 10).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 
@@ -186,8 +207,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the row — reproducible across engines, runs, cluster
     sizes, and data layout, and embarrassingly parallel (map-only, no
     shuffle until the final per-lang accounting). That is why it is
-    directly oracle-able, while q_sample's seeded RNG needs the
-    staged-expectation oracle.
+    directly oracle-able — q_sample adopted the same discipline in r8.
     """
     d = table(spark, sf_dir, "documents")
     bucket = (

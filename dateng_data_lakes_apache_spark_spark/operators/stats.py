@@ -1121,12 +1121,12 @@ def q_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH src AS (
       SELECT event_id, value,
              row_number() OVER (ORDER BY value, event_id) AS rn
-      FROM events WHERE event_type = 'error'
+      FROM events WHERE event_type = 'error' AND value IS NOT NULL
     ),
     ref AS (
       SELECT value AS ref_value,
              row_number() OVER (ORDER BY value, event_id) AS rr
-      FROM events WHERE event_type = 'view'
+      FROM events WHERE event_type = 'view' AND value IS NOT NULL
     ),
     sizes AS (
       SELECT (SELECT COUNT(*) FROM src) AS n, (SELECT COUNT(*) FROM ref) AS m
@@ -1156,26 +1156,26 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .windows import global_row_number
 
     e = table(spark, sf_dir, "events")
-    order = [F.col("value").asc(), F.col("event_id").asc()]
-    src = global_row_number(
-        e.where(F.col("event_type") == "error").select("event_id", "value"),
-        order,
-        "rn",
+    # Order statistics skip NULLs (the q_outlier_iqr convention) — and
+    # the engines disagree on where unfiltered NULLs would rank (Spark
+    # ASC = NULLS FIRST, DuckDB default = NULLS LAST), so the filter is
+    # also what keeps the two rankings comparable.
+    src_rows = e.where(
+        (F.col("event_type") == "error") & F.col("value").isNotNull()
     )
+    ref_rows = e.where(
+        (F.col("event_type") == "view") & F.col("value").isNotNull()
+    )
+    order = [F.col("value").asc(), F.col("event_id").asc()]
+    src = global_row_number(src_rows.select("event_id", "value"), order, "rn")
     ref = global_row_number(
-        e.where(F.col("event_type") == "view").select(
-            "event_id", F.col("value").alias("ref_value")
-        ),
+        ref_rows.select("event_id", F.col("value").alias("ref_value")),
         [F.col("ref_value").asc(), F.col("event_id").asc()],
         "rr",
     ).select("ref_value", "rr")
     # sizes from the raw filters (no window in the count subtrees)
-    sizes = (
-        e.where(F.col("event_type") == "error")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(
-            e.where(F.col("event_type") == "view").agg(F.count(F.lit(1)).alias("m"))
-        )
+    sizes = src_rows.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        ref_rows.agg(F.count(F.lit(1)).alias("m"))
     )
     target = src.crossJoin(F.broadcast(sizes)).select(
         "event_id",

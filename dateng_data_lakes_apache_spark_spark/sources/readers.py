@@ -42,14 +42,19 @@ def read_csv(
     schema: StructType | None = None,
     header: bool = True,
     sep: str = ",",
+    null_value: str | None = CSV_NULL,
 ) -> DataFrame:
-    """CSV reader (reference S5 / the commented-out K3 sink's format)."""
+    """CSV reader (reference S5 / the commented-out K3 sink's format).
+
+    ``null_value`` defaults to the ENGINE dialect's ``\\N`` sentinel —
+    the right reader for anything ``write_csv`` produced (NULL vs ''
+    stays lossless). For third-party CSVs where a literal two-character
+    ``\\N`` field must stay a string, pass ``null_value=None`` to get
+    Spark's stock empty-string-as-NULL dialect (ADVICE r7)."""
     paths = [path] if isinstance(path, str) else list(path)
-    reader = (
-        spark.read.option("header", header)
-        .option("sep", sep)
-        .option("nullValue", CSV_NULL)
-    )
+    reader = spark.read.option("header", header).option("sep", sep)
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(paths)

@@ -124,42 +124,17 @@ def degenerate_catalogs(spark, tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
-def hostile_catalog(spark, tmp_path_factory):
-    """Six rows per table; in every NON-key column, row 0 carries NULL
-    and (for strings) row 1 carries the empty string."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import DoubleType, LongType, StringType
+def hostile_catalog(spark):
+    """Per-category NULL/'' dirt — delegated to the shared tools builder
+    (tools/degenerate_sweep.build) so the fixture cannot drift from the
+    out-of-band sweep's definition of 'hostile' (it did in r7: the
+    fixture-era global-row-0 dirt never reached the 'view' subset)."""
+    import sys
 
-    keys = {
-        "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey",
-        "c_nationkey", "s_suppkey", "s_nationkey", "p_partkey",
-        "o_orderkey", "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
-        "l_linenumber", "event_id", "user_id", "doc_id", "vec_id", "ts",
-        "event_type",
-    }
-    root = str(tmp_path_factory.mktemp("degcat_hostile"))
-    for t in _TABLES:
-        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(6)
-        df = df.withColumn("_rid", F.monotonically_increasing_id())
-        cols = []
-        for f_ in df.schema.fields:
-            if f_.name == "_rid":
-                continue
-            c = F.col(f_.name)
-            if f_.name not in keys:
-                if isinstance(f_.dataType, StringType):
-                    c = (
-                        F.when(F.col("_rid") == 0, F.lit(None).cast("string"))
-                        .when(F.col("_rid") == 1, F.lit(""))
-                        .otherwise(c)
-                    )
-                elif isinstance(f_.dataType, (DoubleType, LongType)):
-                    c = F.when(F.col("_rid") == 0, F.lit(None)).otherwise(c)
-            cols.append(c.alias(f_.name))
-        df.select(*cols).write.mode("overwrite").parquet(
-            os.path.join(root, f"{t}.parquet")
-        )
-    return root
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from degenerate_sweep import build
+
+    return build(spark, "hostile")
 
 
 @pytest.fixture(scope="session")

@@ -10,8 +10,13 @@ from hypothesis import strategies as st
 from dateng_data_lakes_apache_spark_spark.operators.asof_pivot_sql import asof_join
 from dateng_data_lakes_apache_spark_spark.operators.dedup import connected_components
 
+import os as _os
+
+#: 5 examples by default (each runs real Spark jobs); the float-diff
+#: audit (VERDICT r7 item 3) re-runs with PROP_MAX_EXAMPLES=300 to hunt
+#: tolerance bugs like the r7 MAD one on hundreds of fresh draws.
 _SETTINGS = dict(
-    max_examples=5,
+    max_examples=int(_os.environ.get("PROP_MAX_EXAMPLES", "5")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -622,9 +627,21 @@ def test_winsorize_matches_exact_reference(spark, tmp_path_factory, rows):
     assert got == _winsor_reference(rows)
 
 
+def _round4_half_up(x: float) -> float:
+    """Mirror Spark's F.round(col, 4) on doubles: BigDecimal.valueOf
+    takes the SHORTEST decimal repr (same value as Python's repr), then
+    setScale(4, HALF_UP). Differences of 2-dp doubles are NOT exactly
+    representable (e.g. 9542.93 - 8929.8 = 613.1300000000001), so the
+    reference must round exactly like the query before comparing."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
 def _mad_reference(rows):
     """Discrete-median MAD screen in the query's own float arithmetic:
-    element picks at rank ceil(n/2), |v-med| doubles, 4.4478*mad cut."""
+    element picks at rank ceil(n/2), |v-med| doubles, 4.4478*mad cut;
+    med/mad rounded to 4 dp exactly as the query rounds them."""
     import math
     from collections import defaultdict
 
@@ -637,7 +654,12 @@ def _mad_reference(rows):
         med = sorted(vals)[math.ceil(n / 2) - 1]
         ds = [abs(v - med) for v in vals]
         mad = sorted(ds)[math.ceil(n / 2) - 1]
-        out[rf] = (n, med, mad, sum(1 for d in ds if d > 4.4478 * mad))
+        out[rf] = (
+            n,
+            _round4_half_up(med),
+            _round4_half_up(mad),
+            sum(1 for d in ds if d > 4.4478 * mad),
+        )
     return out
 
 
@@ -675,15 +697,20 @@ def test_mad_outlier_matches_exact_reference(spark, tmp_path_factory, rows):
     for rf, (n, med, mad, n_out) in want.items():
         gn, gmed, gmad, gout = got[rf]
         assert (gn, gout) == (n, n_out), f"{rf}: counts {got[rf]} != {want[rf]}"
-        # the query rounds med/mad to 4dp; 2-dp inputs make that lossless
+        # reference med/mad are HALF_UP-rounded to 4dp exactly like the
+        # query (see _round4_half_up) so equality is bit-exact
         assert abs(gmed - med) < 1e-12 and abs(gmad - mad) < 1e-12
 
 
 def _qnorm_reference(rows):
     """Rank-to-rank quantile mapping: error value at global rank rn maps
-    to the view value at rank ceil(rn*m/n), all in exact integers."""
-    src = sorted((v, eid) for eid, t, v in rows if t == "error")
-    ref = sorted((v, eid) for eid, t, v in rows if t == "view")
+    to the view value at rank ceil(rn*m/n), all in exact integers.
+    NULL values are excluded from BOTH sides before ranking — the
+    order-statistics convention the query adopted after ADVICE r7
+    (Spark and DuckDB disagree on where NULLs rank, so they must never
+    enter the rankings at all)."""
+    src = sorted((v, eid) for eid, t, v in rows if t == "error" and v is not None)
+    ref = sorted((v, eid) for eid, t, v in rows if t == "view" and v is not None)
     n, m = len(src), len(ref)
     if n == 0 or m == 0:
         return {}
@@ -697,7 +724,10 @@ def _qnorm_reference(rows):
     rows=st.lists(
         st.tuples(
             st.sampled_from(["error", "view", "click"]),  # click = ignored noise
-            st.integers(min_value=0, max_value=500),      # value (ties likely)
+            st.one_of(
+                st.integers(min_value=0, max_value=500),  # value (ties likely)
+                st.none(),                                # NULLs in every subset
+            ),
         ),
         min_size=0,
         max_size=40,
@@ -709,7 +739,8 @@ def test_quantile_normalize_matches_rank_reference(
 ):
     """q_quantile_normalize's bigint rank mapping (rn*m + n - 1) div n
     must equal the pure-Python rank-to-rank lookup for arbitrary
-    distributions, tie-heavy values, and empty src/ref sides."""
+    distributions, tie-heavy values, NULL values (skipped on both
+    sides), and empty src/ref sides."""
     import datetime as dt
     import uuid
 
@@ -717,7 +748,8 @@ def test_quantile_normalize_matches_rank_reference(
 
     sf = str(tmp_path_factory.mktemp("qnorm") / uuid.uuid4().hex[:8])
     data = [
-        (i + 1, t, float(v), dt.datetime(2024, 1, 1)) for i, (t, v) in enumerate(rows)
+        (i + 1, t, None if v is None else float(v), dt.datetime(2024, 1, 1))
+        for i, (t, v) in enumerate(rows)
     ]
     spark.createDataFrame(
         data, "event_id long, event_type string, value double, ts timestamp"
@@ -726,7 +758,12 @@ def test_quantile_normalize_matches_rank_reference(
         r.event_id: (r.orig_value, r.normalized_value)
         for r in get_queries()["q_quantile_normalize"](spark, sf).collect()
     }
-    assert got == _qnorm_reference([(i + 1, t, float(v)) for i, (t, v) in enumerate(rows)])
+    assert got == _qnorm_reference(
+        [
+            (i + 1, t, None if v is None else float(v))
+            for i, (t, v) in enumerate(rows)
+        ]
+    )
 
 
 @st.composite

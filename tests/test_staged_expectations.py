@@ -8,10 +8,9 @@ a second session with deliberately hostile partitioning (7 shuffle
 partitions, 64 KiB scan splits, AQE off) and asserts bit-identical
 output vs the default session.
 
-q_sample is deliberately NOT probed: Bernoulli `sample(seed=...)` is
-partitioning-dependent BY DESIGN (the XORShift stream is per-partition),
-which is exactly why its oracle is documented as roundtrip-only and the
-sampling decision is checked by the binomial-bound test instead.
+(q_sample left this list in r8: its sampler was flipped from seeded
+XORShift to an md5-threshold pure function of the row key, so it now
+carries a fully independent DuckDB oracle instead of a staged one.)
 """
 
 from __future__ import annotations
@@ -24,9 +23,10 @@ from dateng_data_lakes_apache_spark_spark.staging import STAGED_BUILDERS
 
 from .conftest import SF_SMALL
 
-#: Every query whose oracle is a staged expectation, minus q_sample
-#: (see module docstring). Keep in sync with staged_oracle() call sites —
-#: test_staged_inventory below enforces the sync.
+#: Every query whose oracle is a staged expectation. Keep in sync with
+#: staged_oracle() call sites — test_staged_inventory below enforces
+#: the sync. These 11 are legitimately non-SQL-derivable (seeded JVM
+#: hashes / sketch internals) — the closure note lives in SURVEY §2.3.
 STAGED_DETERMINISTIC = [
     "q_agg_approx_distinct",
     "q_dedup_minhash",
@@ -75,9 +75,9 @@ def test_staged_query_partitioning_invariant(spark, hostile_session, name):
 
 
 def test_staged_inventory_is_complete():
-    """Every staged_oracle() call site is either probed here or q_sample,
-    and every one of them registers a builder frame for the structural
-    guards (plan snapshot + lint) to target."""
+    """Every staged_oracle() call site is probed here, and every one of
+    them registers a builder frame for the structural guards (plan
+    snapshot + lint) to target."""
     import re
     from pathlib import Path
 
@@ -86,7 +86,7 @@ def test_staged_inventory_is_complete():
     names = set()
     for py in pkg.rglob("*.py"):
         names |= set(re.findall(r"staged_oracle\(\s*\"(q_\w+)\"", py.read_text()))
-    assert names == set(STAGED_DETERMINISTIC) | {"q_sample"}, (
+    assert names == set(STAGED_DETERMINISTIC), (
         f"staged queries drifted: {sorted(names)}"
     )
     assert set(STAGED_BUILDERS) == names, (

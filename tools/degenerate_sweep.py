@@ -7,22 +7,29 @@ against each, reporting anything that raises:
 - ``empty``  — 0 rows per table, Spark-written parquet DIRECTORIES
                (the real lake layout, vs the single-file fixtures)
 - ``one``    — 1 row per table, same directory layout
-- ``hostile``— 6 rows per table; every NON-key column carries NULL in
-               row 0 and (for strings) the empty string in row 1 — the
-               dirt real corpora contain
+- ``hostile``— up to 3 rows PER CATEGORY VALUE (event_type,
+               l_returnflag, …; plain 6 rows for tables without a
+               category column); every NON-key column carries NULL in
+               row 0 and (for strings) the empty string in row 1 OF
+               EACH CATEGORY GROUP — the dirt real corpora contain,
+               reaching every ranked/filtered subset (ADVICE r7)
 - ``ties``   — 6 IDENTICAL copies of one row per table, distinct only
                in the primary key (FKs remapped onto key 0 so joins
                resolve): every value is tied, so any top-k / LIMIT /
                rank cut whose determinism rests on an incomplete sort
                key diverges from its oracle here
+- ``skew``   — full sf0.001 rows with every FK remapped zipf-ishly
+               (~50/25/12% of rows onto the referenced table's 3
+               smallest keys) so joins/aggs run on genuinely hot keys
 
 This is the out-of-band counterpart of tests/test_degenerate_inputs.py
 (which pins the previously-failing sets): run it after touching source
 staging, Python kernels, or parse/scan expressions. Round-7 state:
 0 failures / 336 queries on all four variants (and 0 value mismatches
-on the oracle sibling, tools/degenerate_oracle_sweep.py).
+on the oracle sibling, tools/degenerate_oracle_sweep.py); round 8 adds
+``skew`` and the per-category hostile dirt.
 
-Usage: python tools/degenerate_sweep.py [empty one hostile ties]
+Usage: python tools/degenerate_sweep.py [empty one hostile ties skew]
 """
 
 from __future__ import annotations
@@ -32,6 +39,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Window as PW
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StringType
 
@@ -69,6 +77,32 @@ FK = {
     "l_orderkey", "l_partkey", "l_suppkey", "user_id",
 }
 
+#: FK → (referenced table, referenced PK) — the ``skew`` variant remaps
+#: each FK zipf-ishly onto the referenced table's smallest keys so the
+#: hot values are guaranteed joinable.
+FK_REF = {
+    "n_regionkey": ("region", "r_regionkey"),
+    "c_nationkey": ("nation", "n_nationkey"),
+    "s_nationkey": ("nation", "n_nationkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "user_id": ("customer", "c_custkey"),
+}
+
+#: Category column per table — the ``hostile`` variant dirties the
+#: first rows of EVERY category group so ranked/filtered subsets
+#: (event_type='view', l_returnflag='A', …) all see NULL and ''.
+CAT = {
+    "events": "event_type",
+    "lineitem": "l_returnflag",
+    "orders": "o_orderstatus",
+    "customer": "c_mktsegment",
+    "documents": "lang",
+    "part": "p_brand",
+}
+
 
 def build(spark, variant: str) -> str:
     out = os.path.join(ROOT, variant)
@@ -93,14 +127,67 @@ def build(spark, variant: str) -> str:
                     c = F.lit(0).cast(f_.dataType)
                 cols.append(c.alias(f_.name))
             df = one.select(*cols)
+        elif variant == "skew":
+            # Zipf-ish FK skew on the FULL sf0.001 rows: remap every FK
+            # so ~50/25/12% of rows land on the referenced table's 3
+            # smallest keys (which are guaranteed to exist) and the
+            # rest keep their original value. Deterministic via
+            # xxhash64 of the row's PK. Exercises q_join_skew_aqe,
+            # q_agg_salted, the skew report, and every groupBy/join on
+            # genuinely hot keys rather than uniform synthetics.
+            hot = {
+                fk: [
+                    r[0]
+                    for r in spark.read.parquet(
+                        f"{SRC_SF}/{ref_t}.parquet"
+                    )
+                    .select(ref_pk)
+                    .distinct()
+                    .orderBy(ref_pk)
+                    .limit(3)
+                    .collect()
+                ]
+                for fk, (ref_t, ref_pk) in FK_REF.items()
+                if fk in df.columns
+            }
+            h = F.pmod(F.xxhash64(F.col(PK[t]).cast("string"), F.lit(t)), 100)
+            cols = []
+            for f_ in df.schema.fields:
+                c = F.col(f_.name)
+                if f_.name in hot:
+                    k = hot[f_.name]
+                    c = (
+                        F.when(h < 50, F.lit(k[0]))
+                        .when(h < 75, F.lit(k[min(1, len(k) - 1)]))
+                        .when(h < 87, F.lit(k[min(2, len(k) - 1)]))
+                        .otherwise(c)
+                    ).cast(f_.dataType)
+                cols.append(c.alias(f_.name))
+            df = df.select(*cols)
         else:  # hostile
-            df = df.limit(6).withColumn("_rid", F.monotonically_increasing_id())
+            # NULL/empty dirt must reach EVERY ranked/filtered subset a
+            # query might carve (ADVICE r7: nulling only global row 0
+            # left the 'view' subset of events NULL-free, hiding a
+            # NULLS FIRST/LAST divergence) — so tables with a category
+            # column get up to 3 rows per category with rows 0/1 OF
+            # EACH GROUP dirtied; the rest keep the old 6-row shape.
+            cat = CAT.get(t)
+            if cat is not None:
+                gw = PW.partitionBy(cat).orderBy(PK[t])
+                df = (
+                    df.withColumn("_rid", F.row_number().over(gw) - 1)
+                    .where(F.col("_rid") < 3)
+                )
+            else:
+                df = df.limit(6).withColumn(
+                    "_rid", F.monotonically_increasing_id()
+                )
             cols = []
             for f_ in df.schema.fields:
                 if f_.name == "_rid":
                     continue
                 c = F.col(f_.name)
-                if f_.name not in KEYS:
+                if f_.name not in KEYS and f_.name != cat:
                     if isinstance(f_.dataType, StringType):
                         c = (
                             F.when(F.col("_rid") == 0, F.lit(None).cast("string"))
@@ -120,7 +207,7 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.session import get_spark
     from dateng_data_lakes_apache_spark_spark.staging import clear_stage_memo
 
-    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties"]
+    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties", "skew"]
     spark = get_spark(app_name="degenerate-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs = get_queries()
