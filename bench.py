@@ -187,6 +187,9 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_drift_psi",
     "q_ab_test",
+    "q_ks_test",
+    "q_mann_whitney",
+    "q_spearman_corr",
     "q_langid_eval",
     "q_content_filter",
     "q_window_percentile",

@@ -2117,3 +2117,306 @@ def q_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb
+      FROM events
+      WHERE event_type IN ('error', 'view') AND value IS NOT NULL
+      GROUP BY value
+    ),
+    tot AS (SELECT SUM(na) AS n, SUM(nb) AS m FROM s),
+    c AS (
+      SELECT SUM(na) OVER (ORDER BY value) AS cum_a,
+             SUM(nb) OVER (ORDER BY value) AS cum_b
+      FROM s
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           CAST(t.m AS BIGINT) AS m,
+           floor(MAX(ABS(CAST(cum_a AS DOUBLE) / t.n
+                         - CAST(cum_b AS DOUBLE) / t.m)) * 1e6 + 0.5) / 1e6
+             AS ks_d,
+           floor(MAX(ABS(CAST(cum_a AS DOUBLE) / t.n
+                         - CAST(cum_b AS DOUBLE) / t.m))
+                 * sqrt(CAST(t.n AS DOUBLE) * t.m / (t.n + t.m)) * 1e6 + 0.5)
+             / 1e6 AS ks_scaled
+    FROM c CROSS JOIN tot t
+    WHERE t.n > 0 AND t.m > 0
+    GROUP BY t.n, t.m
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the 'error' and
+    'view' value distributions: D = max over observed values of
+    |F_error(v) − F_view(v)| — the standard distribution-shift test a
+    training pipeline runs between data snapshots (q_drift_psi's
+    binned cousin, but bin-free and exact).
+
+    Scale-safe construction: one hash aggregate collapses rows to
+    DISTINCT values (per-value counts of each sample — map-side
+    combine), then :func:`global_running_sum` produces the exact joint
+    ECDF numerators with ONE range shuffle and a metadata-scale offset
+    window — no single-task window ever sees data. Ties across samples
+    are handled exactly because D is evaluated per distinct value
+    (post-tie cumulative), the textbook convention. NULL values are
+    excluded on both sides (the order-statistics convention). The
+    division, |diff|, max, and sqrt are identical IEEE ops on both
+    engines, so det_round(…, 6) hash-matches.
+    """
+    from ..common import det_round
+    from .windows import global_running_sum
+
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.where(
+            F.col("event_type").isin("error", "view")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nb"),
+        )
+    )
+    cum = global_running_sum(
+        s,
+        [F.col("value").asc()],
+        {"cum_a": F.col("na"), "cum_b": F.col("nb")},
+    )
+    tot = s.agg(
+        F.sum("na").alias("n"), F.sum("nb").alias("m")
+    ).where((F.col("n") > 0) & (F.col("m") > 0))
+    diff = F.abs(
+        F.col("cum_a").cast("double") / F.col("n")
+        - F.col("cum_b").cast("double") / F.col("m")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n", "m")
+        .agg(
+            F.max(diff).alias("d_raw"),
+            F.max(
+                diff
+                * F.sqrt(F.col("n").cast("double") * F.col("m") / (F.col("n") + F.col("m")))
+            ).alias("s_raw"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("m").cast("bigint").alias("m"),
+            det_round(F.col("d_raw"), 6).alias("ks_d"),
+            det_round(F.col("s_raw"), 6).alias("ks_scaled"),
+        )
+    )
+
+
+@query(
+    "q_spearman_corr",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_returnflag,
+             RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+               AS rx,
+             RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
+               AS ry
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CASE WHEN (CAST(COUNT(*) AS DOUBLE) * {o_dsum('rx * rx')}
+                      - {o_dsum('rx')} * {o_dsum('rx')}) <= 0
+                  OR (CAST(COUNT(*) AS DOUBLE) * {o_dsum('ry * ry')}
+                      - {o_dsum('ry')} * {o_dsum('ry')}) <= 0
+                THEN NULL
+                ELSE floor((CAST(COUNT(*) AS DOUBLE) * {o_dsum('rx * ry')}
+                            - {o_dsum('rx')} * {o_dsum('ry')})
+                           / sqrt((CAST(COUNT(*) AS DOUBLE) * {o_dsum('rx * rx')}
+                                   - {o_dsum('rx')} * {o_dsum('rx')})
+                                  * (CAST(COUNT(*) AS DOUBLE) * {o_dsum('ry * ry')}
+                                     - {o_dsum('ry')} * {o_dsum('ry')}))
+                           * 1e6 + 0.5) / 1e6
+           END AS spearman_rho
+    FROM r
+    GROUP BY l_returnflag
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price per return
+    flag — the robust (monotone, outlier-insensitive) complement of
+    q_agg_stats' Pearson r: rank both variables with AVERAGE ranks for
+    ties (rank() + (tie_count−1)/2, the textbook convention both
+    engines express identically), then Pearson on the ranks via the
+    exact decimal power-sum recombination (module docstring). Ranks are
+    half-integers ≤ 2n, so DECIMAL(30,8) sums are exact and the double
+    recombination is bit-identical across engines. Zero-variance groups
+    (all values tied) yield NULL on both sides — the documented
+    hair-negative-variance guard. NULL inputs are excluded (order
+    statistics skip NULLs). Windows are partitioned by the group key;
+    at 100 TB the per-group rankings ride spillable sorts, and the
+    global_row_number range-partition path substitutes if a single
+    group dominates.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    from ..common import det_round
+
+    rx = (
+        F.rank().over(Window.partitionBy("l_returnflag").orderBy("l_quantity"))
+        + (
+            F.count(F.lit(1)).over(
+                Window.partitionBy("l_returnflag", "l_quantity")
+            )
+            - 1
+        )
+        / 2.0
+    )
+    ry = (
+        F.rank().over(
+            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        )
+        + (
+            F.count(F.lit(1)).over(
+                Window.partitionBy("l_returnflag", "l_extendedprice")
+            )
+            - 1
+        )
+        / 2.0
+    )
+    r = li.select("l_returnflag", rx.alias("rx"), ry.alias("ry"))
+    n = F.count(F.lit(1)).cast("double")
+    sxy = _dec_sum(F.col("rx") * F.col("ry"))
+    sx, sy = _dec_sum(F.col("rx")), _dec_sum(F.col("ry"))
+    sxx, syy = _dec_sum(F.col("rx") * F.col("rx")), _dec_sum(F.col("ry") * F.col("ry"))
+    varx, vary = n * sxx - sx * sx, n * syy - sy * sy
+    return (
+        r.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.when(
+                (varx <= 0) | (vary <= 0), F.lit(None).cast("double")
+            )
+            .otherwise(
+                det_round((n * sxy - sx * sy) / F.sqrt(varx * vary), 6)
+            )
+            .alias("spearman_rho"),
+        )
+    )
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH g AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb
+      FROM events
+      WHERE event_type IN ('error', 'view') AND value IS NOT NULL
+      GROUP BY value
+    ),
+    c AS (
+      SELECT na, nb, na + nb AS t,
+             SUM(na + nb) OVER (ORDER BY value) AS cum_t
+      FROM g
+    ),
+    agg AS (
+      SELECT SUM(na) AS n1, SUM(nb) AS n2,
+             CAST(SUM(CAST(na AS DECIMAL(30,8))
+                      * (CAST(cum_t - t AS DOUBLE) + (t + 1) / 2.0)) AS DOUBLE)
+               AS r1,
+             CAST(SUM(CAST(t AS DECIMAL(30,8)) * t * t - t) AS DOUBLE) AS tie3
+      FROM c
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 AS u1,
+           CASE WHEN CAST(n1 AS DOUBLE) * n2 / 12.0
+                     * ((n1 + n2 + 1)
+                        - (tie3 - (n1 + n2))
+                          / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) <= 0
+                THEN NULL
+                ELSE floor((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0
+                            - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                           / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                                  * ((n1 + n2 + 1)
+                                     - (tie3 - (n1 + n2))
+                                       / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
+                           * 1e6 + 0.5) / 1e6
+           END AS z
+    FROM agg
+    WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the 'error' and
+    'view' value samples with the exact tie-corrected normal
+    approximation — the non-parametric "did the distribution move"
+    test that needs no variance assumptions (KS's rank-sum sibling;
+    together they are the standard drift-test pair).
+
+    Same scale shape as q_ks_test: hash-aggregate to distinct values
+    (per-value sample counts), ONE range shuffle for the cumulative
+    rank offsets via :func:`global_running_sum`, then a single global
+    aggregate. The average rank of a tied value is closed-form in the
+    cumulative count (cum_before + (t+1)/2), so no per-row ranking
+    exists anywhere — the whole test runs on the distinct-value frame.
+    R1 is accumulated in DECIMAL(30,8) (average ranks are
+    half-integers, so this is exact); the tie-correction sum Σ(t³−t)
+    likewise. z is NULL when the variance is zero (all values tied) —
+    the documented guard; NULL values excluded on both sides.
+    """
+    from ..common import det_round
+    from .windows import global_running_sum
+
+    e = table(spark, sf_dir, "events")
+    g = (
+        e.where(
+            F.col("event_type").isin("error", "view")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nb"),
+        )
+    )
+    c = global_running_sum(
+        g.withColumn("t", F.col("na") + F.col("nb")),
+        [F.col("value").asc()],
+        {"cum_t": F.col("na") + F.col("nb")},
+    )
+    avg_rank = (F.col("cum_t") - F.col("t")).cast("double") + (F.col("t") + 1) / 2.0
+    agg = c.agg(
+        F.sum("na").alias("n1"),
+        F.sum("nb").alias("n2"),
+        F.sum(F.col("na").cast(DEC) * avg_rank).cast("double").alias("r1"),
+        F.sum(F.col("t").cast(DEC) * F.col("t") * F.col("t") - F.col("t"))
+        .cast("double")
+        .alias("tie3"),
+    ).where((F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n1") + F.col("n2") > 1))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nn = F.col("n1") + F.col("n2")
+    u1 = F.col("r1") - n1d * (F.col("n1") + 1) / 2.0
+    var = (
+        n1d * F.col("n2") / 12.0
+        * (
+            (nn + 1)
+            - (F.col("tie3") - nn) / (nn.cast("double") * (nn - 1))
+        )
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        u1.alias("u1"),
+        F.when(var <= 0, F.lit(None).cast("double"))
+        .otherwise(det_round((u1 - n1d * F.col("n2") / 2.0) / F.sqrt(var), 6))
+        .alias("z"),
+    )

@@ -159,6 +159,53 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def global_running_sum(
+    df: DataFrame, order_cols, sum_exprs: dict[str, "F.Column"]
+) -> DataFrame:
+    """Exact INCLUSIVE global running sums over a total order WITHOUT a
+    single-task window — the prefix-sum sibling of
+    :func:`global_row_number`, for merged-sample statistics (KS,
+    Mann-Whitney) whose cumulative counters must span the whole order.
+
+    Same shape: range-partition on the order key (one shuffle), local
+    running sums per partition, then add each partition's cumulative
+    per-column totals. The only unpartitioned window runs over the P
+    per-partition total rows (metadata-scale). ``order_cols`` must be a
+    total order (unique tiebreaker) for deterministic sums; the ranged
+    frame is persisted so the pid assignment is pinned across its two
+    uses. ``sum_exprs`` maps output name → summable Column expression.
+    """
+    spark = df.sparkSession
+    out_cols = df.columns
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = track(
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "_gpid", F.spark_partition_id()
+        )
+    )
+    w_off = Window.orderBy("_gpid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ranged.groupBy("_gpid").agg(
+        *[F.sum(e).alias(f"_t_{n}") for n, e in sum_exprs.items()]
+    )
+    for n in sum_exprs:
+        offsets = offsets.withColumn(
+            f"_o_{n}", F.coalesce(F.sum(f"_t_{n}").over(w_off), F.lit(0))
+        )
+    offsets = offsets.select("_gpid", *[f"_o_{n}" for n in sum_exprs])
+    w_local = (
+        Window.partitionBy("_gpid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ranged.join(F.broadcast(offsets), "_gpid").select(
+        *out_cols,
+        *[
+            (F.sum(e).over(w_local) + F.col(f"_o_{n}")).alias(n)
+            for n, e in sum_exprs.items()
+        ],
+    )
+
+
 def global_row_number(df: DataFrame, order_cols, rn_name: str = "rn") -> DataFrame:
     """Exact global ``row_number`` over a total order WITHOUT a
     single-task window — the scale-safe ranking building block.

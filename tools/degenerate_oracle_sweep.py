@@ -51,7 +51,7 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.session import get_spark
     from dateng_data_lakes_apache_spark_spark.staging import STAGED_BUILDERS, clear_stage_memo
 
-    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties"]
+    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties", "skew"]
     spark = get_spark(app_name="degenerate-oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = get_queries(), get_oracles()

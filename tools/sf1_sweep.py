@@ -55,6 +55,8 @@ HEAVYWEIGHTS = [
     "q_dedup_resolve",
     "q_dedup_cluster_stats",
     "q_dedup_rate_by_source",
+    # r8: the two-pass range-partition rewrite (r7) must stay linear
+    "q_quantile_normalize",
 ]
 
 
@@ -101,9 +103,25 @@ def generate(spark) -> None:
     for r in reps[1:]:
         out = out.unionByName(r)
     out.repartition(8).write.mode("overwrite").parquet(f"{SF1X}/documents.parquet")
+    # events: 10 replicas with shifted event_id (r8, for the
+    # quantile-normalize slope) — same value/event_type distribution,
+    # 10x the ranked rows. A symlinked copy would make the 10x point
+    # measure the SAME data and fake a 0.1 slope.
+    ev_dst = f"{SF1X}/events.parquet"
+    if os.path.islink(ev_dst):
+        os.unlink(ev_dst)  # pre-r8 layouts linked events to sf0.1
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    n_ev = ev.count()
+    out = None
+    for i in range(REPLICAS):
+        rep = ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * (n_ev + 1))
+        )
+        out = rep if out is None else out.unionByName(rep)
+    out.repartition(16).write.mode("overwrite").parquet(ev_dst)
     # The dedup/graph heavyweights only read lineitem + documents; link
     # the rest so catalog.table() resolves every name if ever needed.
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "events", "embeddings"):
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "embeddings"):
         dst = f"{SF1X}/{t}.parquet"
         if not os.path.lexists(dst):
             os.symlink(f"{SF01}/{t}.parquet", dst)
@@ -168,7 +186,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode != "--sweep-only":
-        if not os.path.exists(f"{SF1X}/lineitem.parquet") or mode == "--gen-only":
+        if (
+            not os.path.exists(f"{SF1X}/lineitem.parquet")
+            or os.path.islink(f"{SF1X}/events.parquet")  # pre-r8 layout
+            or mode == "--gen-only"
+        ):
             generate(spark)
             print("generated", SF1X, flush=True)
     if mode != "--gen-only":
