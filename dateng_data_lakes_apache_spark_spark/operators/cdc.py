@@ -66,23 +66,35 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     result oracle-exact without staged files.
     """
     o = table(spark, sf_dir, "orders")
+    # Existence must be judged by the JOIN KEY, never by a payload
+    # column's NULLness — a legitimately NULL price on an existing row
+    # otherwise misclassifies as insert/delete (per-category hostile
+    # sweep find). Keep each side's key so full-outer existence is
+    # first-class, exactly like the oracle's o.o_orderkey IS NULL.
     old = o.where(F.expr(_OLD_PRED)).select(
-        "o_orderkey", F.col("o_totalprice").alias("old_price")
+        F.col("o_orderkey").alias("ok_old"),
+        F.col("o_totalprice").alias("old_price"),
     )
     new = o.where(F.expr(_NEW_PRED)).select(
-        "o_orderkey", F.expr(_RESTATE).alias("new_price")
+        F.col("o_orderkey").alias("ok_new"),
+        F.expr(_RESTATE).alias("new_price"),
     )
-    j = old.join(new, "o_orderkey", "full_outer")
+    j = old.join(new, F.col("ok_old") == F.col("ok_new"), "full_outer")
     change = (
-        F.when(F.col("old_price").isNull(), "insert")
-        .when(F.col("new_price").isNull(), "delete")
+        F.when(F.col("ok_old").isNull(), "insert")
+        .when(F.col("ok_new").isNull(), "delete")
         .otherwise("update")
     )
     return (
-        j.select("o_orderkey", change.alias("change_type"), "old_price", "new_price")
+        j.select(
+            F.coalesce("ok_old", "ok_new").alias("o_orderkey"),
+            change.alias("change_type"),
+            "old_price",
+            "new_price",
+        )
         .where(
-            F.col("old_price").isNull()
-            | F.col("new_price").isNull()
+            F.col("ok_old").isNull()
+            | F.col("ok_new").isNull()
             | (F.col("old_price") != F.col("new_price"))
         )
     )

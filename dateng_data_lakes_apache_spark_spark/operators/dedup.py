@@ -66,12 +66,21 @@ def _word_shingles(text_col, k: int = 3):
     NULL doc with every EMPTY doc at jaccard 1.0 across the whole
     near-dup ladder (hostile sweep find); the oracles NULL-propagate
     through string_split, so NULL-in/NULL-out is the shared semantic.
-    An empty-string doc keeps its [''] shingle on BOTH engines (two
-    empty docs ARE exact duplicates; that is the exact ladder's call).
+    A ZERO-WORD doc ('' or all-space text) yields the EMPTY shingle set
+    — it holds no content to be "near" anything (exact dedup owns
+    empties), it matches DuckDB's natural semantics (its slice of an
+    empty word list is NULL, which list_distinct drops), and at corpus
+    scale a shared [''] shingle would be THE quadratic hot key in every
+    postings/bucket join. Found by the r8 per-category hostile sweep:
+    one '' doc per lang group made Spark's [''] docs pair each other at
+    jaccard 1.0 while every oracle produced zero pairs.
     """
     words = F.filter(F.split(text_col, " "), lambda w: w != "")
     n = F.greatest(F.size(words) - (k - 1), F.lit(1))
     return F.when(
+        text_col.isNotNull() & (F.size(words) == 0),
+        F.array().cast("array<string>"),
+    ).when(
         text_col.isNotNull(),
         F.array_distinct(
             F.transform(
@@ -1214,7 +1223,14 @@ def q_dedup_union_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(F.filter(words, lambda w: w != "")).alias("tk"),
         F.md5(F.concat_ws(" ", F.slice(words, 1, 3))).alias("pre"),
-        F.md5(F.concat_ws(" ", F.slice(words, 6, 5))).alias("mid"),
+        # A doc too short to HAVE a mid-window emits NO mid fingerprint:
+        # concat_ws over the empty slice would stamp md5('') on every
+        # short doc — one quadratic hot bucket at corpus scale, and a
+        # divergence from the oracle, whose array_to_string of an
+        # out-of-range slice is NULL (per-category hostile sweep find).
+        F.when(
+            F.size(words) >= 6, F.md5(F.concat_ws(" ", F.slice(words, 6, 5)))
+        ).alias("mid"),
     )
     toks = track(toks)  # feeds both generators and the verify joins; session owns caches
 

@@ -161,7 +161,7 @@ _OHLC_KEY = "%020d%010d"
            CAST(COUNT(*) AS BIGINT) AS n_trades,
            {o_dsum('value')} AS volume
     FROM events
-    WHERE event_type = 'purchase'
+    WHERE event_type = 'purchase' AND value IS NOT NULL
     GROUP BY CAST(ts AS DATE)
     """,
 )
@@ -175,8 +175,13 @@ def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is a zero-padded string because the DuckDB oracle's arg_min
     lacks a struct-key overload; zero-padding makes lexicographic ==
     numeric order. Volume accumulates as decimal (engine-exact).
+    NULL-value rows are excluded (a trade without a value is not a
+    trade; also Spark min_by RETURNS a NULL value while DuckDB arg_min
+    SKIPS it — per-category hostile sweep find).
     """
-    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    ev = table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
     key = F.format_string(_OHLC_KEY, F.unix_micros("ts"), F.col("event_id"))
     return ev.groupBy(date_str(F.to_date("ts")).alias("day")).agg(
         F.min_by("value", key).alias("open"),
@@ -642,8 +647,16 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = num + F.coalesce(lv * F.lit(wt), F.lit(0.0))
         den = den + F.when(lv.isNull(), 0.0).otherwise(F.lit(wt))
     ev = table(spark, sf_dir, "events")
+    # A NULL current value means NO observation at this point → NULL
+    # smoothed output (the oracle's bare `value * w0` term encodes the
+    # same rule); NULL LAGS are merely absent taps and renormalize
+    # away. Per-category hostile sweep find.
     return ev.select(
-        "user_id", "event_id", F.round(num / den, 4).alias("ewma")
+        "user_id",
+        "event_id",
+        F.when(F.col("value").isNull(), F.lit(None).cast("double"))
+        .otherwise(F.round(num / den, 4))
+        .alias("ewma"),
     )
 
 

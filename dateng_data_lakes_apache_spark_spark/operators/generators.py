@@ -179,7 +179,8 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16
                 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1) AS INT) % 100
                AS bucket,
-             len(list_filter(string_split(text, ' '), w -> w <> '')) AS ntok
+             COALESCE(len(list_filter(string_split(text, ' '), w -> w <> '')), 0)
+               AS ntok
       FROM documents
     ),
     rated AS (
@@ -215,7 +216,11 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         % 100
     )
-    ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    # NULL text → 0 tokens on BOTH sides (legacy size(NULL) = -1 must
+    # never reach the kept_tokens sum — per-category hostile sweep find)
+    ntok = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    )
     rate = F.when(F.col("lang") == "en", 20).otherwise(60)
     kept = F.col("bucket") < F.col("rate")
     return (

@@ -393,15 +393,19 @@ def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_mad_outlier",
     oracle="""
-    WITH med AS (
+    WITH li AS (
+      SELECT l_returnflag, l_extendedprice
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    med AS (
       SELECT l_returnflag,
              quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
-      FROM lineitem GROUP BY l_returnflag
+      FROM li GROUP BY l_returnflag
     ),
     mad AS (
       SELECT l.l_returnflag,
              quantile_disc(abs(CAST(l.l_extendedprice AS DOUBLE) - m.med), 0.5) AS mad
-      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+      FROM li l JOIN med m ON l.l_returnflag = m.l_returnflag
       GROUP BY l.l_returnflag
     )
     SELECT m.l_returnflag,
@@ -411,7 +415,7 @@ def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN abs(CAST(l.l_extendedprice AS DOUBLE) - m.med)
                               > 4.4478 * d.mad THEN 1 ELSE 0 END) AS BIGINT)
              AS n_outliers
-    FROM lineitem l
+    FROM li l
     JOIN med m ON l.l_returnflag = m.l_returnflag
     JOIN mad d ON l.l_returnflag = d.l_returnflag
     GROUP BY m.l_returnflag, m.med, d.mad
@@ -436,11 +440,17 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows ride spillable sorts and the GK sketch substitutes for the
     first two passes where ±ε suffices).
     """
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_extendedprice").cast("double").alias("v"),
-        "l_orderkey",
-        "l_linenumber",
+    li = (
+        table(spark, sf_dir, "lineitem")
+        # order statistics skip NULLs (per-category hostile sweep find:
+        # Spark ranks NULLs FIRST, quantile_disc skips them)
+        .where(F.col("l_extendedprice").isNotNull())
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("double").alias("v"),
+            "l_orderkey",
+            "l_linenumber",
+        )
     )
 
     def disc_median(frame, col):
@@ -556,6 +566,7 @@ def q_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.50), 4) AS p50_disc,
            round(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.99), 4) AS p99_disc
     FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
     GROUP BY l_returnflag
     """,
 )
@@ -574,8 +585,13 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ObjectHashAggregate buffer (single-threaded per group, OOM-bound at
     scale), while the window rides Tungsten's spillable sort. Measured
     3.1 → 1.1 s warm at sf0.1; same plan discipline as q_outlier_iqr.
+    NULL prices are excluded before ranking (order statistics skip
+    NULLs; Spark would rank them FIRST, quantile_disc skips them —
+    per-category hostile sweep find).
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    )
     w = Window.partitionBy("l_returnflag").orderBy(
         "v", "l_orderkey", "l_linenumber"
     )
@@ -606,11 +622,15 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_winsorize",
     oracle=f"""
-    WITH cuts AS (
+    WITH li AS (
+      SELECT l_returnflag, l_extendedprice
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    cuts AS (
       SELECT l_returnflag,
              quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
              quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
-      FROM lineitem GROUP BY l_returnflag
+      FROM li GROUP BY l_returnflag
     )
     SELECT l.l_returnflag,
            COUNT(*) AS n,
@@ -623,7 +643,7 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHEN l.l_extendedprice > c.hi THEN c.hi
                               ELSE l.l_extendedprice END AS DECIMAL(30,2)))
                 AS DOUBLE) / COUNT(*) AS winsor_mean
-    FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+    FROM li l JOIN cuts c ON l.l_returnflag = c.l_returnflag
     GROUP BY l.l_returnflag
     """,
 )
@@ -643,11 +663,15 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     One window pass for both cuts, then one clamp + decimal-sum pass
     with the cuts joined back as broadcast scalars.
     """
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_extendedprice").cast("double").alias("v"),
-        "l_orderkey",
-        "l_linenumber",
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_extendedprice").isNotNull())
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("double").alias("v"),
+            "l_orderkey",
+            "l_linenumber",
+        )
     )
     w = Window.partitionBy("l_returnflag").orderBy(
         "v", "l_orderkey", "l_linenumber"

@@ -41,9 +41,48 @@ _SCRATCH = os.path.join(
 )
 
 
+def _catalog_manifest(sf_dir: str):
+    """(relpath, size, mtime_ns) of every parquet file under sf_dir —
+    the identity of the SOURCE catalog the stagings were built from."""
+    out = []
+    for root, _, files in os.walk(sf_dir):
+        for n in files:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                st = os.stat(p)
+                out.append([os.path.relpath(p, sf_dir), st.st_size, st.st_mtime_ns])
+    return sorted(out)
+
+
 def _stage_dir(sf_dir: str, kind: str) -> str:
+    """Per-(sf_dir, kind) staging dir with MUTABLE-SOURCE invalidation.
+
+    The ``_SUCCESS`` gates below assume the source catalog is immutable
+    — true for /root/testdata, FALSE for the degenerate-sweep catalogs,
+    which are rebuilt in place (and changed shape in r8, serving stale
+    bytes to one engine). So the tag root carries a manifest of the
+    source catalog's parquet files; any change wipes every staged kind
+    under the tag before returning (the stream sources solved the same
+    problem with their own manifest in r6 — this is the batch twin)."""
+    import json
+    import shutil
+
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    return os.path.join(_SCRATCH, "roundtrip", tag, kind)
+    root = os.path.join(_SCRATCH, "roundtrip", tag)
+    man_path = os.path.join(root, "_src_manifest.json")
+    manifest = _catalog_manifest(sf_dir)
+    if os.path.exists(root):
+        old = None
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                old = json.load(f)
+        if old != manifest:
+            shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    if not os.path.exists(man_path):
+        with open(man_path, "w") as f:
+            json.dump(manifest, f)
+    return os.path.join(root, kind)
 
 
 def _staged(path: str) -> bool:

@@ -30,6 +30,39 @@ from ..registry import query
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
 
 
+def _events_manifest(sf_dir: str) -> list:
+    """(basename, inode, mtime_ns) of the catalog's events files — the
+    source identity every events staging must be checked against. A
+    mutable catalog (the degenerate sweeps rebuild theirs in place)
+    otherwise serves stale staged bytes forever (r8 hostile sweep:
+    marker-gated stagings replayed the PREVIOUS catalog shape)."""
+    src = table_path(sf_dir, "events")
+    if os.path.isdir(src):
+        srcs = sorted(
+            os.path.join(src, n)
+            for n in os.listdir(src)
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        )
+    else:
+        srcs = [src]
+    return [
+        [os.path.basename(s), os.stat(s).st_ino, os.stat(s).st_mtime_ns]
+        for s in srcs
+    ]
+
+
+def _marker_stale(marker: str, manifest: list) -> bool:
+    """True iff the staging marker is absent or records a different
+    source manifest than the current one."""
+    if not os.path.exists(marker):
+        return True
+    try:
+        with open(marker) as fh:
+            return json.load(fh) != manifest
+    except (OSError, ValueError):
+        return True
+
+
 def _stage_events_dir(sf_dir: str) -> str:
     """Spark's file-stream source lists a *directory*; the catalog may
     store events as a single parquet file (the test fixtures) or as a
@@ -610,7 +643,8 @@ def _stage_events_ordered(spark: SparkSession, sf_dir: str, n_batches: int = 4) 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     stage_dir = os.path.join(_SCRATCH, "stream_src_ordered", tag)
     marker = os.path.join(stage_dir, "_STAGED")
-    if os.path.exists(marker):
+    manifest = _events_manifest(sf_dir)
+    if not _marker_stale(marker, manifest):
         return stage_dir
     shutil.rmtree(stage_dir, ignore_errors=True)
     os.makedirs(stage_dir, exist_ok=True)
@@ -651,7 +685,8 @@ def _stage_events_ordered(spark: SparkSession, sf_dir: str, n_batches: int = 4) 
         shutil.move(src_file, dst)
         shutil.rmtree(tmp, ignore_errors=True)
         os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))  # monotone mtimes
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        json.dump(manifest, fh)
     return stage_dir
 
 
@@ -857,16 +892,25 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     def running(batch: "pd.DataFrame", n0: int, m0: float):
         """Shared kernel: running (count, max) over one key's batch rows,
         ts-sorted (files don't overlap in ts, so cross-batch order is
-        already monotone and only the intra-batch sort is needed)."""
+        already monotone and only the intra-batch sort is needed).
+        NULL values are counted but never become the max; until a
+        non-NULL value arrives the running max is emitted as NULL (the
+        window MAX() convention the oracle encodes) — the -inf sentinel
+        lives only in the stored state (per-category hostile sweep
+        find: the sentinel used to leak into the output)."""
         batch = batch.sort_values("ts")
         n = list(range(n0 + 1, n0 + len(batch) + 1))
         m = batch["value"].where(batch["value"] >= m0, m0).cummax()
+        neg_inf = float("-inf")
         out = pd.DataFrame(
             {
                 "user_id": batch["user_id"].to_numpy(),
                 "event_id": batch["event_id"].to_numpy(),
                 "n_so_far": n,
-                "max_so_far": m.to_numpy(),
+                "max_so_far": pd.array(
+                    [None if v == neg_inf else float(v) for v in m.to_numpy()],
+                    dtype="Float64",
+                ),
             }
         )
         return out, (n[-1], float(m.iloc[-1]))
@@ -939,7 +983,8 @@ def _stage_events_duplicated(spark: SparkSession, sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     dup_dir = os.path.join(_SCRATCH, "stream_src_duplicated", tag)
     marker = os.path.join(dup_dir, "_STAGED")
-    if os.path.exists(marker):
+    manifest = _events_manifest(sf_dir)
+    if not _marker_stale(marker, manifest):
         return dup_dir
     shutil.rmtree(dup_dir, ignore_errors=True)
     os.makedirs(dup_dir, exist_ok=True)
@@ -951,7 +996,8 @@ def _stage_events_duplicated(spark: SparkSession, sf_dir: str) -> str:
             except OSError:
                 shutil.copyfile(src, dst)
             os.utime(dst, (1_710_000_000 + 2 * k + j,) * 2)
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        json.dump(manifest, fh)
     return dup_dir
 
 
