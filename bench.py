@@ -190,6 +190,8 @@ HEADLINE = [
     "q_ks_test",
     "q_mann_whitney",
     "q_spearman_corr",
+    "q_autocorr",
+    "q_cramers_v",
     "q_langid_eval",
     "q_content_filter",
     "q_window_percentile",

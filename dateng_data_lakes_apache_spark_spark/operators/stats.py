@@ -2444,3 +2444,199 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(det_round((u1 - n1d * F.col("n2") / 2.0) / F.sqrt(var), 6))
         .alias("z"),
     )
+
+
+@query(
+    "q_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT 1 AS lag_days, a.c AS x, b.c AS y
+      FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+      UNION ALL
+      SELECT 7, a.c, b.c
+      FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 7 DAY
+    )
+    SELECT lag_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CASE WHEN (CAST(COUNT(*) AS DOUBLE)
+                        * CAST(SUM(CAST(x AS DECIMAL(30,8)) * x) AS DOUBLE)
+                      - CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
+                        * CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)) <= 0
+                  OR (CAST(COUNT(*) AS DOUBLE)
+                        * CAST(SUM(CAST(y AS DECIMAL(30,8)) * y) AS DOUBLE)
+                      - CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE)
+                        * CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE)) <= 0
+                THEN NULL
+                ELSE floor((CAST(COUNT(*) AS DOUBLE)
+                              * CAST(SUM(CAST(x AS DECIMAL(30,8)) * y) AS DOUBLE)
+                            - CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
+                              * CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE))
+                           / sqrt((CAST(COUNT(*) AS DOUBLE)
+                                     * CAST(SUM(CAST(x AS DECIMAL(30,8)) * x) AS DOUBLE)
+                                   - CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
+                                     * CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE))
+                                  * (CAST(COUNT(*) AS DOUBLE)
+                                       * CAST(SUM(CAST(y AS DECIMAL(30,8)) * y) AS DOUBLE)
+                                     - CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE)
+                                       * CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6
+           END AS autocorr
+    FROM pairs
+    GROUP BY lag_days
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily order-count series —
+    the seasonality screen (lag-7 ≫ lag-1 means weekly cycling) run
+    before trusting any day-over-day trend metric.
+
+    Pairs come from a calendar SELF-JOIN on day+lag, not a row-offset
+    window — gap days simply produce no pair, so the statistic is
+    well-defined on sparse calendars and identical however the series
+    is partitioned. The data-sized pass is one hash aggregate to the
+    daily table (bounded by distinct days); everything after runs on
+    that metadata-scale frame. Counts are integers, so the DECIMAL
+    power sums are exact and the double recombination (the module's
+    Pearson discipline) is bit-identical across engines; zero-variance
+    series → NULL (the documented guard).
+    """
+    from ..common import det_round
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pairs = None
+    for k in (1, 7):
+        a = daily.select(F.col("day").alias("d0"), F.col("c").alias("x"))
+        b = daily.select(F.col("day").alias("d1"), F.col("c").alias("y"))
+        p = a.join(b, F.col("d1") == F.date_add(F.col("d0"), k)).select(
+            F.lit(k).alias("lag_days"), "x", "y"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = _dec_sum(F.col("x")), _dec_sum(F.col("y"))
+    sxx = _dec_sum(F.col("x") * F.col("x"))
+    syy = _dec_sum(F.col("y") * F.col("y"))
+    sxy = _dec_sum(F.col("x") * F.col("y"))
+    varx, vary = n * sxx - sx * sx, n * syy - sy * sy
+    return pairs.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.when((varx <= 0) | (vary <= 0), F.lit(None).cast("double"))
+        .otherwise(det_round((n * sxy - sx * sy) / F.sqrt(varx * vary), 6))
+        .alias("autocorr"),
+    )
+
+
+#: df = (|segments|−1)(|nations|−1) = 4·24 = 96 for the testdata shape;
+#: Cramér's V needs only min(r,k)−1, computed from the LIVE table below.
+@query(
+    "q_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, CAST(c_nationkey AS INT) AS nat,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    margins AS (SELECT seg, SUM(n) AS rs FROM cells GROUP BY seg),
+    cols AS (SELECT nat, SUM(n) AS cs FROM cells GROUP BY nat),
+    tot AS (SELECT SUM(n) AS nt FROM cells),
+    dims AS (
+      SELECT (SELECT COUNT(DISTINCT seg) FROM cells) AS r,
+             (SELECT COUNT(DISTINCT nat) FROM cells) AS k
+    ),
+    scored AS (
+      SELECT c.n,
+             (c.n - CAST(m.rs AS DOUBLE) * c2.cs / t.nt)
+               * (c.n - CAST(m.rs AS DOUBLE) * c2.cs / t.nt)
+               / (CAST(m.rs AS DOUBLE) * c2.cs / t.nt) AS chi2_part
+      FROM cells c
+      JOIN margins m ON c.seg = m.seg
+      JOIN cols c2 ON c.nat = c2.nat
+      CROSS JOIN tot t
+    )
+    SELECT CAST(t.nt AS BIGINT) AS n,
+           CAST(d.r AS INT) AS n_rows_dim,
+           CAST(d.k AS INT) AS n_cols_dim,
+           round(CAST(SUM(CAST(chi2_part AS DECIMAL(20,8))) AS DOUBLE), 4)
+             AS chi2,
+           CASE WHEN least(d.r, d.k) <= 1 THEN NULL
+                ELSE floor(sqrt(CAST(SUM(CAST(chi2_part AS DECIMAL(20,8)))
+                                     AS DOUBLE)
+                                / (t.nt * (least(d.r, d.k) - 1)))
+                           * 1e6 + 0.5) / 1e6
+           END AS cramers_v
+    FROM scored CROSS JOIN tot t CROSS JOIN dims d
+    GROUP BY t.nt, d.r, d.k
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0,1]-normalized effect size of the chi-square
+    association (q_chi2_independence answers "is segment × nation
+    associated?"; this answers "HOW MUCH", comparable across tables of
+    different shapes): V = sqrt(χ² / (N·(min(r,k)−1))).
+
+    Same contingency machinery as q_chi2_independence (one hash
+    aggregate to the |seg|×|nat| cell table, broadcast margins,
+    decimal-accumulated χ² so the cell-sum order cannot drift), plus
+    the live r/k dimensions so the normalization is data-derived, not
+    baked. Degenerate 1×k tables (min dim 1) → NULL V on both sides.
+    """
+    from ..common import det_round
+
+    c = table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("int").alias("nat"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from ..caching import track
+
+    cells = track(cells)  # feeds margins/cols/tot/dims + the cell scan
+    margins = cells.groupBy("seg").agg(F.sum("n").alias("rs"))
+    cols = cells.groupBy("nat").agg(F.sum("n").alias("cs"))
+    tot = cells.agg(F.sum("n").alias("nt"))
+    dims = cells.agg(
+        F.countDistinct("seg").alias("r"), F.countDistinct("nat").alias("k")
+    )
+    expected = F.col("rs").cast("double") * F.col("cs") / F.col("nt")
+    scored = (
+        cells.join(F.broadcast(margins), "seg")
+        .join(F.broadcast(cols), "nat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            ((F.col("n") - expected) * (F.col("n") - expected) / expected)
+            .cast("decimal(20,8)")
+            .alias("chi2_part"),
+        )
+    )
+    chi2 = F.sum("chi2_part").cast("double")
+    mind = F.least(F.col("r"), F.col("k"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .groupBy("nt", "r", "k")
+        .agg(
+            F.round(chi2, 4).alias("chi2"),
+            F.when(mind <= 1, F.lit(None).cast("double"))
+            .otherwise(
+                det_round(
+                    F.sqrt(chi2 / (F.col("nt") * (mind - 1))), 6
+                )
+            )
+            .alias("cramers_v"),
+        )
+        .select(
+            F.col("nt").cast("bigint").alias("n"),
+            F.col("r").cast("int").alias("n_rows_dim"),
+            F.col("k").cast("int").alias("n_cols_dim"),
+            "chi2",
+            "cramers_v",
+        )
+    )

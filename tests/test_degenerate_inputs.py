@@ -221,6 +221,48 @@ def test_query_survives_hostile_nulls(spark, hostile_catalog, name):
     assert isinstance(rows, list)
 
 
+@pytest.fixture(scope="session")
+def skew_catalog(spark):
+    """Zipf-ish FK skew (r8): ~50/25/12% of every FK remapped onto the
+    referenced table's 3 smallest keys — shared tools builder, values
+    oracle-compared out-of-band (degenerate_oracle_sweep: 0 mismatches)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from degenerate_sweep import build
+
+    return build(spark, "skew")
+
+
+#: Skew-sensitive representatives: the diagnosis/treatment operators and
+#: the flagship join/agg shapes whose plans must survive hot keys.
+_SKEW_COVERED = [
+    "q_skew_report",
+    "q_join_skew_aqe",
+    "q_agg_salted",
+    "q_join_inner_2key",
+    "q_agg_groupby",
+    "q_starjoin_pricing",
+]
+
+
+@pytest.mark.parametrize("name", _SKEW_COVERED)
+def test_query_survives_zipf_skew(spark, skew_catalog, name):
+    rows = get_queries()[name](spark, skew_catalog).collect()
+    assert isinstance(rows, list)
+
+
+def test_skew_report_detects_zipf_hot_keys(spark, skew_catalog):
+    """The diagnosis operator must actually DIAGNOSE the planted zipf:
+    ~50% of orders collapse onto one o_custkey, so the hottest key's
+    share must dwarf the mean (imbalance factor ≈ n_keys/2 ≫ 5) and the
+    self-join work ratio must exceed uniform."""
+    row = get_queries()["q_skew_report"](spark, skew_catalog).collect()[0]
+    assert row.max_key_rows >= 0.4 * row.n_rows
+    assert row.imbalance_factor > 5.0
+    assert row.sum_sq_ratio > 1.5
+
+
 def test_cogroup_reconcile_skips_null_money_values(spark, tmp_path):
     """VALUE-level NaN regression (ADVICE r6 medium): a NULL
     o_totalprice arrives in the cogroup kernel as NaN, and
