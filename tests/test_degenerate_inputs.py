@@ -252,6 +252,48 @@ def test_query_survives_zipf_skew(spark, skew_catalog, name):
     assert isinstance(rows, list)
 
 
+#: r8 per-category hostile regressions (VALUE-level): each of these
+#: diverged from its oracle when NULL/'' dirt reached every category
+#: subset, and each now pins the shared convention (order stats skip
+#: NULLs; no fingerprints of absent content; NULL observation -> NULL
+#: output; existence judged by keys). Oracle-compared IN SUITE on the
+#: hostile catalog — the run-only tests above cannot see wrong values.
+_HOSTILE_VALUE_PINNED = [
+    "q_percentile_disc",
+    "q_quantile_normalize",
+    "q_resample_ohlc",
+    "q_window_ewma",
+    "q_sample_stratified",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_union_signals",
+    "q_snapshot_diff",
+]
+
+
+@pytest.mark.parametrize("name", _HOSTILE_VALUE_PINNED)
+def test_hostile_value_parity_pinned(spark, hostile_catalog, name):
+    import duckdb
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_oracles
+
+    from .parity import _canon_frame
+
+    spark_pdf = get_queries()[name](spark, hostile_catalog).toPandas()
+    con = duckdb.connect()
+    try:
+        for t in _TABLES:
+            p = os.path.join(hostile_catalog, f"{t}.parquet")
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        duck_pdf = con.execute(get_oracles()[name]).df()
+    finally:
+        con.close()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: rows {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    assert _canon_frame(spark_pdf) == _canon_frame(duck_pdf)
+
+
 def test_skew_report_detects_zipf_hot_keys(spark, skew_catalog):
     """The diagnosis operator must actually DIAGNOSE the planted zipf:
     ~50% of orders collapse onto one o_custkey, so the hottest key's
