@@ -2595,9 +2595,10 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
         F.col("c_nationkey").cast("int").alias("nat"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    from ..caching import track
-
-    cells = track(cells)  # feeds margins/cols/tot/dims + the cell scan
+    # NOT persisted: q_chi2_independence's identical cells subplan would
+    # pick up the cached InMemoryRelation via plan-equality substitution
+    # and trip the SinglePartition funnel lint (persisted scans anchor
+    # it); ReusedExchange already shares the one real aggregation.
     margins = cells.groupBy("seg").agg(F.sum("n").alias("rs"))
     cols = cells.groupBy("nat").agg(F.sum("n").alias("cs"))
     tot = cells.agg(F.sum("n").alias("nt"))

@@ -89,10 +89,11 @@ def test_ngram_jaccard_bounds(spark, planted):
 
 
 def test_null_text_forms_no_shingles_or_pairs(spark):
-    """NULL text → NULL shingles (hostile-sweep pin, round 7): without
-    the guard, concat_ws coerces the NULL word list to the [''] shingle
-    and every NULL-text doc pairs with every EMPTY-text doc at
-    jaccard 1.0 through the whole near-dup ladder."""
+    """NULL text → NULL shingles (hostile-sweep pin, round 7) and
+    zero-word text → EMPTY shingles (round 8): without the guards,
+    concat_ws coerces the empty/NULL word list to the [''] shingle and
+    every NULL- or ''-text doc pairs with every other at jaccard 1.0
+    through the whole near-dup ladder."""
     from dateng_data_lakes_apache_spark_spark.operators.dedup import (
         exact_jaccard_pairs,
     )
@@ -104,14 +105,17 @@ def test_null_text_forms_no_shingles_or_pairs(spark):
     sh = d.select("doc_id", _word_shingles(F.col("text"), k=3).alias("shingles"))
     rows = {r.doc_id: r.shingles for r in sh.collect()}
     assert rows[0] is None  # NULL in, NULL out
-    assert rows[1] == [""]  # empty doc keeps its degenerate shingle
+    # r8: a zero-word doc has NO shingles — it can be near-duplicate of
+    # nothing (exact dedup owns empties), and a shared [''] shingle
+    # would be the one quadratic hot key in every postings join
+    assert rows[1] == []
     pairs = {
         (r.doc_a, r.doc_b)
         for r in exact_jaccard_pairs(sh, threshold=0.01).collect()
     }
-    # the real near-dup pair survives; no pair ever touches doc 0
+    # the real near-dup pair survives; no pair ever touches docs 0/1
     assert (2, 3) in pairs
-    assert all(0 not in p for p in pairs)
+    assert all(0 not in p and 1 not in p for p in pairs)
 
 
 def test_connected_components_chain_and_islands(spark):
