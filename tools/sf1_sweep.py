@@ -146,7 +146,9 @@ def sweep(spark) -> dict:
         gc.collect()
         return dt
 
-    for name in HEAVYWEIGHTS:
+    only = os.environ.get("SF1_SWEEP_ONLY")
+    names = [only] if only else HEAVYWEIGHTS
+    for name in names:
         times: dict[str, float] = {}
         for tag, sf_dir in (("sf0.1", SF01), ("sf1x", SF1X)):
             runs = []
@@ -179,12 +181,46 @@ def sweep(spark) -> dict:
     return result
 
 
+def sweep_isolated() -> dict:
+    """One fresh subprocess (own JVM) per heavyweight — the r8 protocol.
+
+    The shared-session sweep accumulates heap/cache pressure across
+    heavyweights: in the r8 run it measured q_graph_bfs at sf1x 144 s
+    where a fresh session measures 14 s (and pagerank 32 s at sf0.1 vs
+    its 9 s bench median). Slopes from a degrading session are not
+    scaling data. Each subprocess still runs the 3-runs-first-discarded
+    protocol per sf via SF1_SWEEP_ONLY."""
+    import subprocess
+
+    result: dict[str, dict] = {}
+    for name in HEAVYWEIGHTS:
+        env = dict(os.environ, SF1_SWEEP_ONLY=name)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sweep-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            result[name] = {"error": out.stdout[-300:] + out.stderr[-300:]}
+        else:
+            result[name] = json.loads("".join(out.stdout.splitlines()[out.stdout.splitlines().index(line[0]):]))[name]
+        print(name, result[name], flush=True)
+    return result
+
+
 def main() -> None:
     from dateng_data_lakes_apache_spark_spark.session import get_spark
 
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    if mode == "--isolated":
+        out = sweep_isolated()
+        print("ISOLATED " + json.dumps(out, indent=1))
+        return
     spark = get_spark(app_name="sf1-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode != "--sweep-only":
         if (
             not os.path.exists(f"{SF1X}/lineitem.parquet")
