@@ -366,3 +366,73 @@ def test_avro_roundtrip_when_connector_present(spark, sf_dir, tmp_path):
     a = nation.agg(F.sum("n_nationkey").alias("s")).collect()[0].s
     b = back.agg(F.sum("n_nationkey").alias("s")).collect()[0].s
     assert a == b
+
+
+def test_stage_dir_invalidates_on_source_catalog_change(spark, tmp_path):
+    """Mutable-catalog staging guard (r8): a `_SUCCESS`-gated staging
+    must be wiped when the SOURCE catalog's parquet files change —
+    the degenerate sweeps rebuild their catalogs in place, and r8 found
+    18 queries serving stale staged bytes from the previous catalog
+    shape to one engine."""
+    import os
+    import time
+
+    from dateng_data_lakes_apache_spark_spark.sources.roundtrip import (
+        _stage_dir,
+        _staged,
+    )
+
+    sf = str(tmp_path / "cat")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(
+        f"{sf}/customer.parquet"
+    )
+    d1 = _stage_dir(sf, "kind_a")
+    os.makedirs(d1, exist_ok=True)
+    open(os.path.join(d1, "_SUCCESS"), "w").close()
+    assert _staged(d1)
+    # same catalog → staging survives a second resolution
+    assert _staged(_stage_dir(sf, "kind_a"))
+    # rewrite the source table (new files/mtimes) → staging is wiped
+    time.sleep(0.01)  # ensure a distinct mtime_ns on fast filesystems
+    spark.createDataFrame([(2, "b")], "k long, v string").write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/customer.parquet")
+    d2 = _stage_dir(sf, "kind_a")
+    assert d2 == d1
+    assert not _staged(d2), "stale staging survived a source-catalog rewrite"
+
+
+def test_stream_ordered_stage_invalidates_on_events_change(spark, tmp_path):
+    """Same guard for the marker-gated ordered stream staging."""
+    import datetime as dt
+    import glob
+    import os
+    import time
+
+    from dateng_data_lakes_apache_spark_spark.streaming.stream_queries import (
+        _stage_events_ordered,
+    )
+
+    sf = str(tmp_path / "cat")
+
+    def write_events(vals):
+        spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 1, 0, i), 0, "view", float(v), None)
+                for i, v in enumerate(vals)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    write_events([1, 2, 3, 4])
+    s1 = _stage_events_ordered(spark, sf)
+    n1 = len(glob.glob(os.path.join(s1, "batch-*.parquet")))
+    assert n1 >= 1
+    rows1 = spark.read.parquet(*glob.glob(os.path.join(s1, "batch-*.parquet"))).count()
+    assert rows1 == 4
+    time.sleep(0.01)
+    write_events([1, 2, 3, 4, 5, 6, 7, 8])  # catalog grew
+    s2 = _stage_events_ordered(spark, sf)
+    rows2 = spark.read.parquet(*glob.glob(os.path.join(s2, "batch-*.parquet"))).count()
+    assert rows2 == 8, "ordered stream stage served the previous catalog shape"
