@@ -2364,14 +2364,14 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
            r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 AS u1,
            CASE WHEN CAST(n1 AS DOUBLE) * n2 / 12.0
                      * ((n1 + n2 + 1)
-                        - (tie3 - (n1 + n2))
+                        - tie3
                           / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) <= 0
                 THEN NULL
                 ELSE floor((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0
                             - CAST(n1 AS DOUBLE) * n2 / 2.0)
                            / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
                                   * ((n1 + n2 + 1)
-                                     - (tie3 - (n1 + n2))
+                                     - tie3
                                        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
                            * 1e6 + 0.5) / 1e6
            END AS z
@@ -2429,12 +2429,14 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
     nn = F.col("n1") + F.col("n2")
     u1 = F.col("r1") - n1d * (F.col("n1") + 1) / 2.0
+    # tie3 is ALREADY the textbook correction numerator Σ(t³ − t); the
+    # first draft subtracted N again (double-counting Σt = N) and the
+    # property test's pure-Python reference caught the transcription
+    # bug mirrored in BOTH engines — exactly what the DuckDB twin,
+    # which shares the formula, structurally cannot catch.
     var = (
         n1d * F.col("n2") / 12.0
-        * (
-            (nn + 1)
-            - (F.col("tie3") - nn) / (nn.cast("double") * (nn - 1))
-        )
+        * ((nn + 1) - F.col("tie3") / (nn.cast("double") * (nn - 1)))
     )
     return agg.select(
         F.col("n1").cast("bigint").alias("n1"),

@@ -885,3 +885,219 @@ def test_asof_tolerance_matches_staleness_reference(
         else:
             want[eid] = None
     assert got == want
+
+
+def _ks_reference(rows):
+    """Pure-Python two-sample KS on integer values: D evaluated at each
+    distinct value AFTER all its ties (the per-distinct-value ECDF),
+    NULLs excluded from both samples."""
+    a = sorted(v for t, v in rows if t == "error" and v is not None)
+    b = sorted(v for t, v in rows if t == "view" and v is not None)
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return None
+    d = 0.0
+    for v in sorted(set(a) | set(b)):
+        fa = sum(1 for x in a if x <= v) / n
+        fb = sum(1 for x in b if x <= v) / m
+        d = max(d, abs(fa - fb))
+    return n, m, d
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["error", "view", "click"]),
+            st.one_of(st.integers(min_value=0, max_value=30), st.none()),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_ks_test_matches_ecdf_reference(spark, tmp_path_factory, rows):
+    """q_ks_test's distinct-value cumulative construction must equal the
+    brute-force per-value ECDF max-difference on tie-heavy integer data
+    with NULLs in both samples and empty-sample degeneracy."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("ks") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, t, None if v is None else float(v), dt.datetime(2024, 1, 1))
+            for i, (t, v) in enumerate(rows)
+        ],
+        "event_id long, event_type string, value double, ts timestamp",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = get_queries()["q_ks_test"](spark, sf).collect()
+    want = _ks_reference([(t, v) for _, (t, v) in enumerate(rows)])
+    if want is None:
+        assert got == []
+        return
+    n, m, d = want
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n, r.m) == (n, m)
+    assert abs(r.ks_d - d) < 1e-6 + 1e-12  # engine rounds to 6 dp
+
+
+def _mw_reference(rows):
+    """Pure-Python tie-corrected Mann-Whitney: average ranks over the
+    combined sample, U1 = R1 - n1(n1+1)/2, z with the tie-corrected
+    variance; NULLs excluded. Returns None when a sample is empty or
+    the combined size is < 2."""
+    a = sorted(v for t, v in rows if t == "error" and v is not None)
+    b = sorted(v for t, v in rows if t == "view" and v is not None)
+    n1, n2 = len(a), len(b)
+    nn = n1 + n2
+    if n1 == 0 or n2 == 0 or nn < 2:
+        return None
+    comb = sorted(a + b)
+    # average rank per value
+    first = {}
+    for i, v in enumerate(comb, start=1):
+        first.setdefault(v, []).append(i)
+    avg_rank = {v: sum(ix) / len(ix) for v, ix in first.items()}
+    r1 = sum(avg_rank[v] for v in a)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    tie3 = sum(len(ix) ** 3 - len(ix) for ix in first.values())
+    var = n1 * n2 / 12.0 * ((nn + 1) - tie3 / (nn * (nn - 1)))
+    z = None if var <= 0 else (u1 - n1 * n2 / 2.0) / var**0.5
+    return n1, n2, u1, z
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["error", "view", "click"]),
+            st.one_of(st.integers(min_value=0, max_value=20), st.none()),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_mann_whitney_matches_rank_reference(spark, tmp_path_factory, rows):
+    """q_mann_whitney's closed-form average ranks over cumulative
+    distinct-value counts must equal the textbook per-row average-rank
+    construction, including the all-tied zero-variance -> NULL z."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("mw") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, t, None if v is None else float(v), dt.datetime(2024, 1, 1))
+            for i, (t, v) in enumerate(rows)
+        ],
+        "event_id long, event_type string, value double, ts timestamp",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = get_queries()["q_mann_whitney"](spark, sf).collect()
+    want = _mw_reference([(t, v) for (t, v) in rows])
+    if want is None:
+        assert got == []
+        return
+    n1, n2, u1, z = want
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n1, r.n2) == (n1, n2)
+    assert abs(r.u1 - u1) < 1e-9
+    if z is None:
+        assert r.z is None
+    else:
+        assert r.z is not None and abs(r.z - z) < 1e-6 + 1e-9
+
+
+def _spearman_reference(rows):
+    """Pure-Python Spearman with average ranks per group; None for
+    zero-variance groups; NULL pairs excluded."""
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for rf, q, p in rows:
+        if q is not None and p is not None:
+            by[rf].append((q, p))
+    out = {}
+    for rf, vals in by.items():
+        def avg_ranks(xs):
+            order = sorted(range(len(xs)), key=lambda i: xs[i])
+            ranks = [0.0] * len(xs)
+            i = 0
+            while i < len(order):
+                j = i
+                while j + 1 < len(order) and xs[order[j + 1]] == xs[order[i]]:
+                    j += 1
+                r = (i + j) / 2.0 + 1.0
+                for k in range(i, j + 1):
+                    ranks[order[k]] = r
+                i = j + 1
+            return ranks
+
+        rx = avg_ranks([q for q, _ in vals])
+        ry = avg_ranks([p for _, p in vals])
+        n = len(vals)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(x * x for x in rx)
+        syy = sum(y * y for y in ry)
+        sxy = sum(x * y for x, y in zip(rx, ry))
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        rho = None if vx <= 0 or vy <= 0 else (n * sxy - sx * sy) / (vx * vy) ** 0.5
+        out[rf] = (n, rho)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.one_of(st.integers(min_value=1, max_value=10), st.none()),
+            st.one_of(st.integers(min_value=0, max_value=1000), st.none()),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_spearman_matches_avg_rank_reference(spark, tmp_path_factory, rows):
+    """q_spearman_corr's rank()+(ties-1)/2 windows must equal textbook
+    average ranks, on tie-heavy data with NULLs in either column and
+    all-tied (zero-variance -> NULL) groups."""
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("sp") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (
+                rf,
+                i + 1,
+                1,
+                None if q is None else float(q),
+                None if p is None else p / 100.0,
+            )
+            for i, (rf, q, p) in enumerate(rows)
+        ],
+        "l_returnflag string, l_orderkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.n, r.spearman_rho)
+        for r in get_queries()["q_spearman_corr"](spark, sf).collect()
+    }
+    want = _spearman_reference(
+        [(rf, q, None if p is None else p / 100.0) for rf, q, p in rows]
+    )
+    assert set(got) == set(want)
+    for rf, (n, rho) in want.items():
+        gn, grho = got[rf]
+        assert gn == n
+        if rho is None:
+            assert grho is None
+        else:
+            assert grho is not None and abs(grho - rho) < 1e-6 + 1e-9
