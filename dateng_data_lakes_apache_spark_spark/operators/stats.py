@@ -2643,3 +2643,277 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cramers_v",
         )
     )
+
+
+@query(
+    "q_anova_f",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             {o_dsum('o_totalprice')} AS s_g,
+             {o_dsum('o_totalprice * o_totalprice')} AS ss_g
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+      GROUP BY o_orderpriority
+    )
+    SELECT CAST(COUNT(*) AS INT) AS k,
+           CAST(SUM(n_g) AS BIGINT) AS n,
+           round(list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum')
+                 - CAST(SUM(CAST(s_g AS DECIMAL(38,8))) AS DOUBLE)
+                   * CAST(SUM(CAST(s_g AS DECIMAL(38,8))) AS DOUBLE) / SUM(n_g), 4)
+             AS ss_between,
+           round(CAST(SUM(CAST(ss_g AS DECIMAL(38,8))) AS DOUBLE)
+                 - list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum'), 4)
+             AS ss_within,
+           CASE WHEN COUNT(*) <= 1 OR SUM(n_g) <= COUNT(*)
+                  OR (CAST(SUM(CAST(ss_g AS DECIMAL(38,8))) AS DOUBLE)
+                      - list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum')) <= 0
+                THEN NULL
+                ELSE floor(((list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum')
+                             - CAST(SUM(CAST(s_g AS DECIMAL(38,8))) AS DOUBLE)
+                               * CAST(SUM(CAST(s_g AS DECIMAL(38,8))) AS DOUBLE) / SUM(n_g))
+                            / (COUNT(*) - 1))
+                           / ((CAST(SUM(CAST(ss_g AS DECIMAL(38,8))) AS DOUBLE)
+                               - list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum'))
+                              / (SUM(n_g) - COUNT(*)))
+                           * 1e6 + 0.5) / 1e6
+           END AS f_stat
+    FROM g
+    """,
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic of order value across the 5 order
+    priorities — "is mean spend priority-dependent?".
+
+    Scale shape: ONE map-side-combined hash aggregation collapses the
+    fact table to k=|priorities| rows of exact decimal power sums
+    (n_g, Σx, Σx²); SSB/SSW recombine from those. The only float
+    summation that crosses rows — Σ_g S_g²/n_g — runs as a strict
+    in-order fold over the grp-sorted k-row list (the similarity.py
+    LSH sign-bucket trick), so both engines add the same doubles in
+    the same order and the F statistic hash-matches bit-for-bit; no
+    row-order-dependent SUM(double) anywhere. Degenerate guards: k<=1,
+    n<=k, or zero within-group variance -> NULL F on both sides.
+    """
+    from ..common import det_round
+
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    v = F.col("o_totalprice")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        _dec_sum(v).alias("s_g"),
+        _dec_sum(v * v).alias("ss_g"),
+    )
+    # In-order fold of the k per-group double terms (bit-identical to
+    # DuckDB's list_aggregate over the same grp-ordered list).
+    fold_t = F.aggregate(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("grp"),
+                    (F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("t"),
+                )
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["t"],
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        fold_t.alias("t_fold"),
+        F.sum(F.col("s_g").cast("decimal(38,8)")).cast("double").alias("s_all"),
+        F.sum(F.col("ss_g").cast("decimal(38,8)")).cast("double").alias("ss_all"),
+    )
+    ssb = F.col("t_fold") - F.col("s_all") * F.col("s_all") / F.col("n")
+    ssw = F.col("ss_all") - F.col("t_fold")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return agg.select(
+        "k",
+        "n",
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.when(
+            (F.col("k") <= 1) | (F.col("n") <= F.col("k")) | (ssw <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(det_round(f_stat, 6))
+        .alias("f_stat"),
+    )
+
+
+#: Shared monthly series for the rank/robust trend operators: per
+#: (ship-year, ship-month) exact decimal totals. Decimal sums compare
+#: exactly across engines, so every pairwise <//=/> below is bit-safe.
+_MONTHLY_SQL = f"""
+      SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+             CAST(EXTRACT(month FROM l_shipdate) AS INT) AS mo,
+             {o_dsum('l_quantity')} AS qty,
+             {o_dsum('l_extendedprice')} AS rev
+      FROM lineitem
+      WHERE l_shipdate IS NOT NULL
+      GROUP BY 1, 2
+"""
+
+
+def _monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate").isNotNull())
+    return li.groupBy(
+        F.year("l_shipdate").cast("int").alias("yr"),
+        F.month("l_shipdate").cast("int").alias("mo"),
+    ).agg(
+        _dec_sum(F.col("l_quantity")).alias("qty"),
+        _dec_sum(F.col("l_extendedprice")).alias("rev"),
+    )
+
+
+@query(
+    "q_kendall_tau",
+    oracle=f"""
+    WITH m AS ({_MONTHLY_SQL}),
+    p AS (
+      SELECT a.yr,
+             CASE WHEN (a.qty < b.qty AND a.rev < b.rev)
+                    OR (a.qty > b.qty AND a.rev > b.rev) THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.qty < b.qty AND a.rev > b.rev)
+                    OR (a.qty > b.qty AND a.rev < b.rev) THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.qty = b.qty THEN 1 ELSE 0 END AS tie_x,
+             CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END AS tie_y
+      FROM m a JOIN m b ON a.yr = b.yr AND a.mo < b.mo
+    )
+    SELECT yr,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(SUM(disc) AS BIGINT) AS discordant,
+           CASE WHEN (COUNT(*) - SUM(tie_x)) <= 0 OR (COUNT(*) - SUM(tie_y)) <= 0
+                THEN NULL
+                ELSE floor((SUM(conc) - SUM(disc))
+                           / sqrt(CAST((COUNT(*) - SUM(tie_x)) AS DOUBLE)
+                                  * (COUNT(*) - SUM(tie_y)))
+                           * 1e6 + 0.5) / 1e6
+           END AS tau_b
+    FROM p
+    GROUP BY yr
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between monthly quantity and
+    revenue, per ship-year — the O(n²)-pairs statistic made scale-safe
+    by computing it on the AGGREGATED series, never the fact table.
+
+    Scale shape: one hash aggregation collapses lineitem to <=12 rows
+    per year of exact decimal totals; the pairwise self-join is then
+    <=66 pairs per year (bounded by the calendar, not the data), and
+    every concordance test compares exact decimals. tau-b's tie terms
+    use pair counts directly (n1 = pairs tied in x, n2 = pairs tied in
+    y — the Σt(t-1)/2 identity), all-integer until the one final
+    division. Zero-variance years (all months tied) -> NULL on both
+    sides.
+    """
+    from ..common import det_round
+
+    m = _monthly(spark, sf_dir)
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.yr") == F.col("b.yr")) & (F.col("a.mo") < F.col("b.mo")),
+    ).select(
+        F.col("a.yr").alias("yr"),
+        F.when(
+            ((F.col("a.qty") < F.col("b.qty")) & (F.col("a.rev") < F.col("b.rev")))
+            | ((F.col("a.qty") > F.col("b.qty")) & (F.col("a.rev") > F.col("b.rev"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("conc"),
+        F.when(
+            ((F.col("a.qty") < F.col("b.qty")) & (F.col("a.rev") > F.col("b.rev")))
+            | ((F.col("a.qty") > F.col("b.qty")) & (F.col("a.rev") < F.col("b.rev"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("disc"),
+        F.when(F.col("a.qty") == F.col("b.qty"), 1).otherwise(0).alias("tie_x"),
+        F.when(F.col("a.rev") == F.col("b.rev"), 1).otherwise(0).alias("tie_y"),
+    )
+    n0 = F.count(F.lit(1))
+    eff_x = (n0 - F.sum("tie_x")).cast("double")
+    eff_y = (n0 - F.sum("tie_y")).cast("double")
+    return pairs.groupBy("yr").agg(
+        n0.cast("bigint").alias("n_pairs"),
+        F.sum("conc").cast("bigint").alias("concordant"),
+        F.sum("disc").cast("bigint").alias("discordant"),
+        F.when((eff_x <= 0) | (eff_y <= 0), F.lit(None).cast("double"))
+        .otherwise(
+            det_round(
+                (F.sum("conc") - F.sum("disc")) / F.sqrt(eff_x * eff_y), 6
+            )
+        )
+        .alias("tau_b"),
+    )
+
+
+@query(
+    "q_theil_sen",
+    oracle=f"""
+    WITH m AS ({_MONTHLY_SQL}),
+    s AS (
+      SELECT a.yr,
+             (b.rev - a.rev) / (b.mo - a.mo) AS slope,
+             ROW_NUMBER() OVER (PARTITION BY a.yr
+               ORDER BY (b.rev - a.rev) / (b.mo - a.mo), a.mo, b.mo) AS rn,
+             COUNT(*) OVER (PARTITION BY a.yr) AS np
+      FROM m a JOIN m b ON a.yr = b.yr AND a.mo < b.mo
+    )
+    SELECT yr,
+           CAST(MAX(np) AS BIGINT) AS n_pairs,
+           floor(AVG(slope) * 1e6 + 0.5) / 1e6 AS ts_slope
+    FROM s
+    WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+    GROUP BY yr
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: median of all pairwise slopes of monthly
+    revenue vs month index, per ship-year (breakdown point 29% — one
+    wild month cannot bend it, unlike q_regression_slope's OLS).
+
+    Scale shape: same aggregated-series trick as q_kendall_tau — the
+    quadratic pair enumeration runs over <=12 points per year (<=66
+    slopes), never the corpus. Each slope is an exact-decimal
+    difference / small-int division (deterministic double); the median
+    is pinned to explicit rank arithmetic (row_number by (slope, mo,
+    mo) + the two-middle average) rather than either engine's builtin
+    median so even-count interpolation is identical by construction.
+    The AVG crossing rows averages <=2 deterministic doubles.
+    """
+    from ..common import det_round
+
+    m = _monthly(spark, sf_dir)
+    a, b = m.alias("a"), m.alias("b")
+    slope = (F.col("b.rev") - F.col("a.rev")) / (F.col("b.mo") - F.col("a.mo"))
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.yr") == F.col("b.yr")) & (F.col("a.mo") < F.col("b.mo")),
+    ).select(
+        F.col("a.yr").alias("yr"),
+        slope.alias("slope"),
+        F.col("a.mo").alias("mo1"),
+        F.col("b.mo").alias("mo2"),
+    )
+    w = Window.partitionBy("yr").orderBy("slope", "mo1", "mo2")
+    ranked = pairs.select(
+        "yr",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("yr")).alias("np"),
+    )
+    mid = ranked.where(
+        (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+    )
+    return mid.groupBy("yr").agg(
+        F.max("np").cast("bigint").alias("n_pairs"),
+        det_round(F.avg("slope"), 6).alias("ts_slope"),
+    )

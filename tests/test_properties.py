@@ -1101,3 +1101,209 @@ def test_spearman_matches_avg_rank_reference(spark, tmp_path_factory, rows):
             assert grho is None
         else:
             assert grho is not None and abs(grho - rho) < 1e-6 + 1e-9
+
+
+def _anova_reference(rows):
+    """Exact one-way ANOVA from integer cents via Fraction — boundary
+    cases (zero SSW, singleton groups) are exact, never float-fuzzy
+    (the r7 MAD float-diff discipline)."""
+    from fractions import Fraction
+
+    groups: dict[str, list[int]] = {}
+    for g, cents in rows:
+        if cents is not None:
+            groups.setdefault(g, []).append(cents)
+    if not groups:
+        return None
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    ss_all = Fraction(sum(c * c for v in groups.values() for c in v), 10000)
+    s_all = Fraction(sum(c for v in groups.values() for c in v), 100)
+    t = sum(
+        (Fraction(sum(v), 100) ** 2) / len(v) for v in groups.values()
+    )
+    ssb = t - s_all**2 / n
+    ssw = ss_all - t
+    f = (
+        None
+        if (k <= 1 or n <= k or ssw <= 0)
+        else float((ssb / (k - 1)) / (ssw / (n - k)))
+    )
+    return k, n, float(ssb), float(ssw), f
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+            st.one_of(st.integers(min_value=0, max_value=500000), st.none()),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_anova_f_matches_fraction_reference(spark, tmp_path_factory, rows):
+    """q_anova_f's decimal power sums + in-order fold must equal the
+    exact Fraction-arithmetic ANOVA, including the k<=1 / n<=k /
+    zero-SSW -> NULL guards (exact on both sides: the engine's sums are
+    decimal, the reference's are rational)."""
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("anova") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, g, None if c is None else c / 100.0)
+            for i, (g, c) in enumerate(rows)
+        ],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    ).write.parquet(f"{sf}/orders.parquet")
+    got = get_queries()["q_anova_f"](spark, sf).collect()
+    want = _anova_reference(rows)
+    if want is None:
+        # global agg over an empty frame still yields one row (k=0)
+        assert len(got) == 1 and got[0].k == 0
+        return
+    k, n, ssb, ssw, f = want
+    assert len(got) == 1
+    r = got[0]
+    assert (r.k, r.n) == (k, n)
+    assert abs(r.ss_between - ssb) < 1e-4 + 1e-9 * abs(ssb)
+    assert abs(r.ss_within - ssw) < 1e-4 + 1e-9 * abs(ssw)
+    if f is None:
+        assert r.f_stat is None
+    else:
+        assert abs(r.f_stat - f) < 1e-6 + 1e-9 * abs(f)
+
+
+def _monthly_cents(rows):
+    """(yr, mo) -> (qty_cents, rev_cents) exact integer sums."""
+    m: dict[tuple[int, int], list[int]] = {}
+    for yr, mo, qc, rc in rows:
+        cur = m.setdefault((yr, mo), [0, 0])
+        cur[0] += qc
+        cur[1] += rc
+    return m
+
+
+def _kendall_reference(rows):
+    """Exact tau-b per year over the integer-cents monthly series."""
+    m = _monthly_cents(rows)
+    out = {}
+    for yr in {y for (y, _) in m}:
+        pts = sorted((mo, q, r) for (y, mo), (q, r) in m.items() if y == yr)
+        conc = disc = tie_x = tie_y = n0 = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                _, q1, r1 = pts[i]
+                _, q2, r2 = pts[j]
+                n0 += 1
+                if q1 == q2:
+                    tie_x += 1
+                if r1 == r2:
+                    tie_y += 1
+                if (q1 < q2 and r1 < r2) or (q1 > q2 and r1 > r2):
+                    conc += 1
+                elif (q1 < q2 and r1 > r2) or (q1 > q2 and r1 < r2):
+                    disc += 1
+        if n0 == 0:
+            continue
+        ex, ey = n0 - tie_x, n0 - tie_y
+        tau = None if ex <= 0 or ey <= 0 else (conc - disc) / (ex * ey) ** 0.5
+        out[yr] = (n0, conc, disc, tau)
+    return out
+
+
+def _theil_sen_reference(rows):
+    """Exact median-of-slopes per year (Fraction slopes, two-middle avg)."""
+    from fractions import Fraction
+
+    m = _monthly_cents(rows)
+    out = {}
+    for yr in {y for (y, _) in m}:
+        pts = sorted((mo, r) for (y, mo), (_, r) in m.items() if y == yr)
+        slopes = sorted(
+            Fraction(r2 - r1, 100 * (m2 - m1))
+            for i, (m1, r1) in enumerate(pts)
+            for (m2, r2) in pts[i + 1 :]
+        )
+        if not slopes:
+            continue
+        np_ = len(slopes)
+        mid = (slopes[(np_ - 1) // 2] + slopes[np_ // 2]) / 2
+        out[yr] = (np_, float(mid))
+    return out
+
+
+_MONTHLY_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from([1995, 1996]),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=5000),
+        st.integers(min_value=0, max_value=1000000),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _write_lineitem(spark, tmp_path_factory, rows, tag):
+    import datetime as dt
+    import uuid
+
+    sf = str(tmp_path_factory.mktemp(tag) / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, dt.datetime(yr, mo, 1 + i % 28), qc / 100.0, rc / 100.0)
+            for i, (yr, mo, qc, rc) in enumerate(rows)
+        ],
+        "l_orderkey long, l_shipdate timestamp, l_quantity double,"
+        " l_extendedprice double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    return sf
+
+
+@given(rows=_MONTHLY_ROWS)
+@settings(**_SETTINGS)
+def test_kendall_tau_matches_pair_reference(spark, tmp_path_factory, rows):
+    """q_kendall_tau's join-pair concordance counting must equal the
+    brute-force per-pair enumeration over exact integer-cents monthly
+    sums, including the all-tied -> NULL tau guard."""
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = _write_lineitem(spark, tmp_path_factory, rows, "kt")
+    got = {
+        r.yr: (r.n_pairs, r.concordant, r.discordant, r.tau_b)
+        for r in get_queries()["q_kendall_tau"](spark, sf).collect()
+    }
+    want = _kendall_reference(rows)
+    assert set(got) == set(want)
+    for yr, (n0, conc, disc, tau) in want.items():
+        gn, gc, gd, gt = got[yr]
+        assert (gn, gc, gd) == (n0, conc, disc)
+        if tau is None:
+            assert gt is None
+        else:
+            assert abs(gt - tau) < 1e-6 + 1e-12
+
+
+@given(rows=_MONTHLY_ROWS)
+@settings(**_SETTINGS)
+def test_theil_sen_matches_median_reference(spark, tmp_path_factory, rows):
+    """q_theil_sen's rank-pinned median must equal the exact Fraction
+    median of all pairwise slopes (two-middle average on even counts)."""
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = _write_lineitem(spark, tmp_path_factory, rows, "ts")
+    got = {
+        r.yr: (r.n_pairs, r.ts_slope)
+        for r in get_queries()["q_theil_sen"](spark, sf).collect()
+    }
+    want = _theil_sen_reference(rows)
+    assert set(got) == set(want)
+    for yr, (np_, slope) in want.items():
+        gn, gs = got[yr]
+        assert gn == np_
+        assert abs(gs - slope) < 1e-6 + 1e-9 * abs(slope)
