@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..caching import track
 from ..catalog import table
-from ..common import date_str, det_round, dsum, o_date_str, o_det_round, o_dsum
+from ..common import DEC, date_str, det_round, dsum, o_date_str, o_det_round, o_dsum
 from ..registry import query
 
 # The funnel's ordered stages. Strict ts ordering between stages: a
@@ -1999,4 +1999,143 @@ def q_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").cast("bigint").alias("n_users"),
         )
         .orderBy("dow", "hour")
+    )
+
+
+@query(
+    "q_max_drawdown",
+    oracle=f"""
+    WITH run AS (
+      SELECT user_id, event_id,
+             SUM({_BAL_DELTA}) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    walk AS (
+      SELECT user_id, running,
+             MAX(running) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM run
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(MAX(peak - running) AS BIGINT) AS max_drawdown_cents
+    FROM walk
+    GROUP BY user_id
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user ledger: peak-to-trough drop of the
+    running balance — q_clamped_balance's WINDOW-EXPRESSIBLE sibling
+    (drawdown is a running max over a running sum, associative at every
+    step, so no custom kernel is needed; the clamp in q_clamped_balance
+    is what forces one there).
+
+    Integer cents end-to-end (the _BAL_DELTA half-up conversion both
+    engines define identically), so running/peak/drawdown are exact and
+    the oracle hash-matches with no rounding anywhere. One shuffle on
+    user_id; both window passes share the same sort. At 100 TB per-user
+    history is the bounded unit of work, same as the balance kernel.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "event_id", F.expr(_BAL_DELTA).alias("delta"))
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = ev.select(
+        "user_id",
+        "event_id",
+        F.sum("delta").over(w).alias("running"),
+    ).select(
+        "user_id",
+        "running",
+        F.max("running").over(w).alias("peak"),
+    )
+    return walk.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("peak").cast("bigint").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("running")).cast("bigint").alias(
+            "max_drawdown_cents"
+        ),
+    )
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS rev
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ),
+    trended AS (
+      SELECT d, (d + 3) % 7 AS dow, rev,
+             SUM(rev) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend_sum,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS wcnt
+      FROM daily
+    )
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 4) AS mean_daily_rev,
+           round(CAST(SUM(rev) AS DOUBLE) / COUNT(*)
+                 - CAST(SUM(trend_sum) AS DOUBLE) / (7.0 * COUNT(*)), 4)
+             AS seasonal_additive
+    FROM trended
+    WHERE wcnt = 7
+    GROUP BY dow
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue:
+    centered 7-row moving-average trend, per-weekday additive seasonal
+    component avg(value - trend) over the interior days (full 7-day
+    windows only) — q_seasonality_dow's detrended sibling (that one is
+    multiplicative on raw counts; a drifting level leaks into its
+    index, not into this one).
+
+    Determinism: the daily series keeps EXACT decimal sums through the
+    window (the trend window sums decimals, never doubles), and the
+    per-dow seasonal recombines as avg(rev) - avg(trend_sum)/7 — two
+    decimal-exact sums and one fixed double expression, so no
+    row-order float accumulation exists anywhere. Scale: one hash agg
+    collapses the fact table to the calendar-bounded daily series; the
+    global trend window orders ~|days| rows (metadata-scale, the
+    q_ntile_global rule), partition-safe behind the aggregate.
+    """
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    daily = (
+        o.select(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("d"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        ((F.col("d") + 3) % 7).alias("dow"),
+        "rev",
+        F.sum("rev").over(w7).alias("trend_sum"),
+        F.count(F.lit(1)).over(w7).alias("wcnt"),
+    ).where(F.col("wcnt") == 7)
+    n = F.count(F.lit(1))
+    return trended.groupBy(F.col("dow").cast("int").alias("dow")).agg(
+        n.cast("bigint").alias("n_days"),
+        F.round(F.sum("rev").cast("double") / n, 4).alias("mean_daily_rev"),
+        F.round(
+            F.sum("rev").cast("double") / n
+            - F.sum("trend_sum").cast("double") / (F.lit(7.0) * n),
+            4,
+        ).alias("seasonal_additive"),
     )

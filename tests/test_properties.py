@@ -1307,3 +1307,135 @@ def test_theil_sen_matches_median_reference(spark, tmp_path_factory, rows):
         gn, gs = got[yr]
         assert gn == np_
         assert abs(gs - slope) < 1e-6 + 1e-9 * abs(slope)
+
+
+def _drawdown_reference(rows):
+    """Exact integer walk: per user running sum of cents deltas, running
+    peak, max(peak - running)."""
+    out = {}
+    by_user: dict[int, list[int]] = {}
+    for uid, cents in rows:
+        if cents is not None:
+            by_user.setdefault(uid, []).append(cents - 5000)
+    for uid, deltas in by_user.items():
+        running = peak = 0
+        best_peak = None
+        best_dd = None
+        for i, dlt in enumerate(deltas):
+            running += dlt
+            peak = running if i == 0 else max(peak, running)
+            best_peak = peak if best_peak is None else max(best_peak, peak)
+            dd = peak - running
+            best_dd = dd if best_dd is None else max(best_dd, dd)
+        out[uid] = (len(deltas), best_peak, best_dd)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.one_of(st.integers(min_value=0, max_value=20000), st.none()),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_max_drawdown_matches_walk_reference(spark, tmp_path_factory, rows):
+    """q_max_drawdown's two stacked windows must equal the literal
+    peak-tracking walk — exact integers, zero tolerance."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("dd") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, uid, None if c is None else c / 100.0, dt.datetime(2024, 1, 1))
+            for i, (uid, c) in enumerate(rows)
+        ],
+        "event_id long, user_id long, value double, ts timestamp",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.user_id: (r.n_events, r.peak_cents, r.max_drawdown_cents)
+        for r in get_queries()["q_max_drawdown"](spark, sf).collect()
+    }
+    assert got == _drawdown_reference(rows)
+
+
+def _seasonal_reference(rows):
+    """Exact Fraction additive decomposition over the daily cents sums:
+    centered 7-ROW trend over the day-ordered series, per-dow
+    avg(rev - trend) on full windows only."""
+    from fractions import Fraction
+
+    daily: dict[int, int] = {}
+    for d, cents in rows:
+        if cents is not None:
+            daily[d] = daily.get(d, 0) + cents
+    days = sorted(daily)
+    out: dict[int, list] = {}
+    for i, d in enumerate(days):
+        if i < 3 or i > len(days) - 4:
+            continue
+        window = [daily[days[j]] for j in range(i - 3, i + 4)]
+        rev = Fraction(daily[d], 100)
+        trend = Fraction(sum(window), 700)
+        cur = out.setdefault((d + 3) % 7, [0, Fraction(0), Fraction(0)])
+        cur[0] += 1
+        cur[1] += rev
+        cur[2] += rev - trend
+    return {
+        dow: (n, float(s_rev / n), float(s_det / n))
+        for dow, (n, s_rev, s_det) in out.items()
+    }
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=19000, max_value=19030),
+            st.one_of(st.integers(min_value=0, max_value=100000), st.none()),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_seasonal_decompose_matches_fraction_reference(
+    spark, tmp_path_factory, rows
+):
+    """q_seasonal_decompose's decimal-through-the-window recombination
+    must equal the exact Fraction decomposition, including the
+    interior-days-only (wcnt=7) gating on sparse calendars."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    epoch = dt.datetime(1970, 1, 1)
+    sf = str(tmp_path_factory.mktemp("sd") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (
+                i + 1,
+                epoch + dt.timedelta(days=d),
+                None if c is None else c / 100.0,
+            )
+            for i, (d, c) in enumerate(rows)
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    ).write.parquet(f"{sf}/orders.parquet")
+    got = {
+        r.dow: (r.n_days, r.mean_daily_rev, r.seasonal_additive)
+        for r in get_queries()["q_seasonal_decompose"](spark, sf).collect()
+    }
+    want = _seasonal_reference(rows)
+    assert set(got) == set(want)
+    for dow, (n, mean_rev, seasonal) in want.items():
+        gn, gm, gs = got[dow]
+        assert gn == n
+        assert abs(gm - mean_rev) < 1e-4 + 1e-9 * abs(mean_rev)
+        assert abs(gs - seasonal) < 1e-4 + 1e-9 * abs(seasonal)
