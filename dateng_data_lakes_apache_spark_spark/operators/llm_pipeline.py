@@ -1372,3 +1372,86 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "fold")
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+             CAST((instr('0123456789abcdef', substr(md5(text),1,1))-1)*4096
+                + (instr('0123456789abcdef', substr(md5(text),2,1))-1)*256
+                + (instr('0123456789abcdef', substr(md5(text),3,1))-1)*16
+                + (instr('0123456789abcdef', substr(md5(text),4,1))-1) AS INT) % 100
+               AS bucket
+      FROM documents
+    ),
+    train_set AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+               AS g
+      FROM split WHERE bucket < {_TRAIN_HI} AND len(ws) >= 2
+    ),
+    test_grams AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+               AS g
+      FROM split WHERE bucket >= {_VAL_HI} AND len(ws) >= 2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_test_bigrams,
+           CAST(SUM(CASE WHEN t.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN t.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty_ratio
+    FROM test_grams tg LEFT JOIN train_set t ON tg.g = t.g
+    GROUP BY lang
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-split n-gram novelty vs the train split: what fraction of
+    the held-out corpus's bigram OCCURRENCES never appear in training
+    data — the memorization/novelty audit that complements
+    q_decontaminate (that one removes overlap; this one MEASURES how
+    much eval signal is left).
+
+    Splits reuse q_split_train_test's md5(text) buckets, so the three
+    split queries agree on membership by construction. Scale shape:
+    both gram streams collapse map-side (train to its DISTINCT set,
+    test to occurrences), the one shuffle joins on the gram hash —
+    carrier is the distinct-bigram vocabulary, never the corpus. The
+    ratio is one bigint/bigint division, exact on both engines.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("ws"),
+        # q_split_train_test's exact bucket derivation — the split
+        # queries must agree on membership.
+        (F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100).alias(
+            "bucket"
+        ),
+    )
+    grams = lambda df: df.where(F.size("ws") >= 2).select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ws", i + 1), F.element_at("ws", i + 2)
+                ),
+            )
+        ).alias("g"),
+    )
+    train_set = grams(d.where(F.col("bucket") < _TRAIN_HI)).select("g").distinct()
+    test_grams = grams(d.where(F.col("bucket") >= _VAL_HI))
+    joined = test_grams.join(
+        train_set.withColumn("seen", F.lit(1)), "g", "left"
+    )
+    novel = F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_bigrams"),
+        novel.cast("bigint").alias("n_novel"),
+        (novel.cast("double") / F.count(F.lit(1))).alias("novelty_ratio"),
+    )

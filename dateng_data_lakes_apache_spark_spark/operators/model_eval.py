@@ -463,3 +463,261 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / F.col("first_rel"), 6).alias("rr"),
         F.round(F.col("dcg10") / F.col("idcg10"), 6).alias("ndcg10"),
     ).orderBy("q_id")
+
+
+@query(
+    "q_eval_pr_curve",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_duck4('doc_id', 1)} % 1000 AS s,
+             CASE WHEN {_duck4('doc_id', 9)} % 1000 < {_duck4('doc_id', 1)} % 1000
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    hist AS (
+      SELECT s, SUM(y) AS pos_at, COUNT(*) AS tot_at
+      FROM scored GROUP BY s
+    ),
+    tot AS (SELECT SUM(pos_at) AS npos FROM hist),
+    cum AS (
+      SELECT s,
+             SUM(pos_at) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+             SUM(tot_at) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tot
+      FROM hist
+    )
+    SELECT CAST(s AS INT) AS score_cut,
+           CAST(cum_pos AS BIGINT) AS n_pos_at_cut,
+           CAST(cum_tot AS BIGINT) AS n_at_cut,
+           CAST(cum_pos AS DOUBLE) / cum_tot AS precision_at,
+           CAST(cum_pos AS DOUBLE) / npos AS recall_at,
+           2.0 * cum_pos / (cum_tot + npos) AS f1_at
+    FROM cum, tot
+    WHERE npos > 0
+    """,
+)
+def q_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full precision/recall/F1 curve at every distinct score threshold
+    — q_eval_auc's operating-point companion (AUC says HOW GOOD, the
+    curve says WHERE TO CUT).
+
+    Same scale trick as the AUC: one hash agg collapses the corpus to
+    the <=1000-row score histogram; cumulative counts over THAT give
+    every operating point. Every output is a single integer/integer
+    division (F1 folds to 2·TP/(pred_pos + real_pos), one division —
+    not the 2PR/(P+R) float composition), so the curve hash-matches
+    bit-for-bit with no rounding. Zero-positive corpora emit an empty
+    curve on both sides rather than NULL-filled rows.
+    """
+    from pyspark.sql import Window
+
+    h1, h9 = _spark4("doc_id", 1), _spark4("doc_id", 9)
+    scored = table(spark, sf_dir, "documents").select(
+        (F.expr(h1) % 1000).alias("s"),
+        F.when(F.expr(h9) % 1000 < F.expr(h1) % 1000, 1).otherwise(0).alias("y"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("y").alias("pos_at"), F.count(F.lit(1)).alias("tot_at")
+    )
+    tot = hist.agg(F.sum("pos_at").alias("npos"))
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "s",
+        F.sum("pos_at").over(w).alias("cum_pos"),
+        F.sum("tot_at").over(w).alias("cum_tot"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("npos") > 0)
+        .select(
+            F.col("s").cast("int").alias("score_cut"),
+            F.col("cum_pos").cast("bigint").alias("n_pos_at_cut"),
+            F.col("cum_tot").cast("bigint").alias("n_at_cut"),
+            (F.col("cum_pos").cast("double") / F.col("cum_tot")).alias(
+                "precision_at"
+            ),
+            (F.col("cum_pos").cast("double") / F.col("npos")).alias("recall_at"),
+            (F.lit(2.0) * F.col("cum_pos") / (F.col("cum_tot") + F.col("npos"))).alias(
+                "f1_at"
+            ),
+        )
+    )
+
+
+@query(
+    "q_eval_bleu",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ct,
+             LEAD(list_filter(string_split(text, ' '), x -> x <> ''))
+               OVER (PARTITION BY source ORDER BY doc_id) AS rt
+      FROM documents
+    ),
+    p AS (
+      SELECT * FROM d WHERE ct IS NOT NULL AND rt IS NOT NULL
+    ),
+    cg AS (
+      SELECT source, doc_id, n, g, COUNT(*) AS c FROM (
+        SELECT source, doc_id, 1 AS n, unnest(ct) AS g FROM p
+        UNION ALL
+        SELECT source, doc_id, 2 AS n,
+               unnest(list_transform(range(1, len(ct)), i -> ct[i] || ' ' || ct[i+1]))
+                 AS g
+        FROM p WHERE len(ct) >= 2
+      ) GROUP BY ALL
+    ),
+    rg AS (
+      SELECT source, doc_id, n, g, COUNT(*) AS c FROM (
+        SELECT source, doc_id, 1 AS n, unnest(rt) AS g FROM p
+        UNION ALL
+        SELECT source, doc_id, 2 AS n,
+               unnest(list_transform(range(1, len(rt)), i -> rt[i] || ' ' || rt[i+1]))
+                 AS g
+        FROM p WHERE len(rt) >= 2
+      ) GROUP BY ALL
+    ),
+    cl AS (
+      SELECT cg.source, cg.n,
+             SUM(LEAST(cg.c, COALESCE(rg.c, 0))) AS clip,
+             SUM(cg.c) AS tot
+      FROM cg LEFT JOIN rg
+        ON rg.source = cg.source AND rg.doc_id = cg.doc_id
+       AND rg.n = cg.n AND rg.g = cg.g
+      GROUP BY 1, 2
+    ),
+    lens AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(len(ct)) AS BIGINT) AS cand_tokens,
+             CAST(SUM(len(rt)) AS BIGINT) AS ref_tokens
+      FROM p GROUP BY source
+    )
+    SELECT l.source, l.n_pairs, l.cand_tokens, l.ref_tokens,
+           CAST(c1.clip AS DOUBLE) / c1.tot AS p1,
+           CAST(c2.clip AS DOUBLE) / c2.tot AS p2,
+           CASE WHEN c1.tot IS NULL OR c2.tot IS NULL OR l.ref_tokens = 0
+                THEN NULL
+                ELSE LEAST(1.0, CAST(l.cand_tokens AS DOUBLE) / l.ref_tokens)
+                     * sqrt((CAST(c1.clip AS DOUBLE) / c1.tot)
+                            * (CAST(c2.clip AS DOUBLE) / c2.tot))
+           END AS bleu2
+    FROM lens l
+    LEFT JOIN cl c1 ON c1.source = l.source AND c1.n = 1
+    LEFT JOIN cl c2 ON c2.source = l.source AND c2.n = 2
+    """,
+)
+def q_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-2 between each document and its successor in
+    the same source — the n-gram-overlap eval metric as a lake query
+    (here measuring intra-source self-similarity; any (candidate,
+    reference) pair table slots into ``pairs``).
+
+    Corpus-level means counts aggregate BEFORE dividing (the Papineni
+    convention): clipped/total n-gram counts and candidate/reference
+    lengths are all integer sums per source, then p1, p2, the linear
+    brevity factor min(1, c/r), and bleu2 = bp·sqrt(p1·p2) are one
+    fixed double expression — no per-pair float averaging, so the
+    metric hash-matches exactly (sqrt and IEEE division are correctly
+    rounded on both engines; the geometric mean uses sqrt, NOT
+    exp/ln, whose libm rounding differs). Brevity is the linear ratio
+    (documented contract), not the exp(1-r/c) penalty, for the same
+    libm reason.
+
+    Scale: the gram fan-out collapses map-side into per-(pair, gram)
+    partials; the clipped join carries the gram vocabulary, the
+    per-source report is k rows. Pairs with a NULL side are dropped
+    after the LEAD (a NULL-text doc still consumes its slot in the
+    pairing — the hostile-catalog convention).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        table(spark, sf_dir, "documents")
+        .select("source", "doc_id", toks.alias("ct"))
+        .select("source", "doc_id", "ct", F.lead("ct").over(w).alias("rt"))
+        .where(F.col("ct").isNotNull() & F.col("rt").isNotNull())
+    )
+
+    def gram_counts(col_name: str) -> DataFrame:
+        col = F.col(col_name)
+        uni = pairs.select(
+            "source",
+            "doc_id",
+            F.lit(1).alias("n"),
+            F.explode(col).alias("g"),
+        )
+        bi = (
+            pairs.where(F.size(col) >= 2)
+            .select(
+                "source",
+                "doc_id",
+                F.lit(2).alias("n"),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(col) - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(col, i + 1),
+                            F.element_at(col, i + 2),
+                        ),
+                    )
+                ).alias("g"),
+            )
+        )
+        return uni.unionAll(bi).groupBy("source", "doc_id", "n", "g").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    cg, rg = gram_counts("ct"), gram_counts("rt")
+    cl = (
+        cg.join(
+            rg.withColumnRenamed("c", "c_ref"),
+            ["source", "doc_id", "n", "g"],
+            "left",
+        )
+        .groupBy("source", "n")
+        .agg(
+            F.sum(F.least(F.col("c"), F.coalesce(F.col("c_ref"), F.lit(0)))).alias(
+                "clip"
+            ),
+            F.sum("c").alias("tot"),
+        )
+    )
+    lens = pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.size("ct")).cast("bigint").alias("cand_tokens"),
+        F.sum(F.size("rt")).cast("bigint").alias("ref_tokens"),
+    )
+    c1 = cl.where(F.col("n") == 1).select(
+        "source", F.col("clip").alias("clip1"), F.col("tot").alias("tot1")
+    )
+    c2 = cl.where(F.col("n") == 2).select(
+        "source", F.col("clip").alias("clip2"), F.col("tot").alias("tot2")
+    )
+    out = lens.join(c1, "source", "left").join(c2, "source", "left")
+    p1 = F.col("clip1").cast("double") / F.col("tot1")
+    p2 = F.col("clip2").cast("double") / F.col("tot2")
+    bp = F.least(
+        F.lit(1.0), F.col("cand_tokens").cast("double") / F.col("ref_tokens")
+    )
+    return out.select(
+        "source",
+        "n_pairs",
+        "cand_tokens",
+        "ref_tokens",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        F.when(
+            F.col("tot1").isNull()
+            | F.col("tot2").isNull()
+            | (F.col("ref_tokens") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(bp * F.sqrt(p1 * p2))
+        .alias("bleu2"),
+    )

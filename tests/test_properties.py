@@ -1439,3 +1439,165 @@ def test_seasonal_decompose_matches_fraction_reference(
         assert gn == n
         assert abs(gm - mean_rev) < 1e-4 + 1e-9 * abs(mean_rev)
         assert abs(gs - seasonal) < 1e-4 + 1e-9 * abs(seasonal)
+
+
+def _bleu_reference(rows):
+    """Pure-Python corpus-level BLEU-2 per source over consecutive-doc
+    pairs (Counter-clipped counts, linear brevity, sqrt geometric
+    mean) — the same fixed float expression the query computes."""
+    from collections import Counter
+    from math import sqrt
+
+    by_src: dict[str, list] = {}
+    for i, (src, text) in enumerate(rows):
+        toks = None if text is None else [t for t in text.split(" ") if t != ""]
+        by_src.setdefault(src, []).append((i, toks))
+    out = {}
+    for src, docs in by_src.items():
+        docs.sort()
+        pairs = [
+            (c, r)
+            for (_, c), (_, r) in zip(docs, docs[1:])
+            if c is not None and r is not None
+        ]
+        if not pairs:
+            continue
+        clip1 = tot1 = clip2 = tot2 = clen = rlen = 0
+        for c, r in pairs:
+            clen += len(c)
+            rlen += len(r)
+            cc, rc = Counter(c), Counter(r)
+            clip1 += sum((cc & rc).values())
+            tot1 += len(c)
+            cb = Counter(zip(c, c[1:]))
+            rb = Counter(zip(r, r[1:]))
+            clip2 += sum((cb & rb).values())
+            tot2 += sum(cb.values())
+        p1 = None if tot1 == 0 else clip1 / tot1
+        p2 = None if tot2 == 0 else clip2 / tot2
+        bleu = (
+            None
+            if (p1 is None or p2 is None or rlen == 0)
+            else min(1.0, clen / rlen) * sqrt(p1 * p2)
+        )
+        out[src] = (len(pairs), clen, rlen, p1, p2, bleu)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["sa", "sb"]),
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.sampled_from(["the", "cat", "sat", "on", "mat"]),
+                    min_size=0,
+                    max_size=6,
+                ).map(" ".join),
+            ),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_eval_bleu_matches_counter_reference(spark, tmp_path_factory, rows):
+    """q_eval_bleu's join-clipped counts must equal Counter-intersection
+    clipping, pair-by-pair, including NULL-text pair drops and the
+    zero-bigram -> NULL guard."""
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("bleu") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [(i, src, text) for i, (src, text) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r.source: (r.n_pairs, r.cand_tokens, r.ref_tokens, r.p1, r.p2, r.bleu2)
+        for r in get_queries()["q_eval_bleu"](spark, sf).collect()
+    }
+    want = _bleu_reference(rows)
+    assert set(got) == set(want)
+    for src, (np_, clen, rlen, p1, p2, bleu) in want.items():
+        gn, gc, gr, gp1, gp2, gb = got[src]
+        assert (gn, gc, gr) == (np_, clen, rlen)
+        for g, w in ((gp1, p1), (gp2, p2), (gb, bleu)):
+            if w is None:
+                assert g is None
+            else:
+                assert abs(g - w) < 1e-12
+
+
+def _novelty_reference(rows):
+    """Exact novelty counts: md5(text)-bucketed splits, train DISTINCT
+    bigram set, test bigram occurrences."""
+    import hashlib
+
+    def bucket(text):
+        return int(hashlib.md5(text.encode()).hexdigest()[:4], 16) % 100
+
+    def bigrams(text):
+        toks = [t for t in text.split(" ") if t != ""]
+        return list(zip(toks, toks[1:]))
+
+    train = {
+        g
+        for (_, text) in rows
+        if text is not None and bucket(text) < 80
+        for g in bigrams(text)
+    }
+    out: dict[str, list] = {}
+    for lang, text in rows:
+        if text is None or bucket(text) < 90:
+            continue
+        for g in bigrams(text):
+            cur = out.setdefault(lang, [0, 0])
+            cur[0] += 1
+            cur[1] += g not in train
+    return {
+        lang: (n, novel, novel / n) for lang, (n, novel) in out.items() if n
+    }
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=5
+                ).map(" ".join),
+            ),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_ngram_novelty_matches_set_reference(spark, tmp_path_factory, rows):
+    """q_ngram_novelty's anti-join novelty must equal the literal
+    train-set membership test, on the same md5 buckets as
+    q_split_train_test."""
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("nov") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(rows)],
+        "doc_id long, lang string, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r.lang: (r.n_test_bigrams, r.n_novel, r.novelty_ratio)
+        for r in get_queries()["q_ngram_novelty"](spark, sf).collect()
+    }
+    want = _novelty_reference(rows)
+    assert set(got) == set(want)
+    for lang, (n, novel, ratio) in want.items():
+        gn, gnov, gr = got[lang]
+        assert (gn, gnov) == (n, novel)
+        assert abs(gr - ratio) < 1e-12
