@@ -2139,3 +2139,119 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("seasonal_additive"),
     )
+
+
+#: Holt smoothing constants — part of the query contract; both engines
+#: parse the identical double literals, and every recursion step is the
+#: same fixed IEEE expression tree, so the walks agree bit-for-bit.
+_HOLT_ALPHA, _HOLT_BETA = 0.2, 0.1
+
+
+@query(
+    "q_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+             CAST(n AS DOUBLE) AS y
+      FROM (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+      )
+    ),
+    sizes AS (
+      SELECT event_type, MAX(rn) AS n_days FROM daily GROUP BY event_type
+    ),
+    walk AS (
+      SELECT d1.event_type, 1 AS rn, d1.y AS l, d2.y - d1.y AS b
+      FROM daily d1 JOIN daily d2
+        ON d2.event_type = d1.event_type AND d1.rn = 1 AND d2.rn = 2
+      UNION ALL
+      SELECT w.event_type, w.rn + 1,
+             {_HOLT_ALPHA} * d.y + {1 - _HOLT_ALPHA} * (w.l + w.b),
+             {_HOLT_BETA} * (({_HOLT_ALPHA} * d.y + {1 - _HOLT_ALPHA} * (w.l + w.b)) - w.l)
+               + {1 - _HOLT_BETA} * w.b
+      FROM walk w JOIN daily d
+        ON d.event_type = w.event_type AND d.rn = w.rn + 1
+    )
+    SELECT w.event_type,
+           CAST(s.n_days AS BIGINT) AS n_days,
+           floor(w.l * 1e6 + 0.5) / 1e6 AS level,
+           floor(w.b * 1e6 + 0.5) / 1e6 AS trend,
+           floor((w.l + w.b) * 1e6 + 0.5) / 1e6 AS forecast_1
+    FROM walk w
+    JOIN sizes s ON s.event_type = w.event_type AND s.n_days = w.rn
+    """,
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of the daily
+    event-count series per event type, returning the final state and
+    the one-step-ahead forecast — the canonical COUPLED non-associative
+    recursion (l_t depends on b_{t-1} and vice versa): no window frame
+    expresses it, so like q_clamped_balance it runs as a custom Python
+    kernel, and the DuckDB twin re-derives it with a recursive CTE —
+    a fully INDEPENDENT oracle, not a staged pin.
+
+    Initialization contract: l_1 = y_1, b_1 = y_2 − y_1 (series with
+    <2 points are dropped); α=0.2, β=0.1 are double literals both
+    engines parse identically, and each step is the same fixed IEEE
+    expression tree, so the two walks agree bit-for-bit (6-dp rounding
+    is belt-and-braces, not load-bearing).
+
+    Scale: the DATA-scale pass is the (event_type, day) hash agg; the
+    kernel walks the CALENDAR-BOUNDED aggregated series per group via
+    applyInPandas (groups = event types; a real deployment keys the
+    series table by (metric, grain) — per-group state never exceeds
+    |days|). Unlike q_clamped_balance's per-user mapInPandas (50
+    groups × 100 rows, crossing-dominated), here groups are few and
+    long, exactly where applyInPandas is the right shape.
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        y = pdf["y"].to_numpy()
+        if len(y) < 2:
+            return pd.DataFrame(
+                columns=["event_type", "n_days", "level", "trend", "forecast_1"]
+            ).astype(
+                {
+                    "event_type": "object",
+                    "n_days": "int64",
+                    "level": "float64",
+                    "trend": "float64",
+                    "forecast_1": "float64",
+                }
+            )
+        lvl, trd = y[0], y[1] - y[0]
+        for t in range(1, len(y)):
+            new_l = _HOLT_ALPHA * y[t] + (1 - _HOLT_ALPHA) * (lvl + trd)
+            trd = _HOLT_BETA * (new_l - lvl) + (1 - _HOLT_BETA) * trd
+            lvl = new_l
+        import math
+
+        r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(y)],
+                "level": [r6(lvl)],
+                "trend": [r6(trd)],
+                "forecast_1": [r6(lvl + trd)],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, n_days bigint, level double, trend double,"
+        " forecast_1 double",
+    )

@@ -504,3 +504,104 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), "pa", "pb")
         .limit(50)
     )
+
+
+@query(
+    "q_local_clustering",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+      SELECT a.p AS a, b.p AS b
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY node
+    ),
+    tris AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    credit AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT x AS node FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(c.n_tri, 0) AS n_triangles,
+           CASE WHEN d.degree < 2 THEN NULL
+                ELSE 2.0 * COALESCE(c.n_tri, 0) / (d.degree * (d.degree - 1))
+           END AS lcc
+    FROM deg d LEFT JOIN credit c ON c.node = d.node
+    """,
+)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-purchase graph
+    (same support-thresholded edge derivation as q_triangle_count):
+    lcc(v) = 2·tri(v) / deg(v)(deg(v)−1) — "how clique-like is each
+    part's neighborhood", the node-level refinement of the global
+    triangle count and the standard feature for community/anomaly
+    scoring on derived graphs.
+
+    The oriented wedge join enumerates each triangle once (x<y<z) and
+    credits all three corners via a 3-way UNION — no per-node
+    neighborhood materialization, so the cost stays the Σ deg² wedge
+    bound the support threshold already prices, and the one extra
+    aggregation is bounded by 3·|triangles|. All-integer until the one
+    division (exact); degree-<2 nodes → NULL lcc on both engines.
+    """
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    ia, ib = items.alias("ia"), items.alias("ib")
+    edges = (
+        ia.join(ib, (F.col("ia.o") == F.col("ib.o")) & (F.col("ia.p") < F.col("ib.p")))
+        .groupBy(F.col("ia.p").alias("a"), F.col("ib.p").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("a", "b")
+    )
+    edges = track(edges)  # shared by the degree pass and all 3 wedge legs
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = e1.join(e2, F.col("e1.b") == F.col("e2.a")).join(
+        e3,
+        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+    ).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    credit = (
+        tris.select(F.col("x").alias("node"))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .unionAll(tris.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    joined = deg.join(credit, "node", "left")
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return joined.select(
+        "node",
+        "degree",
+        n_tri.cast("bigint").alias("n_triangles"),
+        F.when(F.col("degree") < 2, F.lit(None).cast("double"))
+        .otherwise(
+            F.lit(2.0) * n_tri / (F.col("degree") * (F.col("degree") - 1))
+        )
+        .alias("lcc"),
+    )

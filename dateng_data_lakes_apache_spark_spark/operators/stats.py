@@ -2917,3 +2917,109 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("np").cast("bigint").alias("n_pairs"),
         det_round(F.avg("slope"), 6).alias("ts_slope"),
     )
+
+
+@query(
+    "q_welch_ttest",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderstatus AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {o_dsum('o_totalprice')} AS s,
+             {o_dsum('o_totalprice * o_totalprice')} AS ss
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('O', 'F')
+      GROUP BY o_orderstatus
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN grp = 'O' THEN n END) AS n1,
+        MAX(CASE WHEN grp = 'F' THEN n END) AS n2,
+        MAX(CASE WHEN grp = 'O' THEN s END) AS s1,
+        MAX(CASE WHEN grp = 'F' THEN s END) AS s2,
+        MAX(CASE WHEN grp = 'O' THEN ss END) AS ss1,
+        MAX(CASE WHEN grp = 'F' THEN ss END) AS ss2
+      FROM g
+    ),
+    v AS (
+      SELECT n1, n2,
+             s1 / n1 - s2 / n2 AS mean_diff,
+             (n1 * ss1 - s1 * s1) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) AS se1,
+             (n2 * ss2 - s2 * s2) / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) AS se2
+      FROM w
+      WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+    )
+    SELECT n1, n2,
+           floor(mean_diff * 1e4 + 0.5) / 1e4 AS mean_diff,
+           CASE WHEN n1 < 2 OR n2 < 2 OR (se1 + se2) <= 0 THEN NULL
+                ELSE floor(mean_diff / sqrt(se1 + se2) * 1e6 + 0.5) / 1e6
+           END AS t_stat,
+           CASE WHEN n1 < 2 OR n2 < 2 OR (se1 + se2) <= 0 THEN NULL
+                ELSE floor((se1 + se2) * (se1 + se2)
+                           / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+                           * 1e4 + 0.5) / 1e4
+           END AS welch_df
+    FROM v
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between open ('O') and fulfilled
+    ('F') order values, with the Welch-Satterthwaite degrees of
+    freedom — the workhorse two-sample mean test (q_ab_test's
+    continuous-outcome sibling; that one tests proportions).
+
+    Same exact-power-sum discipline as q_agg_stats: one hash agg to
+    two rows of (n, Σx, Σx²) decimals, then mean/variance/t/df
+    recombine in ONE fixed double expression tree written identically
+    in both engines (se_i = (nΣx² − (Σx)²)/(n²(n−1)) is the standard
+    error squared built from exact inputs). Guards: a missing group
+    emits an empty frame; n<2 or zero pooled variance → NULL t/df.
+    """
+    from ..common import det_round
+
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderstatus").isin("O", "F")
+    )
+    v = F.col("o_totalprice")
+    g = o.groupBy(F.col("o_orderstatus").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dec_sum(v).alias("s"),
+        _dec_sum(v * v).alias("ss"),
+    )
+    pick = lambda grp, c: F.max(F.when(F.col("grp") == grp, F.col(c)))
+    w = g.agg(
+        pick("O", "n").alias("n1"),
+        pick("F", "n").alias("n2"),
+        pick("O", "s").alias("s1"),
+        pick("F", "s").alias("s2"),
+        pick("O", "ss").alias("ss1"),
+        pick("F", "ss").alias("ss2"),
+    ).where(F.col("n1").isNotNull() & F.col("n2").isNotNull())
+    n1, n2 = F.col("n1"), F.col("n2")
+    mean_diff = F.col("s1") / n1 - F.col("s2") / n2
+    se1 = (n1 * F.col("ss1") - F.col("s1") * F.col("s1")) / (
+        n1.cast("double") * n1 * (n1 - 1)
+    )
+    se2 = (n2 * F.col("ss2") - F.col("s2") * F.col("s2")) / (
+        n2.cast("double") * n2 * (n2 - 1)
+    )
+    bad = (n1 < 2) | (n2 < 2) | ((se1 + se2) <= 0)
+    return w.select(
+        "n1",
+        "n2",
+        det_round(mean_diff, 4).alias("mean_diff"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(det_round(mean_diff / F.sqrt(se1 + se2), 6))
+        .alias("t_stat"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            det_round(
+                (se1 + se2)
+                * (se1 + se2)
+                / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)),
+                4,
+            )
+        )
+        .alias("welch_df"),
+    )

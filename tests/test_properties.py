@@ -1601,3 +1601,206 @@ def test_ngram_novelty_matches_set_reference(spark, tmp_path_factory, rows):
         gn, gnov, gr = got[lang]
         assert (gn, gnov) == (n, novel)
         assert abs(gr - ratio) < 1e-12
+
+
+def _welch_reference(rows):
+    """Exact Fraction Welch t-test between the 'O' and 'F' samples."""
+    from fractions import Fraction
+
+    a = [c for g, c in rows if g == "O" and c is not None]
+    b = [c for g, c in rows if g == "F" and c is not None]
+    if not a or not b:
+        return None
+    n1, n2 = len(a), len(b)
+    s1, s2 = Fraction(sum(a), 100), Fraction(sum(b), 100)
+    ss1, ss2 = Fraction(sum(c * c for c in a), 10000), Fraction(
+        sum(c * c for c in b), 10000
+    )
+    mean_diff = float(s1 / n1 - s2 / n2)
+    if n1 < 2 or n2 < 2:
+        return n1, n2, mean_diff, None, None
+    se1 = (n1 * ss1 - s1 * s1) / (n1 * n1 * (n1 - 1))
+    se2 = (n2 * ss2 - s2 * s2) / (n2 * n2 * (n2 - 1))
+    if se1 + se2 <= 0:
+        return n1, n2, mean_diff, None, None
+    t = mean_diff / float(se1 + se2) ** 0.5
+    df = float(
+        (se1 + se2) ** 2 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+    )
+    return n1, n2, mean_diff, t, df
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["O", "F", "P"]),
+            st.one_of(st.integers(min_value=0, max_value=100000), st.none()),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_welch_ttest_matches_fraction_reference(spark, tmp_path_factory, rows):
+    """q_welch_ttest's power-sum recombination must equal the exact
+    Fraction Welch construction, including the missing-group empty
+    frame and n<2 / zero-variance NULL guards."""
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("welch") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, g, None if c is None else c / 100.0)
+            for i, (g, c) in enumerate(rows)
+        ],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    ).write.parquet(f"{sf}/orders.parquet")
+    got = get_queries()["q_welch_ttest"](spark, sf).collect()
+    want = _welch_reference(rows)
+    if want is None:
+        assert got == []
+        return
+    n1, n2, mean_diff, t, df = want
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n1, r.n2) == (n1, n2)
+    assert abs(r.mean_diff - mean_diff) < 1e-4 + 1e-9 * abs(mean_diff)
+    if t is None:
+        assert r.t_stat is None and r.welch_df is None
+    else:
+        assert abs(r.t_stat - t) < 1e-6 + 1e-9 * abs(t)
+        assert abs(r.welch_df - df) < 1e-4 + 1e-9 * abs(df)
+
+
+def _lcc_reference(rows):
+    """Brute-force co-purchase graph (support >= 2) and per-node
+    clustering coefficient."""
+    from itertools import combinations
+
+    orders: dict[int, set] = {}
+    for o, p in rows:
+        orders.setdefault(o, set()).add(p)
+    support: dict[tuple, int] = {}
+    for parts in orders.values():
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    edges = {e for e, c in support.items() if c >= 2}
+    nbrs: dict[int, set] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    out = {}
+    for v, ns in nbrs.items():
+        deg = len(ns)
+        tri = sum(
+            1 for a, b in combinations(sorted(ns), 2) if (a, b) in edges
+        )
+        lcc = None if deg < 2 else 2.0 * tri / (deg * (deg - 1))
+        out[v] = (deg, tri, lcc)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),
+            st.integers(min_value=1, max_value=8),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_local_clustering_matches_bruteforce(spark, tmp_path_factory, rows):
+    """q_local_clustering's wedge-join triangle credits must equal the
+    brute-force neighborhood enumeration on the same thresholded
+    graph."""
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("lcc") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [(o, p) for o, p in rows],
+        "l_orderkey long, l_partkey long",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    got = {
+        r.node: (r.degree, r.n_triangles, r.lcc)
+        for r in get_queries()["q_local_clustering"](spark, sf).collect()
+    }
+    want = _lcc_reference(rows)
+    assert set(got) == set(want)
+    for v, (deg, tri, lcc) in want.items():
+        gd, gt, gl = got[v]
+        assert (gd, gt) == (deg, tri)
+        if lcc is None:
+            assert gl is None
+        else:
+            assert abs(gl - lcc) < 1e-12
+
+
+def _holt_reference(rows):
+    """Literal Holt walk per type over the daily count series — the
+    SAME IEEE expression tree as the kernel and the recursive CTE."""
+    import math
+
+    daily: dict[tuple, int] = {}
+    for et, day in rows:
+        daily[(et, day)] = daily.get((et, day), 0) + 1
+    out = {}
+    for et in {k[0] for k in daily}:
+        ys = [float(daily[(e, d)]) for e, d in sorted(daily) if e == et]
+        if len(ys) < 2:
+            continue
+        lvl, trd = ys[0], ys[1] - ys[0]
+        for t in range(1, len(ys)):
+            new_l = 0.2 * ys[t] + 0.8 * (lvl + trd)
+            trd = 0.1 * (new_l - lvl) + 0.9 * trd
+            lvl = new_l
+        r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+        out[et] = (len(ys), r6(lvl), r6(trd), r6(lvl + trd))
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click"]),
+            st.integers(min_value=1, max_value=15),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_holt_linear_matches_walk_reference(spark, tmp_path_factory, rows):
+    """q_holt_linear's applyInPandas kernel must equal the literal
+    coupled recursion (and the <2-day drop) on arbitrary sparse
+    calendars."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("holt") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, et, dt.datetime(2024, 1, day, 12, 0))
+            for i, (et, day) in enumerate(rows)
+        ],
+        "event_id long, event_type string, ts timestamp",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.event_type: (r.n_days, r.level, r.trend, r.forecast_1)
+        for r in get_queries()["q_holt_linear"](spark, sf).collect()
+    }
+    want = _holt_reference(rows)
+    assert set(got) == set(want)
+    for et, (n, lvl, trd, fc) in want.items():
+        gn, gl, gt, gf = got[et]
+        assert gn == n
+        assert abs(gl - lvl) < 1e-9
+        assert abs(gt - trd) < 1e-9
+        assert abs(gf - fc) < 1e-9
