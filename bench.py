@@ -251,6 +251,20 @@ HEADLINE = [
     "q_stream_rate_alert",
     "q_ab_power",
     "q_embedding_drift",
+    "q_anova_f",
+    "q_kendall_tau",
+    "q_theil_sen",
+    "q_welch_ttest",
+    "q_max_drawdown",
+    "q_seasonal_decompose",
+    "q_eval_pr_curve",
+    "q_eval_bleu",
+    "q_ngram_novelty",
+    "q_local_clustering",
+    "q_holt_linear",
+    "q_pacf",
+    "q_ols_multi",
+    "q_mutual_information",
 ]
 
 

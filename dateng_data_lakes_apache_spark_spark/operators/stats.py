@@ -3023,3 +3023,351 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("welch_df"),
     )
+
+
+@query(
+    "q_pacf",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT 1 AS lag_days, a.c AS x, b.c AS y
+      FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+      UNION ALL
+      SELECT 2, a.c, b.c
+      FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 2 DAY
+    ),
+    rho AS (
+      SELECT lag_days,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CASE WHEN (CAST(COUNT(*) AS DOUBLE)
+                          * CAST(SUM(CAST(x AS DECIMAL(30,8)) * x) AS DOUBLE)
+                        - CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
+                          * CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)) <= 0
+                    OR (CAST(COUNT(*) AS DOUBLE)
+                          * CAST(SUM(CAST(y AS DECIMAL(30,8)) * y) AS DOUBLE)
+                        - CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE)
+                          * CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE)) <= 0
+                  THEN NULL
+                  ELSE floor((CAST(COUNT(*) AS DOUBLE)
+                                * CAST(SUM(CAST(x AS DECIMAL(30,8)) * y) AS DOUBLE)
+                              - CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
+                                * CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE))
+                             / sqrt((CAST(COUNT(*) AS DOUBLE)
+                                       * CAST(SUM(CAST(x AS DECIMAL(30,8)) * x) AS DOUBLE)
+                                     - CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
+                                       * CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE))
+                                    * (CAST(COUNT(*) AS DOUBLE)
+                                         * CAST(SUM(CAST(y AS DECIMAL(30,8)) * y) AS DOUBLE)
+                                       - CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE)
+                                         * CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE)))
+                             * 1e6 + 0.5) / 1e6
+             END AS rho
+      FROM pairs
+      GROUP BY lag_days
+    ),
+    piv AS (
+      SELECT
+        MAX(CASE WHEN lag_days = 1 THEN n_pairs END) AS n1,
+        MAX(CASE WHEN lag_days = 2 THEN n_pairs END) AS n2,
+        MAX(CASE WHEN lag_days = 1 THEN rho END) AS r1,
+        MAX(CASE WHEN lag_days = 2 THEN rho END) AS r2
+      FROM rho
+    )
+    SELECT n1, n2, r1, r2,
+           CASE WHEN r1 IS NULL OR r2 IS NULL OR (1.0 - r1 * r1) <= 0 THEN NULL
+                ELSE floor((r2 - r1 * r1) / (1.0 - r1 * r1) * 1e6 + 0.5) / 1e6
+           END AS pacf_2
+    FROM piv
+    """,
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-2 PARTIAL autocorrelation of the daily order-count series via
+    Durbin-Levinson: φ₂₂ = (r₂ − r₁²)/(1 − r₁²) — "is there direct
+    two-day-back signal once the one-day carryover is removed?", the
+    AR-order diagnostic q_autocorr can't answer (its raw r₂ conflates
+    both paths).
+
+    Estimator contract: r₁/r₂ are the pairwise-complete calendar-join
+    correlations (q_autocorr's gap-safe construction, 6-dp rounded),
+    and φ₂₂ recombines the ROUNDED r's in one fixed expression — so
+    the composition is deterministic by construction. |r₁| = 1 (the
+    degenerate denominator) and zero-variance lags → NULL.
+    """
+    from ..common import det_round
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pairs = None
+    for k in (1, 2):
+        a = daily.select(F.col("day").alias("d0"), F.col("c").alias("x"))
+        b = daily.select(F.col("day").alias("d1"), F.col("c").alias("y"))
+        p = a.join(b, F.col("d1") == F.date_add(F.col("d0"), k)).select(
+            F.lit(k).alias("lag_days"), "x", "y"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = _dec_sum(F.col("x")), _dec_sum(F.col("y"))
+    sxx = _dec_sum(F.col("x") * F.col("x"))
+    syy = _dec_sum(F.col("y") * F.col("y"))
+    sxy = _dec_sum(F.col("x") * F.col("y"))
+    varx, vary = n * sxx - sx * sx, n * syy - sy * sy
+    rho = pairs.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.when((varx <= 0) | (vary <= 0), F.lit(None).cast("double"))
+        .otherwise(det_round((n * sxy - sx * sy) / F.sqrt(varx * vary), 6))
+        .alias("rho"),
+    )
+    pick = lambda k, c: F.max(F.when(F.col("lag_days") == k, F.col(c)))
+    piv = rho.agg(
+        pick(1, "n_pairs").alias("n1"),
+        pick(2, "n_pairs").alias("n2"),
+        pick(1, "rho").alias("r1"),
+        pick(2, "rho").alias("r2"),
+    )
+    r1, r2 = F.col("r1"), F.col("r2")
+    return piv.select(
+        "n1",
+        "n2",
+        "r1",
+        "r2",
+        F.when(
+            r1.isNull() | r2.isNull() | ((F.lit(1.0) - r1 * r1) <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(det_round((r2 - r1 * r1) / (F.lit(1.0) - r1 * r1), 6))
+        .alias("pacf_2"),
+    )
+
+
+# Dialect-neutral Cramer's-rule fragments for the 3-parameter normal
+# equations (shared VERBATIM by the Spark selectExpr and the DuckDB
+# twin — one recipe, zero transcription drift). Column names are the
+# exact decimal moments of (1, x1, x2, y).
+_OLS_DET = (
+    "(nn*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+)
+_OLS_DET0 = (
+    "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))"
+)
+_OLS_DET1 = (
+    "(nn*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))"
+)
+_OLS_DET2 = (
+    "(nn*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))"
+)
+# Relative singularity guard: an EXACTLY singular system leaves det a
+# ~1ulp float residue (the moments are exact, the 3x3 expansion is
+# not), so `det = 0` misses it and Cramer emits garbage. Compare |det|
+# against the expansion's own term magnitudes instead — 1e-9 relative
+# sits 7 decades above the ulp floor and 7 below any usably-conditioned
+# system. Both engines evaluate the identical expression on identical
+# doubles, so the verdict is bit-identical. (Found by the hypothesis
+# Fraction reference on a single-point input.)
+_OLS_MAG = (
+    "(abs(nn*s11*s22) + abs(nn*s12*s12) + abs(s1*s1*s22)"
+    " + abs(s1*s12*s2) + abs(s2*s1*s12) + abs(s2*s11*s2) + 1e-300)"
+)
+_OLS_BAD = f"(abs({_OLS_DET}) <= 1e-9 * {_OLS_MAG})"
+_OLS_SST = "(syy - sy*sy/nn)"
+_OLS_SST_BAD = f"({_OLS_SST} <= 1e-9 * (abs(syy) + abs(sy*sy/nn) + 1e-300))"
+_OLS_SELECT = f"""
+  CAST(nn AS BIGINT) AS n,
+  CASE WHEN {_OLS_BAD} THEN NULL
+       ELSE floor({_OLS_DET0}/{_OLS_DET} * 1e6 + 0.5) / 1e6 END AS beta0,
+  CASE WHEN {_OLS_BAD} THEN NULL
+       ELSE floor({_OLS_DET1}/{_OLS_DET} * 1e6 + 0.5) / 1e6 END AS beta_qty,
+  CASE WHEN {_OLS_BAD} THEN NULL
+       ELSE floor({_OLS_DET2}/{_OLS_DET} * 1e6 + 0.5) / 1e6 END AS beta_disc,
+  CASE WHEN {_OLS_BAD} OR {_OLS_SST_BAD} THEN NULL
+       ELSE floor((1.0 - (syy - ({_OLS_DET0}/{_OLS_DET})*sy
+                              - ({_OLS_DET1}/{_OLS_DET})*s1y
+                              - ({_OLS_DET2}/{_OLS_DET})*s2y)
+                         / {_OLS_SST}) * 1e6 + 0.5) / 1e6 END AS r2
+"""
+
+
+@query(
+    "q_ols_multi",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,8))) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,8))) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS s2y,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS syy
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL
+    )
+    SELECT {_OLS_SELECT}
+    FROM m
+    WHERE nn > 0
+    """,
+)
+def q_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS with intercept (price ~ quantity + discount) via
+    the normal equations and Cramer's rule — closed-form multivariate
+    regression as ONE aggregation pass, q_regression_slope's
+    multi-feature generalization.
+
+    The 10 moments (n, Σx₁, Σx₂, Σy and the 6 cross-products) are
+    exact decimal sums; β and R² = 1 − SSE/SST (SSE = Σy² − β'X'y)
+    recombine driver-free in a single projection whose arithmetic is
+    ONE shared fragment string evaluated verbatim by both engines
+    (selectExpr here, the twin SQL there) — transcription drift is
+    structurally impossible. Collinear features (det = 0) and
+    zero-variance y → NULL. At 100 TB this is the map-side-combined
+    scan-and-done shape: no iteration, no shuffle beyond one k-row agg.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        _dec_sum(x1).alias("s1"),
+        _dec_sum(x2).alias("s2"),
+        _dec_sum(y).alias("sy"),
+        _dec_sum(x1 * x1).alias("s11"),
+        _dec_sum(x1 * x2).alias("s12"),
+        _dec_sum(x2 * x2).alias("s22"),
+        _dec_sum(x1 * y).alias("s1y"),
+        _dec_sum(x2 * y).alias("s2y"),
+        _dec_sum(y * y).alias("syy"),
+    ).where(F.col("nn") > 0)
+    return m.selectExpr(*[e.strip() for e in _OLS_SELECT.split(",\n")])
+
+
+@query(
+    "q_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS x,
+             (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 AS y,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, SUM(n) AS nx FROM cells GROUP BY x),
+    my AS (SELECT y, SUM(n) AS ny FROM cells GROUP BY y),
+    tot AS (SELECT SUM(n) AS nt FROM cells),
+    mi AS (
+      SELECT CAST(SUM(CAST((CAST(c.n AS DOUBLE) / nt)
+                           * ln(CAST(nt AS DOUBLE) * c.n / (nx * CAST(ny AS DOUBLE)))
+                           AS DECIMAL(20,8))) AS DOUBLE) AS mi_raw
+      FROM cells c JOIN mx ON mx.x = c.x JOIN my ON my.y = c.y, tot
+    ),
+    hx AS (
+      SELECT CAST(SUM(CAST(-(CAST(nx AS DOUBLE) / nt)
+                           * ln(CAST(nx AS DOUBLE) / nt)
+                           AS DECIMAL(20,8))) AS DOUBLE) AS hx_raw,
+             CAST(COUNT(*) AS INT) AS kx
+      FROM mx, tot
+    ),
+    hy AS (
+      SELECT CAST(SUM(CAST(-(CAST(ny AS DOUBLE) / nt)
+                           * ln(CAST(ny AS DOUBLE) / nt)
+                           AS DECIMAL(20,8))) AS DOUBLE) AS hy_raw,
+             CAST(COUNT(*) AS INT) AS ky
+      FROM my, tot
+    )
+    SELECT CAST(nt AS BIGINT) AS n, kx AS n_x_classes, ky AS n_y_classes,
+           floor(mi_raw * 1e6 + 0.5) / 1e6 AS mi_nats,
+           floor(hx_raw * 1e6 + 0.5) / 1e6 AS h_x,
+           floor(hy_raw * 1e6 + 0.5) / 1e6 AS h_y,
+           CASE WHEN hx_raw <= 0 OR hy_raw <= 0 THEN NULL
+                ELSE floor(mi_raw / sqrt(hx_raw * hy_raw) * 1e6 + 0.5) / 1e6
+           END AS nmi
+    FROM tot, mi, hx, hy
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and weekday, with
+    both marginal entropies and the sqrt-normalized NMI — the
+    dependence measure that catches what Cramér's V misses on ordered
+    or skewed categoricals, and the feature-selection staple.
+
+    Same contingency machinery as q_chi2_independence: one hash agg to
+    the |types|×7 cell table, broadcast margins, and per-cell terms
+    cast to DECIMAL(20,8) before summing so the cell-order float
+    accumulation cannot drift (the chi2 discipline). ln() is the one
+    libm call — per-term decimal rounding plus the 6-dp output
+    discipline absorbs its cross-engine ulp (the q_eval_ndcg log2
+    precedent). Degenerate single-class margins → H = 0 → NULL NMI
+    on both sides. Weekday from integer epoch-day arithmetic
+    (convention-free).
+    """
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"),
+        (
+            (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + 3) % 7
+        ).alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mx = cells.groupBy("x").agg(F.sum("n").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("n").alias("ny"))
+    tot = cells.agg(F.sum("n").alias("nt"))
+    term = (
+        (F.col("n").cast("double") / F.col("nt"))
+        * F.log(
+            F.col("nt").cast("double") * F.col("n") / (F.col("nx") * F.col("ny").cast("double"))
+        )
+    ).cast("decimal(20,8)")
+    mi = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(term).cast("double").alias("mi_raw"))
+    )
+    hterm = lambda c: (
+        -(F.col(c).cast("double") / F.col("nt"))
+        * F.log(F.col(c).cast("double") / F.col("nt"))
+    ).cast("decimal(20,8)")
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.sum(hterm("nx")).cast("double").alias("hx_raw"),
+        F.count(F.lit(1)).cast("int").alias("kx"),
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.sum(hterm("ny")).cast("double").alias("hy_raw"),
+        F.count(F.lit(1)).cast("int").alias("ky"),
+    )
+    from ..common import det_round
+
+    out = (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+    )
+    return out.select(
+        F.col("nt").cast("bigint").alias("n"),
+        F.col("kx").alias("n_x_classes"),
+        F.col("ky").alias("n_y_classes"),
+        det_round(F.col("mi_raw"), 6).alias("mi_nats"),
+        det_round(F.col("hx_raw"), 6).alias("h_x"),
+        det_round(F.col("hy_raw"), 6).alias("h_y"),
+        F.when(
+            (F.col("hx_raw") <= 0) | (F.col("hy_raw") <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            det_round(F.col("mi_raw") / F.sqrt(F.col("hx_raw") * F.col("hy_raw")), 6)
+        )
+        .alias("nmi"),
+    )

@@ -1804,3 +1804,258 @@ def test_holt_linear_matches_walk_reference(spark, tmp_path_factory, rows):
         assert abs(gl - lvl) < 1e-9
         assert abs(gt - trd) < 1e-9
         assert abs(gf - fc) < 1e-9
+
+
+def _ols_reference(rows):
+    """Exact Fraction normal-equations OLS (Cramer's rule) over integer
+    cents; mirrors the query's det=0 and SST<=0 NULL guards."""
+    from fractions import Fraction
+
+    pts = [
+        (Fraction(q, 100), Fraction(d, 100), Fraction(p, 100))
+        for q, d, p in rows
+        if None not in (q, d, p)
+    ]
+    if not pts:
+        return None
+    nn = len(pts)
+    s1 = sum(x for x, _, _ in pts)
+    s2 = sum(d for _, d, _ in pts)
+    sy = sum(y for _, _, y in pts)
+    s11 = sum(x * x for x, _, _ in pts)
+    s12 = sum(x * d for x, d, _ in pts)
+    s22 = sum(d * d for _, d, _ in pts)
+    s1y = sum(x * y for x, _, y in pts)
+    s2y = sum(d * y for _, d, y in pts)
+    syy = sum(y * y for _, _, y in pts)
+    det = nn * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (
+        s1 * s12 - s11 * s2
+    )
+    # Mirror the engine's FLOAT relative singularity guard (its
+    # documented semantics: exact dets leave ulp residues in doubles,
+    # so the verdict is |det| vs the expansion's term magnitudes,
+    # computed in the same double arithmetic).
+    fn, f1, f2 = float(nn), float(s1), float(s2)
+    f11, f12, f22 = float(s11), float(s12), float(s22)
+    fdet = fn * (f11 * f22 - f12 * f12) - f1 * (f1 * f22 - f12 * f2) + f2 * (
+        f1 * f12 - f11 * f2
+    )
+    fmag = (
+        abs(fn * f11 * f22)
+        + abs(fn * f12 * f12)
+        + abs(f1 * f1 * f22)
+        + abs(f1 * f12 * f2)
+        + abs(f2 * f1 * f12)
+        + abs(f2 * f11 * f2)
+        + 1e-300
+    )
+    if abs(fdet) <= 1e-9 * fmag or det == 0:
+        return nn, None, None, None, None
+    det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (
+        s1y * s12 - s11 * s2y
+    )
+    det1 = nn * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (
+        s1 * s2y - s1y * s2
+    )
+    det2 = nn * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (
+        s1 * s12 - s11 * s2
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sst = syy - sy * sy / nn
+    fsy, fsyy = float(sy), float(syy)
+    fsst = fsyy - fsy * fsy / fn
+    sst_bad = fsst <= 1e-9 * (abs(fsyy) + abs(fsy * fsy / fn) + 1e-300)
+    r2 = (
+        None
+        if sst <= 0 or sst_bad
+        else float(1 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / sst)
+    )
+    return nn, float(b0), float(b1), float(b2), r2
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=1000000),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_ols_multi_matches_fraction_reference(spark, tmp_path_factory, rows):
+    """q_ols_multi's shared-fragment Cramer recombination must equal the
+    exact Fraction normal equations, including collinear det=0 and
+    constant-y SST<=0 NULLs."""
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("ols") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, q / 100.0, d / 100.0, p / 100.0)
+            for i, (q, d, p) in enumerate(rows)
+        ],
+        "l_orderkey long, l_quantity double, l_discount double,"
+        " l_extendedprice double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    got = get_queries()["q_ols_multi"](spark, sf).collect()
+    want = _ols_reference(rows)
+    if want is None:
+        assert got == []
+        return
+    nn, b0, b1, b2, r2 = want
+    assert len(got) == 1
+    r = got[0]
+    assert r.n == nn
+    for g, w in ((r.beta0, b0), (r.beta_qty, b1), (r.beta_disc, b2), (r.r2, r2)):
+        if w is None:
+            assert g is None
+        else:
+            assert abs(g - w) < 1e-6 + 1e-9 * abs(w)
+
+
+def _pacf_reference(rows):
+    """Pairwise-complete lag-1/lag-2 correlations (6-dp rounded, like
+    the engine) and the Durbin-Levinson phi_22 from the ROUNDED r's."""
+    import math
+
+    daily: dict[int, int] = {}
+    for d in rows:
+        daily[d] = daily.get(d, 0) + 1
+
+    def rho(lag):
+        pairs = [
+            (daily[d], daily[d + lag]) for d in sorted(daily) if d + lag in daily
+        ]
+        n = len(pairs)
+        if n == 0:
+            return 0, None
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            return n, None
+        r = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+        return n, math.floor(r * 1e6 + 0.5) / 1e6
+
+    n1, r1 = rho(1)
+    n2, r2 = rho(2)
+    if r1 is None or r2 is None or (1.0 - r1 * r1) <= 0:
+        phi = None
+    else:
+        phi = math.floor((r2 - r1 * r1) / (1.0 - r1 * r1) * 1e6 + 0.5) / 1e6
+    return n1, n2, r1, r2, phi
+
+
+@given(
+    rows=st.lists(st.integers(min_value=1, max_value=25), min_size=0, max_size=40)
+)
+@settings(**_SETTINGS)
+def test_pacf_matches_durbin_levinson_reference(spark, tmp_path_factory, rows):
+    """q_pacf's pivoted recombination must equal the literal
+    Durbin-Levinson composition of the calendar-join correlations on
+    arbitrary sparse calendars."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("pacf") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [(i + 1, dt.datetime(2024, 1, d)) for i, d in enumerate(rows)],
+        "o_orderkey long, o_orderdate timestamp",
+    ).write.parquet(f"{sf}/orders.parquet")
+    got = get_queries()["q_pacf"](spark, sf).collect()
+    n1, n2, r1, r2, phi = _pacf_reference(rows)
+    assert len(got) == 1
+    g = got[0]
+    assert ((g.n1 or 0), (g.n2 or 0)) == (n1, n2)
+    for gv, wv in ((g.r1, r1), (g.r2, r2), (g.pacf_2, phi)):
+        if wv is None:
+            assert gv is None
+        else:
+            assert abs(gv - wv) < 2e-6
+
+
+def _mi_reference(rows):
+    """Python MI/entropy over the (type, weekday) contingency with the
+    engine's per-term 8-dp decimal rounding mirrored."""
+    import math
+
+    def dec8(x):
+        return round(x, 8)
+
+    cells: dict[tuple, int] = {}
+    for et, d in rows:
+        dow = (d + 3) % 7
+        cells[(et, dow)] = cells.get((et, dow), 0) + 1
+    if not cells:
+        return None
+    nt = sum(cells.values())
+    mx: dict[str, int] = {}
+    my: dict[int, int] = {}
+    for (x, y), n in cells.items():
+        mx[x] = mx.get(x, 0) + n
+        my[y] = my.get(y, 0) + n
+    mi = sum(
+        dec8((n / nt) * math.log(nt * n / (mx[x] * my[y])))
+        for (x, y), n in cells.items()
+    )
+    hx = sum(dec8(-(v / nt) * math.log(v / nt)) for v in mx.values())
+    hy = sum(dec8(-(v / nt) * math.log(v / nt)) for v in my.values())
+    nmi = None if hx <= 0 or hy <= 0 else mi / math.sqrt(hx * hy)
+    return nt, len(mx), len(my), mi, hx, hy, nmi
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "error"]),
+            st.integers(min_value=0, max_value=13),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_mutual_information_matches_reference(spark, tmp_path_factory, rows):
+    """q_mutual_information must equal the textbook plug-in MI/entropy
+    (with the per-term decimal discipline mirrored), including the
+    single-class H=0 -> NULL NMI guard."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    epoch = dt.datetime(1970, 1, 1, 12)
+    sf = str(tmp_path_factory.mktemp("mi") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, et, epoch + dt.timedelta(days=d))
+            for i, (et, d) in enumerate(rows)
+        ],
+        "event_id long, event_type string, ts timestamp",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = get_queries()["q_mutual_information"](spark, sf).collect()
+    want = _mi_reference(rows)
+    if want is None:
+        assert got == [] or (len(got) == 1 and (got[0].n or 0) == 0)
+        return
+    nt, kx, ky, mi, hx, hy, nmi = want
+    assert len(got) == 1
+    g = got[0]
+    assert (g.n, g.n_x_classes, g.n_y_classes) == (nt, kx, ky)
+    assert abs(g.mi_nats - mi) < 1e-5
+    assert abs(g.h_x - hx) < 1e-5
+    assert abs(g.h_y - hy) < 1e-5
+    if nmi is None:
+        assert g.nmi is None
+    else:
+        assert abs(g.nmi - nmi) < 1e-5
