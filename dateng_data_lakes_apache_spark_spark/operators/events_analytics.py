@@ -2085,9 +2085,11 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(dow AS INT) AS dow,
            CAST(COUNT(*) AS BIGINT) AS n_days,
-           round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 4) AS mean_daily_rev,
-           round(CAST(SUM(rev) AS DOUBLE) / COUNT(*)
-                 - CAST(SUM(trend_sum) AS DOUBLE) / (7.0 * COUNT(*)), 4)
+           floor(CAST(SUM(rev) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4
+             AS mean_daily_rev,
+           floor((CAST(SUM(rev) AS DOUBLE) / COUNT(*)
+                  - CAST(SUM(trend_sum) AS DOUBLE) / (7.0 * COUNT(*)))
+                 * 1e4 + 0.5) / 1e4
              AS seasonal_additive
     FROM trended
     WHERE wcnt = 7
@@ -2132,8 +2134,8 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     return trended.groupBy(F.col("dow").cast("int").alias("dow")).agg(
         n.cast("bigint").alias("n_days"),
-        F.round(F.sum("rev").cast("double") / n, 4).alias("mean_daily_rev"),
-        F.round(
+        det_round(F.sum("rev").cast("double") / n, 4).alias("mean_daily_rev"),
+        det_round(
             F.sum("rev").cast("double") / n
             - F.sum("trend_sum").cast("double") / (F.lit(7.0) * n),
             4,

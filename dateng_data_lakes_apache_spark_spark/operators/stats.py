@@ -2647,34 +2647,39 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_anova_f",
-    oracle=f"""
+    oracle="""
     WITH g AS (
       SELECT o_orderpriority AS grp,
              CAST(COUNT(*) AS BIGINT) AS n_g,
-             {o_dsum('o_totalprice')} AS s_g,
-             {o_dsum('o_totalprice * o_totalprice')} AS ss_g
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS s_g,
+             CAST(SUM(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+                      * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS ss_g
       FROM orders
       WHERE o_totalprice IS NOT NULL
       GROUP BY o_orderpriority
     )
     SELECT CAST(COUNT(*) AS INT) AS k,
            CAST(SUM(n_g) AS BIGINT) AS n,
-           round(list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum')
-                 - CAST(SUM(CAST(s_g AS DECIMAL(38,8))) AS DOUBLE)
-                   * CAST(SUM(CAST(s_g AS DECIMAL(38,8))) AS DOUBLE) / SUM(n_g), 4)
+           floor((list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum')
+                  - list_aggregate(list(s_g ORDER BY grp), 'sum')
+                    * list_aggregate(list(s_g ORDER BY grp), 'sum') / SUM(n_g))
+                 * 1e4 + 0.5) / 1e4
              AS ss_between,
-           round(CAST(SUM(CAST(ss_g AS DECIMAL(38,8))) AS DOUBLE)
-                 - list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum'), 4)
+           floor((list_aggregate(list(ss_g ORDER BY grp), 'sum')
+                  - list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum'))
+                 * 1e4 + 0.5) / 1e4
              AS ss_within,
            CASE WHEN COUNT(*) <= 1 OR SUM(n_g) <= COUNT(*)
-                  OR (CAST(SUM(CAST(ss_g AS DECIMAL(38,8))) AS DOUBLE)
+                  OR (list_aggregate(list(ss_g ORDER BY grp), 'sum')
                       - list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum')) <= 0
                 THEN NULL
                 ELSE floor(((list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum')
-                             - CAST(SUM(CAST(s_g AS DECIMAL(38,8))) AS DOUBLE)
-                               * CAST(SUM(CAST(s_g AS DECIMAL(38,8))) AS DOUBLE) / SUM(n_g))
+                             - list_aggregate(list(s_g ORDER BY grp), 'sum')
+                               * list_aggregate(list(s_g ORDER BY grp), 'sum') / SUM(n_g))
                             / (COUNT(*) - 1))
-                           / ((CAST(SUM(CAST(ss_g AS DECIMAL(38,8))) AS DOUBLE)
+                           / ((list_aggregate(list(ss_g ORDER BY grp), 'sum')
                                - list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum'))
                               / (SUM(n_g) - COUNT(*)))
                            * 1e6 + 0.5) / 1e6
@@ -2687,44 +2692,50 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     priorities — "is mean spend priority-dependent?".
 
     Scale shape: ONE map-side-combined hash aggregation collapses the
-    fact table to k=|priorities| rows of exact decimal power sums
-    (n_g, Σx, Σx²); SSB/SSW recombine from those. The only float
-    summation that crosses rows — Σ_g S_g²/n_g — runs as a strict
-    in-order fold over the grp-sorted k-row list (the similarity.py
-    LSH sign-bucket trick), so both engines add the same doubles in
-    the same order and the F statistic hash-matches bit-for-bit; no
-    row-order-dependent SUM(double) anywhere. Degenerate guards: k<=1,
-    n<=k, or zero within-group variance -> NULL F on both sides.
+    fact table to k=|priorities| rows of power sums (n_g, Σx, Σx²);
+    SSB/SSW recombine from those. Determinism is INTEGER CENTS end to
+    end (the q_clamped_balance half-up conversion): Σcents is a
+    bigint, Σcents² accumulates in decimal(38,0)/HUGEINT — the
+    decimal(30,8) cast of a large double square is NOT cross-engine
+    safe (Spark rounds the exact binary expansion, DuckDB the shortest
+    repr; they differ once the double's ulp exceeds 1e-8, found by the
+    skew-catalog sweep on this very query). Every cross-row float sum
+    — the k-row Σ_g terms — runs as a strict grp-ordered in-order fold
+    (the similarity.py LSH trick), so SSB/SSW/F hash-match
+    bit-for-bit. Degenerate guards: k<=1, n<=k, or zero within-group
+    variance -> NULL F on both sides.
     """
     from ..common import det_round
 
     o = table(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
-    v = F.col("o_totalprice")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g"),
-        _dec_sum(v).alias("s_g"),
-        _dec_sum(v * v).alias("ss_g"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("s_g"),
+        (
+            F.sum(cents.cast("decimal(38,0)") * cents).cast("double")
+            / F.lit(10000.0)
+        ).alias("ss_g"),
     )
-    # In-order fold of the k per-group double terms (bit-identical to
-    # DuckDB's list_aggregate over the same grp-ordered list).
-    fold_t = F.aggregate(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("grp"),
-                    (F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("t"),
-                )
-            )
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x["t"],
-    )
+    # In-order folds of the k per-group double terms (bit-identical to
+    # DuckDB's list_aggregate over the same grp-ordered lists).
+    def fold(term):
+        lst = F.sort_array(
+            F.collect_list(F.struct(F.col("grp"), term.alias("t")))
+        )
+        # Empty input -> NULL, matching DuckDB's list_aggregate(NULL)
+        # (collect_list gives [] here, whose fold would be the 0.0 init).
+        return F.when(
+            F.size(lst) > 0,
+            F.aggregate(lst, F.lit(0.0), lambda acc, x: acc + x["t"]),
+        )
+
     agg = g.agg(
         F.count(F.lit(1)).cast("int").alias("k"),
         F.sum("n_g").cast("bigint").alias("n"),
-        fold_t.alias("t_fold"),
-        F.sum(F.col("s_g").cast("decimal(38,8)")).cast("double").alias("s_all"),
-        F.sum(F.col("ss_g").cast("decimal(38,8)")).cast("double").alias("ss_all"),
+        fold(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("t_fold"),
+        fold(F.col("s_g")).alias("s_all"),
+        fold(F.col("ss_g")).alias("ss_all"),
     )
     ssb = F.col("t_fold") - F.col("s_all") * F.col("s_all") / F.col("n")
     ssw = F.col("ss_all") - F.col("t_fold")
@@ -2732,8 +2743,8 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "k",
         "n",
-        F.round(ssb, 4).alias("ss_between"),
-        F.round(ssw, 4).alias("ss_within"),
+        det_round(ssb, 4).alias("ss_between"),
+        det_round(ssw, 4).alias("ss_within"),
         F.when(
             (F.col("k") <= 1) | (F.col("n") <= F.col("k")) | (ssw <= 0),
             F.lit(None).cast("double"),
