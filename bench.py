@@ -265,6 +265,9 @@ HEADLINE = [
     "q_pacf",
     "q_ols_multi",
     "q_mutual_information",
+    "q_streaks",
+    "q_top_movers",
+    "q_stream_topk",
 ]
 
 

@@ -2257,3 +2257,136 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_days bigint, level double, trend double,"
         " forecast_1 double",
     )
+
+
+@query(
+    "q_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    islands AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM islands GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM streaks
+    GROUP BY user_id
+    """,
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands rewrite (island key = day − row_number over the
+    user's day sequence): engagement/retention's favorite feature and
+    the canonical proof that "consecutive runs" need no self-join or
+    iteration.
+
+    One distinct-projection hash agg bounds the data to (user, day);
+    the island window partitions by user (spillable, no funnel), and
+    everything is integer arithmetic — exact oracle, no rounding.
+    NULL users/timestamps carry no streak information and are dropped
+    (the hostile-catalog convention).
+    """
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("grp")
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )
+
+
+@query(
+    "q_top_movers",
+    oracle="""
+    WITH monthly AS (
+      SELECT l_suppkey,
+             CAST(EXTRACT(year FROM l_shipdate) * 100
+                  + EXTRACT(month FROM l_shipdate) AS INT) AS ym,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS rev
+      FROM lineitem
+      WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT l_suppkey, ym, rev,
+             LAG(rev) OVER (PARTITION BY l_suppkey ORDER BY ym) AS prev
+      FROM monthly
+    )
+    SELECT l_suppkey, ym,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(prev AS DOUBLE) AS prev_revenue,
+           CAST(rev - prev AS DOUBLE) AS delta,
+           floor(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS pct_change
+    FROM deltas
+    WHERE prev IS NOT NULL AND prev > 0
+    ORDER BY abs(CAST(rev - prev AS DOUBLE)) DESC, l_suppkey, ym
+    LIMIT 10
+    """,
+)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 month-over-month revenue movers across suppliers — the
+    'what changed most?' report every metrics stack runs first
+    (q_period_growth's per-entity refinement: that one tracks the
+    global series, this one ranks entities by |Δ|).
+
+    The data-scale pass is one (supplier, month) decimal aggregation;
+    the lag window partitions by supplier over the calendar-bounded
+    monthly frame, and the final cut is TakeOrderedAndProject on
+    (|Δ| DESC, supplier, month) — a total order, so the top-10 is
+    deterministic. Δ is an exact decimal difference; only pct_change
+    divides (6-dp floor-rounded). Zero/absent prior months are
+    excluded (a mover needs a base).
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    monthly = li.groupBy(
+        "l_suppkey",
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("int")
+        .alias("ym"),
+    ).agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("rev"))
+    w = Window.partitionBy("l_suppkey").orderBy("ym")
+    deltas = monthly.select(
+        "l_suppkey", "ym", "rev", F.lag("rev").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull() & (F.col("prev") > 0))
+    delta = (F.col("rev") - F.col("prev")).cast("double")
+    return (
+        deltas.select(
+            "l_suppkey",
+            "ym",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("prev").cast("double").alias("prev_revenue"),
+            delta.alias("delta"),
+            det_round(delta / F.col("prev").cast("double"), 6).alias(
+                "pct_change"
+            ),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), "l_suppkey", "ym")
+        .limit(10)
+    )

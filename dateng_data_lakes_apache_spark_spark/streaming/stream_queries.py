@@ -1514,3 +1514,63 @@ def q_stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_events"),
         F.col("prev_n").cast("bigint").alias("prev_events"),
     ).orderBy("window_start", "event_type")
+
+
+@query(
+    "q_stream_topk",
+    oracle=f"""
+    WITH win AS (
+      SELECT {o_ts_str("date_trunc('day', ts)")} AS window_start,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+      WHERE event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+               ORDER BY n_events DESC, event_type) AS rk
+      FROM win
+    )
+    SELECT window_start, event_type, n_events, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling day window — the streaming
+    leaderboard shape: the MICRO-BATCH half maintains the windowed
+    count table (the only part that needs streaming state), and the
+    rank cut applies to the emitted result table, exactly as a
+    production sink-side job reads the continuously-updated counts
+    (rank over a streaming aggregation is not itself a supported
+    stateful op — the split IS the design, same pattern as
+    q_stream_rate_alert's lag comparison).
+
+    State is bounded by |windows|×|types|; the post-pass rank window
+    partitions by window over that result table (metadata-scale). The
+    (count DESC, type) order is total, so the top-3 is deterministic
+    and the batch SQL twin hash-matches exactly.
+    """
+    ev = _events_stream(spark, sf_dir).where(F.col("event_type").isNotNull())
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    result = _run_to_memory(agg, "stream_topk", "complete")
+    from pyspark.sql import Window
+
+    counts = result.select(
+        ts_str(F.col("w.start")).alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+    )
+    return counts.select(
+        "window_start", "event_type", "n_events", rk.cast("int").alias("rk")
+    ).where(F.col("rk") <= 3)

@@ -2059,3 +2059,132 @@ def test_mutual_information_matches_reference(spark, tmp_path_factory, rows):
         assert g.nmi is None
     else:
         assert abs(g.nmi - nmi) < 1e-5
+
+
+def _streaks_reference(rows):
+    """Literal streak scan over each user's sorted distinct day set."""
+    by_user: dict[int, set] = {}
+    for uid, d in rows:
+        by_user.setdefault(uid, set()).add(d)
+    out = {}
+    for uid, ds in by_user.items():
+        days = sorted(ds)
+        lens, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                lens.append(cur)
+                cur = 1
+        lens.append(cur)
+        out[uid] = (len(days), len(lens), max(lens))
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=1, max_value=20),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_streaks_matches_scan_reference(spark, tmp_path_factory, rows):
+    """q_streaks' gaps-and-islands rewrite must equal the literal
+    consecutive-run scan (duplicate same-day events collapse first)."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("streak") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, uid, dt.datetime(2024, 1, d, 8))
+            for i, (uid, d) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.user_id: (r.n_active_days, r.n_streaks, r.longest_streak)
+        for r in get_queries()["q_streaks"](spark, sf).collect()
+    }
+    assert got == _streaks_reference(rows)
+
+
+def _top_movers_reference(rows):
+    """Exact per-supplier MoM deltas from cents, ordered by |delta| desc
+    with the (suppkey, ym) tiebreak, top 10."""
+    from fractions import Fraction
+
+    monthly: dict[tuple, int] = {}
+    for sk, ym, cents in rows:
+        monthly[(sk, ym)] = monthly.get((sk, ym), 0) + cents
+    rowsout = []
+    for sk in {k[0] for k in monthly}:
+        series = sorted((ym, c) for (s, ym), c in monthly.items() if s == sk)
+        for (ym0, c0), (ym1, c1) in zip(series, series[1:]):
+            if c0 > 0:
+                delta = Fraction(c1 - c0, 100)
+                rowsout.append(
+                    (
+                        sk,
+                        ym1,
+                        c1 / 100.0,
+                        c0 / 100.0,
+                        float(delta),
+                        (c1 - c0) / c0,
+                    )
+                )
+    rowsout.sort(key=lambda r: (-abs(r[4]), r[0], r[1]))
+    return rowsout[:10]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.sampled_from([202401, 202402, 202403, 202405]),
+            st.integers(min_value=0, max_value=100000),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_top_movers_matches_reference(spark, tmp_path_factory, rows):
+    """q_top_movers' lag + TakeOrdered cut must equal the literal
+    consecutive-month delta ranking (note: lag is over the OBSERVED
+    month sequence — a skipped month pairs with the next present one)."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("movers") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (
+                i + 1,
+                sk,
+                dt.datetime(ym // 100, ym % 100, 5),
+                c / 100.0,
+            )
+            for i, (sk, ym, c) in enumerate(rows)
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp,"
+        " l_extendedprice double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    got = [
+        (r.l_suppkey, r.ym, r.revenue, r.prev_revenue, r.delta, r.pct_change)
+        for r in get_queries()["q_top_movers"](spark, sf).collect()
+    ]
+    want = _top_movers_reference(rows)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:4] == w[:4]
+        assert abs(g[4] - w[4]) < 1e-9
+        assert abs(g[5] - w[5]) < 1e-6 + 1e-9 * abs(w[5])
