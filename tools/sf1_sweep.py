@@ -57,6 +57,10 @@ HEAVYWEIGHTS = [
     "q_dedup_rate_by_source",
     # r8: the two-pass range-partition rewrite (r7) must stay linear
     "q_quantile_normalize",
+    # r8 continuation: the two new candidate-generating shapes — the
+    # wedge join (Σ deg² bound) and the per-pair gram join
+    "q_local_clustering",
+    "q_eval_bleu",
 ]
 
 
