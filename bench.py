@@ -268,6 +268,8 @@ HEADLINE = [
     "q_streaks",
     "q_top_movers",
     "q_stream_topk",
+    "q_pca_power",
+    "q_user_entropy",
 ]
 
 

@@ -2390,3 +2390,78 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta")).desc(), "l_suppkey", "ym")
         .limit(10)
     )
+
+
+@query(
+    "q_user_entropy",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT user_id, SUM(n) AS ntot, COUNT(*) AS k FROM cells GROUP BY user_id
+    ),
+    ent AS (
+      SELECT c.user_id,
+             CAST(SUM(CAST(-(CAST(c.n AS DOUBLE) / t.ntot)
+                           * ln(CAST(c.n AS DOUBLE) / t.ntot)
+                           AS DECIMAL(20,8))) AS DOUBLE) AS h_raw
+      FROM cells c JOIN tot t ON t.user_id = c.user_id
+      GROUP BY c.user_id
+    )
+    SELECT t.user_id,
+           CAST(t.ntot AS BIGINT) AS n_events,
+           CAST(t.k AS INT) AS n_types,
+           floor(e.h_raw * 1e6 + 0.5) / 1e6 AS entropy_nats,
+           CASE WHEN t.k <= 1 THEN NULL
+                ELSE floor(e.h_raw / ln(CAST(t.k AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           END AS norm_entropy
+    FROM tot t JOIN ent e ON e.user_id = t.user_id
+    """,
+)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy over event types (and the
+    log-k-normalized evenness in [0,1]) — the diversity feature
+    engagement models and bot detectors both reach for (a user who
+    only ever fires one event type scores 0; a uniform mixer scores 1).
+
+    One hash agg to (user, type) cells, a broadcast-size per-user
+    margin join, and the chi2 discipline for the entropy sum: each
+    -p·ln(p) term casts to DECIMAL(20,8) before summing so the
+    cell-order float accumulation cannot drift; ln() follows the
+    established 6-dp libm-rounding discipline. Single-type users get
+    entropy 0 and NULL evenness (ln(1)=0 denominator) on both sides.
+    """
+    ev = table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cells = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cells.groupBy("user_id").agg(
+        F.sum("n").alias("ntot"), F.count(F.lit(1)).alias("k")
+    )
+    p = F.col("n").cast("double") / F.col("ntot")
+    ent = (
+        cells.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum((-p * F.log(p)).cast("decimal(20,8)"))
+            .cast("double")
+            .alias("h_raw")
+        )
+    )
+    return tot.join(ent, "user_id").select(
+        "user_id",
+        F.col("ntot").cast("bigint").alias("n_events"),
+        F.col("k").cast("int").alias("n_types"),
+        det_round(F.col("h_raw"), 6).alias("entropy_nats"),
+        F.when(F.col("k") <= 1, F.lit(None).cast("double"))
+        .otherwise(
+            det_round(F.col("h_raw") / F.log(F.col("k").cast("double")), 6)
+        )
+        .alias("norm_entropy"),
+    )

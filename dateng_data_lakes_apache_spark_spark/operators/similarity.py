@@ -1387,3 +1387,165 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+#: Fixed power-iteration count for q_pca_power — part of the query
+#: contract (both engines unroll exactly this many normalized matvecs).
+_PCA_ITERS = 12
+
+
+def _pca_cov_cell(i: int, j: int) -> str:
+    """6-dp covariance cell from the shared power sums (dialect-neutral;
+    q_embedding_covariance's exact recombination)."""
+    a, b = min(i, j), max(i, j)
+    return (
+        f"floor((p{a}_{b} - s{a} * s{b} / n) / (n - 1) * 1e6 + 0.5) / 1e6"
+    )
+
+
+@query(
+    "q_pca_power",
+    oracle=f"""
+    WITH sums AS (
+      SELECT COUNT(*) AS n,
+             {", ".join(
+                 f"CAST(SUM(CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE) AS s{i}"
+                 for i in range(1, 9)
+             )},
+             {", ".join(
+                 f"CAST(SUM(CAST(CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{j}] AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE) AS p{i}_{j}"
+                 for i in range(1, 9)
+                 for j in range(i, 9)
+             )}
+      FROM embeddings
+    ),
+    cmat AS (
+      SELECT n, [{", ".join(
+          "[" + ", ".join(_pca_cov_cell(i, j) for j in range(1, 9)) + "]"
+          for i in range(1, 9)
+      )}] AS c
+      FROM sums WHERE n >= 2
+    ),
+    w0 AS MATERIALIZED (SELECT n, c, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS v FROM cmat),
+    {", ".join(
+        f'''w{t} AS MATERIALIZED (
+      SELECT n, c,
+             CASE WHEN sqrt(list_aggregate(list_transform(
+                        list_transform(range(1, 9), i ->
+                          list_aggregate(list_transform(range(1, 9),
+                            j -> c[i][j] * v[j]), 'sum')),
+                        x -> x * x), 'sum')) > 0
+                  THEN list_transform(
+                        list_transform(range(1, 9), i ->
+                          list_aggregate(list_transform(range(1, 9),
+                            j -> c[i][j] * v[j]), 'sum')),
+                        x -> x / sqrt(list_aggregate(list_transform(
+                          list_transform(range(1, 9), i ->
+                            list_aggregate(list_transform(range(1, 9),
+                              j -> c[i][j] * v[j]), 'sum')),
+                          x -> x * x), 'sum')))
+                  ELSE NULL END AS v
+      FROM w{t - 1} WHERE v IS NOT NULL
+    )''' for t in range(1, _PCA_ITERS + 1)
+    )}
+    SELECT CAST(i AS INT) AS dim,
+           floor(v[i] * 1e6 + 0.5) / 1e6 AS loading,
+           floor(list_aggregate(list_transform(range(1, 9), k ->
+                   v[k] * list_aggregate(list_transform(range(1, 9),
+                     j -> c[k][j] * v[j]), 'sum')), 'sum')
+                 * 1e6 + 0.5) / 1e6 AS eigenvalue
+    FROM w{_PCA_ITERS}, range(1, 9) AS r(i)
+    WHERE v IS NOT NULL
+    """,
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal component of the first 8 embedding dimensions by FIXED
+    12-step power iteration on the 6-dp covariance matrix — PCA as a
+    lake query, with a fully INDEPENDENT oracle (the DuckDB twin
+    unrolls the identical normalized matvecs over one-row CTEs; no
+    staging, no BLAS).
+
+    The data-scale work is q_embedding_covariance's single power-sum
+    pass (map-side combined; the shuffle is one accumulator row). The
+    iteration itself runs DRIVER-SIDE on the collected 8x8 cell matrix
+    — exactly the split that query's docstring prescribes ("the
+    eigen-solve on it is a driver/BLAS concern, not a data-plane one")
+    and the bounded-collect precedent BPE/grid-DBSCAN established: 36
+    cells cross the wire, never data. (A first cut chained the matvecs
+    as 12 nested JVM HOF projections; Catalyst's projection collapse
+    re-inlines the shared `w` subtree twice per level, so ANALYSIS
+    cost grows 2^iters — unusable. Driver floats execute the identical
+    IEEE sequence: matvec folds ascend j, the norm fold ascends i,
+    the same sqrt divides — bit-identical to the oracle's unrolled
+    list_aggregate folds.)
+
+    Start vector e1 is part of the contract. Degenerate guards: n<2
+    emits an empty frame; a zero matrix (||Cv||=0) kills the walk →
+    empty on both sides. The eigenvalue is the final Rayleigh
+    quotient v·Cv, 6-dp rounding only at the output.
+
+    At 100 TB: identical plan — the corpus pass is the only data-scale
+    stage. Widening to 64 dims or top-m components (deflation) changes
+    the driver loop, not the plan.
+    """
+    import math
+
+    k = 8
+    e = table(spark, sf_dir, "embeddings")
+    dims = range(1, k + 1)
+    x = {i: F.element_at("embedding", i).cast("double") for i in dims}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum(x[i].cast("decimal(30,8)")).cast("double").alias(f"s{i}")
+        for i in dims
+    ]
+    aggs += [
+        F.sum((x[i] * x[j]).cast("decimal(30,8)")).cast("double").alias(f"p{i}_{j}")
+        for i in dims
+        for j in range(i, k + 1)
+    ]
+    sums = e.agg(*aggs).where(F.col("n") >= 2)
+
+    def cell(i: int, j: int):
+        a, b = min(i, j), max(i, j)
+        return F.floor(
+            (F.col(f"p{a}_{b}") - F.col(f"s{a}") * F.col(f"s{b}") / F.col("n"))
+            / (F.col("n") - 1)
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ) / F.lit(1e6)
+
+    cmat = F.array(*[F.array(*[cell(i, j) for j in dims]) for i in dims])
+    rows = sums.select(cmat.alias("c")).collect()  # <= 1 row, 36 cells
+    schema = "dim int, loading double, eigenvalue double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    c = rows[0]["c"]
+
+    def matvec(v):
+        out = []
+        for i in range(k):
+            acc = 0.0
+            for j in range(k):  # ascending j — the oracle's fold order
+                acc = acc + c[i][j] * v[j]
+            out.append(acc)
+        return out
+
+    v = [1.0] + [0.0] * (k - 1)
+    for _ in range(_PCA_ITERS):
+        w = matvec(v)
+        nrm_sq = 0.0
+        for xx in w:  # ascending i — the oracle's norm fold order
+            nrm_sq = nrm_sq + xx * xx
+        nrm = math.sqrt(nrm_sq)
+        if not nrm > 0:
+            return spark.createDataFrame([], schema)
+        v = [xx / nrm for xx in w]
+    w = matvec(v)
+    lam = 0.0
+    for a, b in zip(v, w):
+        lam = lam + a * b
+    r6 = lambda val: math.floor(val * 1e6 + 0.5) / 1e6
+    return spark.createDataFrame(
+        [(i + 1, r6(v[i]), r6(lam)) for i in range(k)], schema
+    )

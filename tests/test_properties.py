@@ -2188,3 +2188,121 @@ def test_top_movers_matches_reference(spark, tmp_path_factory, rows):
         assert g[:4] == w[:4]
         assert abs(g[4] - w[4]) < 1e-9
         assert abs(g[5] - w[5]) < 1e-6 + 1e-9 * abs(w[5])
+
+
+@given(
+    seeds=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=0, max_size=25
+    )
+)
+@settings(**_SETTINGS)
+def test_pca_power_finds_planted_direction(spark, tmp_path_factory, seeds):
+    """q_pca_power on data planted along a fixed direction must align
+    with numpy's top eigenvector of the same covariance (|cos| >= 0.99
+    — the eigengap is large by construction), return a unit loading
+    vector, and emit an empty frame on <2 rows."""
+    import math
+    import uuid
+
+    import numpy as np
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    # Planted direction + deterministic small residual so the top
+    # eigenvalue dominates and 12 power iterations surely converge.
+    direction = np.array([3.0, 1.0, -2.0, 0.5, 0.0, 1.5, -1.0, 0.25])
+    direction /= np.linalg.norm(direction)
+    rows = []
+    for i, a in enumerate(seeds):
+        noise = np.array(
+            [((i * 7 + d * 13) % 11 - 5) / 50.0 for d in range(8)]
+        )
+        vec = a * direction + noise
+        rows.append((i, [float(np.float32(x)) for x in vec] + [0.0] * 56, 0))
+    sf = str(tmp_path_factory.mktemp("pca") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    got = sorted(
+        (r.dim, r.loading, r.eigenvalue)
+        for r in get_queries()["q_pca_power"](spark, sf).collect()
+    )
+    if len(seeds) < 2:
+        assert got == []
+        return
+    data = np.array([r[1][:8] for r in rows], dtype=np.float64)
+    cov = np.cov(data, rowvar=False, ddof=1)
+    if not np.isfinite(cov).all() or np.allclose(cov, 0):
+        # zero/degenerate covariance: the walk dies -> empty frame
+        assert got == []
+        return
+    assert len(got) == 8
+    v = np.array([g[1] for g in got])
+    lam = got[0][2]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4  # unit loading
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, int(np.argmax(evals))]
+    align = abs(float(np.dot(v, top)))
+    assert align > 0.99, (align, v, top)
+    assert abs(lam - float(np.max(evals))) < 0.05 * max(1.0, abs(float(np.max(evals))))
+
+
+def _user_entropy_reference(rows):
+    """Plug-in entropy per user with the engine's per-term 8-dp decimal
+    discipline mirrored (the q_mutual_information test pattern)."""
+    import math
+
+    cells: dict[tuple, int] = {}
+    for uid, et in rows:
+        cells[(uid, et)] = cells.get((uid, et), 0) + 1
+    out = {}
+    for uid in {k[0] for k in cells}:
+        ns = [n for (u, _), n in cells.items() if u == uid]
+        ntot, k = sum(ns), len(ns)
+        h = sum(round(-(n / ntot) * math.log(n / ntot), 8) for n in ns)
+        norm = None if k <= 1 else h / math.log(k)
+        out[uid] = (ntot, k, h, norm)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_user_entropy_matches_plugin_reference(spark, tmp_path_factory, rows):
+    """q_user_entropy must equal the plug-in Shannon entropy per user,
+    including the single-type entropy-0 / NULL-evenness guard."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("uent") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, uid, et, dt.datetime(2024, 1, 1))
+            for i, (uid, et) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.user_id: (r.n_events, r.n_types, r.entropy_nats, r.norm_entropy)
+        for r in get_queries()["q_user_entropy"](spark, sf).collect()
+    }
+    want = _user_entropy_reference(rows)
+    assert set(got) == set(want)
+    for uid, (ntot, k, h, norm) in want.items():
+        gn, gk, gh, gnorm = got[uid]
+        assert (gn, gk) == (ntot, k)
+        assert abs(gh - h) < 1e-5
+        if norm is None:
+            assert gnorm is None
+        else:
+            assert abs(gnorm - norm) < 1e-5
