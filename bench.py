@@ -270,6 +270,8 @@ HEADLINE = [
     "q_stream_topk",
     "q_pca_power",
     "q_user_entropy",
+    "q_lm_bigram",
+    "q_diff_in_diff",
 ]
 
 

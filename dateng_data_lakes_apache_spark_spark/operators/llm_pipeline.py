@@ -1455,3 +1455,89 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.cast("bigint").alias("n_novel"),
         (novel.cast("double") / F.count(F.lit(1))).alias("novelty_ratio"),
     )
+
+
+@query(
+    "q_lm_bigram",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      FROM tok WHERE len(ws) >= 2
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM grams GROUP BY w1, w2),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM grams GROUP BY w1),
+    voc AS (
+      SELECT COUNT(DISTINCT w) AS v FROM (
+        SELECT unnest(ws) AS w FROM tok
+      )
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(LN(b.c12 + 1) - LN(u.c1 + vv.v)) / COUNT(*), 4)
+             AS avg_logprob
+    FROM grams g
+    JOIN big b ON b.w1 = g.w1 AND b.w2 = g.w2
+    JOIN uni u ON u.w1 = g.w1
+    CROSS JOIN voc vv
+    GROUP BY g.doc_id
+    """,
+)
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score with add-one smoothing:
+    each document's mean ln P(w₂|w₁) where P = (c(w₁w₂)+1)/(c(w₁·)+V)
+    — q_lm_score's context-aware upgrade (the unigram filter cannot
+    tell shuffled gibberish from fluent text; the bigram one can),
+    the CCNet-style perplexity gate one rung up the ladder.
+
+    Three corpus-bounded passes: the bigram and unigram-context count
+    tables (map-side combined, vocabulary-sized), and the score join —
+    plain shuffle joins on the gram hash (counts may exceed broadcast
+    at 100 TB), then one doc_id shuffle for the mean. Laplace
+    smoothing makes every probability well-defined with no OOV branch.
+    ln() on integer inputs is identical across engines (q_lm_score's
+    verified discipline); the mean rounds to 4 dp before hashing.
+    NULL texts are dropped; docs with <2 tokens have no bigrams and
+    are absent on both sides.
+    """
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = d.select("doc_id", ws.alias("ws"))
+    grams = tok.where(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.struct(
+                    F.element_at("ws", i + 1).alias("w1"),
+                    F.element_at("ws", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    voc = (
+        tok.select(F.explode("ws").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        grams.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(voc))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.log(F.col("c12") + 1) - F.log(F.col("c1") + F.col("v")))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_logprob"),
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..common import DEC, o_dsum, o_ts_str, spread, ts_str
+from ..common import DEC, md5_hex4_duck, o_dsum, o_ts_str, spread, ts_str
 from ..registry import query
 
 
@@ -3381,4 +3381,137 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(F.col("mi_raw") / F.sqrt(F.col("hx_raw") * F.col("hy_raw")), 6)
         )
         .alias("nmi"),
+    )
+
+
+@query(
+    "q_diff_in_diff",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {md5_hex4_duck('user_id', 1)} % 2 AS treat,
+             CASE WHEN EXTRACT(day FROM ts) >= 16 THEN 1 ELSE 0 END AS post,
+             value
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    cells AS (
+      SELECT treat, post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {o_dsum('value')} AS s,
+             {o_dsum('value * value')} AS ss
+      FROM scored GROUP BY treat, post
+    ),
+    piv AS (
+      SELECT
+        MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n11,
+        MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n10,
+        MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n01,
+        MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n00,
+        MAX(CASE WHEN treat = 1 AND post = 1 THEN s END) AS s11,
+        MAX(CASE WHEN treat = 1 AND post = 0 THEN s END) AS s10,
+        MAX(CASE WHEN treat = 0 AND post = 1 THEN s END) AS s01,
+        MAX(CASE WHEN treat = 0 AND post = 0 THEN s END) AS s00,
+        MAX(CASE WHEN treat = 1 AND post = 1 THEN ss END) AS ss11,
+        MAX(CASE WHEN treat = 1 AND post = 0 THEN ss END) AS ss10,
+        MAX(CASE WHEN treat = 0 AND post = 1 THEN ss END) AS ss01,
+        MAX(CASE WHEN treat = 0 AND post = 0 THEN ss END) AS ss00
+      FROM cells
+    )
+    SELECT n11, n10, n01, n00,
+           floor(((s11/n11 - s10/n10) - (s01/n01 - s00/n00)) * 1e6 + 0.5) / 1e6
+             AS did_estimate,
+           CASE WHEN n11 < 2 OR n10 < 2 OR n01 < 2 OR n00 < 2 THEN NULL
+                ELSE floor(sqrt(
+                    (n11*ss11 - s11*s11) / (CAST(n11 AS DOUBLE)*n11*(n11-1))
+                  + (n10*ss10 - s10*s10) / (CAST(n10 AS DOUBLE)*n10*(n10-1))
+                  + (n01*ss01 - s01*s01) / (CAST(n01 AS DOUBLE)*n01*(n01-1))
+                  + (n00*ss00 - s00*s00) / (CAST(n00 AS DOUBLE)*n00*(n00-1))
+                  ) * 1e6 + 0.5) / 1e6
+           END AS std_error
+    FROM piv
+    WHERE n11 IS NOT NULL AND n10 IS NOT NULL
+      AND n01 IS NOT NULL AND n00 IS NOT NULL
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the treatment effect on
+    purchase value: a deterministic md5 user split crosses a mid-month
+    pre/post cut, and DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)
+    — the quasi-experimental workhorse, with the four-cell pooled
+    standard error sqrt(Σ varᵢ/nᵢ) (q_welch_ttest's recombination
+    generalized to 2×2).
+
+    One hash agg to four cells of exact decimal power sums, a
+    conditional-MAX pivot to one row, and a single fixed double
+    expression for estimate and SE — identical tree both engines.
+    Values are ~1e2 doubles, so the decimal(30,8) cast is inside its
+    safe magnitude band (the ANOVA cents lesson does not bite).
+    Guards: any empty cell → empty frame; any cell with n<2 → NULL SE.
+    """
+    from ..common import det_round, md5_hex4_spark
+
+    ev = table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    scored = ev.select(
+        (F.expr(md5_hex4_spark("user_id", 1)) % 2).alias("treat"),
+        F.when(F.dayofmonth("ts") >= 16, 1).otherwise(0).alias("post"),
+        "value",
+    )
+    v = F.col("value")
+    cells = scored.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dec_sum(v).alias("s"),
+        _dec_sum(v * v).alias("ss"),
+    )
+    pick = lambda t, p, c: F.max(
+        F.when((F.col("treat") == t) & (F.col("post") == p), F.col(c))
+    )
+    names = {(1, 1): "11", (1, 0): "10", (0, 1): "01", (0, 0): "00"}
+    piv = cells.agg(
+        *[pick(t, p, "n").alias(f"n{sfx}") for (t, p), sfx in names.items()],
+        *[pick(t, p, "s").alias(f"s{sfx}") for (t, p), sfx in names.items()],
+        *[pick(t, p, "ss").alias(f"ss{sfx}") for (t, p), sfx in names.items()],
+    ).where(
+        F.col("n11").isNotNull()
+        & F.col("n10").isNotNull()
+        & F.col("n01").isNotNull()
+        & F.col("n00").isNotNull()
+    )
+    mean = lambda sfx: F.col(f"s{sfx}") / F.col(f"n{sfx}")
+    se_term = lambda sfx: (
+        F.col(f"n{sfx}") * F.col(f"ss{sfx}") - F.col(f"s{sfx}") * F.col(f"s{sfx}")
+    ) / (
+        F.col(f"n{sfx}").cast("double")
+        * F.col(f"n{sfx}")
+        * (F.col(f"n{sfx}") - 1)
+    )
+    small = (
+        (F.col("n11") < 2)
+        | (F.col("n10") < 2)
+        | (F.col("n01") < 2)
+        | (F.col("n00") < 2)
+    )
+    return piv.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        det_round(
+            (mean("11") - mean("10")) - (mean("01") - mean("00")), 6
+        ).alias("did_estimate"),
+        F.when(small, F.lit(None).cast("double"))
+        .otherwise(
+            det_round(
+                F.sqrt(
+                    se_term("11") + se_term("10") + se_term("01") + se_term("00")
+                ),
+                6,
+            )
+        )
+        .alias("std_error"),
     )

@@ -2306,3 +2306,158 @@ def test_user_entropy_matches_plugin_reference(spark, tmp_path_factory, rows):
             assert gnorm is None
         else:
             assert abs(gnorm - norm) < 1e-5
+
+
+def _lm_bigram_reference(rows):
+    """Plug-in add-one bigram LM per doc (pure floats; the engine's
+    ln-of-integers + 4-dp mean discipline)."""
+    import math
+
+    toks = {
+        i: [t for t in text.split(" ") if t != ""]
+        for i, text in enumerate(rows)
+        if text is not None
+    }
+    grams = {
+        i: list(zip(ws, ws[1:])) for i, ws in toks.items() if len(ws) >= 2
+    }
+    big: dict[tuple, int] = {}
+    uni: dict[str, int] = {}
+    for gs in grams.values():
+        for w1, w2 in gs:
+            big[(w1, w2)] = big.get((w1, w2), 0) + 1
+            uni[w1] = uni.get(w1, 0) + 1
+    vocab = len({w for ws in toks.values() for w in ws})
+    out = {}
+    for i, gs in grams.items():
+        if not gs:
+            continue
+        total = sum(
+            math.log(big[g] + 1) - math.log(uni[g[0]] + vocab) for g in gs
+        )
+        out[i] = (len(gs), round(total / len(gs), 4))
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["a", "b", "c"]), min_size=0, max_size=6
+            ).map(" ".join),
+        ),
+        min_size=0,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_lm_bigram_matches_plugin_reference(spark, tmp_path_factory, rows):
+    """q_lm_bigram must equal the plug-in Laplace bigram LM, including
+    NULL-text drops and the <2-token absence."""
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("lmb") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [(i, text) for i, text in enumerate(rows)],
+        "doc_id long, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in get_queries()["q_lm_bigram"](spark, sf).collect()
+    }
+    want = _lm_bigram_reference(rows)
+    assert set(got) == set(want)
+    for i, (n, lp) in want.items():
+        gn, glp = got[i]
+        assert gn == n
+        assert abs(glp - lp) < 2e-4
+
+
+def _did_reference(rows):
+    """Exact Fraction DiD + pooled SE over the four md5-split cells."""
+    import hashlib
+    from fractions import Fraction
+
+    cells: dict[tuple, list] = {}
+    for uid, day, cents in rows:
+        if cents is None:
+            continue
+        treat = int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 2
+        post = 1 if day >= 16 else 0
+        cells.setdefault((treat, post), []).append(cents)
+    if set(cells) != {(1, 1), (1, 0), (0, 1), (0, 0)}:
+        return None
+    stats = {}
+    for key, vals in cells.items():
+        n = len(vals)
+        s = Fraction(sum(vals), 100)
+        ss = Fraction(sum(c * c for c in vals), 10000)
+        stats[key] = (n, s, ss)
+    m = {k: s / n for k, (n, s, _) in stats.items()}
+    did = float((m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)]))
+    ns = [stats[k][0] for k in stats]
+    if any(n < 2 for n in ns):
+        return stats, did, None
+    se = sum(
+        (n * ss - s * s) / (n * n * (n - 1)) for n, s, ss in stats.values()
+    )
+    return stats, did, float(se) ** 0.5
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=1, max_value=30),
+            st.one_of(st.integers(min_value=0, max_value=20000), st.none()),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_diff_in_diff_matches_fraction_reference(spark, tmp_path_factory, rows):
+    """q_diff_in_diff must equal the exact Fraction 2x2 construction on
+    the same md5 treatment split, including empty-cell and n<2 guards."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("did") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (
+                i + 1,
+                uid,
+                "purchase",
+                dt.datetime(2024, 1, day, 9),
+                None if c is None else c / 100.0,
+            )
+            for i, (uid, day, c) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = get_queries()["q_diff_in_diff"](spark, sf).collect()
+    want = _did_reference(rows)
+    if want is None:
+        assert got == []
+        return
+    stats, did, se = want
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n11, r.n10, r.n01, r.n00) == (
+        stats[(1, 1)][0],
+        stats[(1, 0)][0],
+        stats[(0, 1)][0],
+        stats[(0, 0)][0],
+    )
+    assert abs(r.did_estimate - did) < 1e-6 + 1e-9 * abs(did)
+    if se is None:
+        assert r.std_error is None
+    else:
+        assert abs(r.std_error - se) < 1e-6 + 1e-9 * abs(se)
