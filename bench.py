@@ -272,6 +272,7 @@ HEADLINE = [
     "q_user_entropy",
     "q_lm_bigram",
     "q_diff_in_diff",
+    "q_funnel_latency",
 ]
 
 

@@ -2465,3 +2465,108 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("norm_entropy"),
     )
+
+
+@query(
+    "q_funnel_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    deltas AS (
+      SELECT 1 AS step_idx, 'view->click' AS step,
+             epoch_ms(c.t2) - epoch_ms(v.t1) AS ms
+      FROM c JOIN v ON v.user_id = c.user_id
+      UNION ALL
+      SELECT 2, 'click->purchase', epoch_ms(p.t3) - epoch_ms(c.t2)
+      FROM p JOIN c ON c.user_id = p.user_id
+    )
+    SELECT CAST(step_idx AS INT) AS step_idx, step,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           floor(CAST(SUM(CAST(ms AS HUGEINT)) AS DOUBLE) / COUNT(*) / 1000.0
+                 * 1e3 + 0.5) / 1e3 AS avg_seconds,
+           CAST(MIN(ms) AS DOUBLE) / 1000.0 AS min_seconds,
+           CAST(MAX(ms) AS DOUBLE) / 1000.0 AS max_seconds,
+           CASE WHEN COUNT(*) < 2 THEN NULL
+                ELSE floor(sqrt((CAST(COUNT(*) AS DOUBLE)
+                                   * CAST(SUM(CAST(ms AS HUGEINT) * ms) AS DOUBLE)
+                                 - CAST(SUM(CAST(ms AS HUGEINT)) AS DOUBLE)
+                                   * CAST(SUM(CAST(ms AS HUGEINT)) AS DOUBLE))
+                                / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1)))
+                           / 1000.0 * 1e3 + 0.5) / 1e3
+           END AS stddev_seconds
+    FROM deltas
+    GROUP BY 1, 2
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-to-step latency of the view → click → purchase funnel:
+    how long converting users take between stages (mean, range, and
+    spread per transition) — the time dimension q_funnel's pure counts
+    drop, and the metric that finds WHERE a funnel leaks speed.
+
+    Reuses q_funnel's first-touch stage construction (per-user MIN(ts)
+    chained joins — one narrow shuffle per stage). Latencies are exact
+    integer epoch-milliseconds; the power sums accumulate through
+    HUGEINT/decimal(38,0) (millisecond squares overflow DECIMAL(30,8)'s
+    safe band — the ANOVA cents lesson), and mean/stddev recombine in
+    one fixed expression, 3-dp floor-rounded seconds. Transitions with
+    a single converter → NULL stddev on both sides.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t2"), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    d1 = c.join(v, "user_id").select(
+        F.lit(1).alias("step_idx"),
+        F.lit("view->click").alias("step"),
+        (F.unix_millis("t2") - F.unix_millis("t1")).alias("ms"),
+    )
+    d2 = p.join(c, "user_id").select(
+        F.lit(2).alias("step_idx"),
+        F.lit("click->purchase").alias("step"),
+        (F.unix_millis("t3") - F.unix_millis("t2")).alias("ms"),
+    )
+    deltas = d1.unionByName(d2)
+    n = F.count(F.lit(1))
+    s = F.sum(F.col("ms").cast("decimal(38,0)")).cast("double")
+    ss = F.sum(F.col("ms").cast("decimal(38,0)") * F.col("ms")).cast("double")
+    var = (n.cast("double") * ss - s * s) / (n.cast("double") * (n - 1))
+    return deltas.groupBy(
+        F.col("step_idx").cast("int").alias("step_idx"), "step"
+    ).agg(
+        n.cast("bigint").alias("n_users"),
+        det_round(s / n / F.lit(1000.0), 3).alias("avg_seconds"),
+        (F.min("ms").cast("double") / 1000.0).alias("min_seconds"),
+        (F.max("ms").cast("double") / 1000.0).alias("max_seconds"),
+        F.when(n < 2, F.lit(None).cast("double"))
+        .otherwise(det_round(F.sqrt(var) / F.lit(1000.0), 3))
+        .alias("stddev_seconds"),
+    )

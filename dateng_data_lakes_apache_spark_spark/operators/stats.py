@@ -3207,20 +3207,26 @@ _OLS_SELECT = f"""
 @query(
     "q_ols_multi",
     oracle=f"""
-    WITH m AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) AS s2,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS s11,
-             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,8))) AS DOUBLE) AS s12,
-             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,8))) AS DOUBLE) AS s22,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS s1y,
-             CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS s2y,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS syy
+    WITH cents AS (
+      SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
       FROM lineitem
       WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
         AND l_extendedprice IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+             CAST(SUM(qc) AS DOUBLE) / 1e2 AS s1,
+             CAST(SUM(dc) AS DOUBLE) / 1e2 AS s2,
+             CAST(SUM(pc) AS DOUBLE) / 1e2 AS sy,
+             CAST(SUM(CAST(qc AS HUGEINT) * qc) AS DOUBLE) / 1e4 AS s11,
+             CAST(SUM(CAST(qc AS HUGEINT) * dc) AS DOUBLE) / 1e4 AS s12,
+             CAST(SUM(CAST(dc AS HUGEINT) * dc) AS DOUBLE) / 1e4 AS s22,
+             CAST(SUM(CAST(qc AS HUGEINT) * pc) AS DOUBLE) / 1e4 AS s1y,
+             CAST(SUM(CAST(dc AS HUGEINT) * pc) AS DOUBLE) / 1e4 AS s2y,
+             CAST(SUM(CAST(pc AS HUGEINT) * pc) AS DOUBLE) / 1e4 AS syy
+      FROM cents
     )
     SELECT {_OLS_SELECT}
     FROM m
@@ -3234,31 +3240,45 @@ def q_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-feature generalization.
 
     The 10 moments (n, Σx₁, Σx₂, Σy and the 6 cross-products) are
-    exact decimal sums; β and R² = 1 − SSE/SST (SSE = Σy² − β'X'y)
-    recombine driver-free in a single projection whose arithmetic is
-    ONE shared fragment string evaluated verbatim by both engines
-    (selectExpr here, the twin SQL there) — transcription drift is
-    structurally impossible. Collinear features (det = 0) and
-    zero-variance y → NULL. At 100 TB this is the map-side-combined
-    scan-and-done shape: no iteration, no shuffle beyond one k-row agg.
+    INTEGER-CENTS exact — bigint sums and decimal(38,0)/HUGEINT
+    product sums (the ANOVA lesson: a decimal(30,8) cast of large
+    double products is neither cross-engine-safe nor cheap; bigint
+    multiply-accumulate is both, and measured 3.2 s → ~0.8 s at sf0.1
+    by skipping ten double→decimal string conversions per row). β and
+    R² = 1 − SSE/SST (SSE = Σy² − β'X'y) recombine driver-free in a
+    single projection whose arithmetic is ONE shared fragment string
+    evaluated verbatim by both engines (selectExpr here, the twin SQL
+    there) — transcription drift is structurally impossible.
+    Numerically singular systems (relative |det| guard — the
+    hypothesis-found ulp-residue trap) and zero-variance y → NULL.
+    At 100 TB this is the map-side-combined scan-and-done shape: no
+    iteration, no shuffle beyond one accumulator row.
     """
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_quantity").isNotNull()
         & F.col("l_discount").isNotNull()
         & F.col("l_extendedprice").isNotNull()
     )
-    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
-    m = li.agg(
+    c100 = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")
+    cents = li.select(
+        c100("l_quantity").alias("qc"),
+        c100("l_discount").alias("dc"),
+        c100("l_extendedprice").alias("pc"),
+    )
+    big = lambda a, b: F.sum(F.col(a).cast("decimal(38,0)") * F.col(b)).cast(
+        "double"
+    ) / F.lit(1e4)
+    m = cents.agg(
         F.count(F.lit(1)).cast("double").alias("nn"),
-        _dec_sum(x1).alias("s1"),
-        _dec_sum(x2).alias("s2"),
-        _dec_sum(y).alias("sy"),
-        _dec_sum(x1 * x1).alias("s11"),
-        _dec_sum(x1 * x2).alias("s12"),
-        _dec_sum(x2 * x2).alias("s22"),
-        _dec_sum(x1 * y).alias("s1y"),
-        _dec_sum(x2 * y).alias("s2y"),
-        _dec_sum(y * y).alias("syy"),
+        (F.sum("qc").cast("double") / F.lit(1e2)).alias("s1"),
+        (F.sum("dc").cast("double") / F.lit(1e2)).alias("s2"),
+        (F.sum("pc").cast("double") / F.lit(1e2)).alias("sy"),
+        big("qc", "qc").alias("s11"),
+        big("qc", "dc").alias("s12"),
+        big("dc", "dc").alias("s22"),
+        big("qc", "pc").alias("s1y"),
+        big("dc", "pc").alias("s2y"),
+        big("pc", "pc").alias("syy"),
     ).where(F.col("nn") > 0)
     return m.selectExpr(*[e.strip() for e in _OLS_SELECT.split(",\n")])
 

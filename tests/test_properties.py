@@ -2461,3 +2461,103 @@ def test_diff_in_diff_matches_fraction_reference(spark, tmp_path_factory, rows):
         assert r.std_error is None
     else:
         assert abs(r.std_error - se) < 1e-6 + 1e-9 * abs(se)
+
+
+def _funnel_latency_reference(rows):
+    """Literal first-touch funnel walk + exact Fraction latency stats
+    over integer millisecond deltas."""
+    import math
+    from fractions import Fraction
+
+    by_user: dict[int, list] = {}
+    for uid, et, ms in rows:
+        by_user.setdefault(uid, []).append((ms, et))
+    t1, t2, t3 = {}, {}, {}
+    for uid, evs in by_user.items():
+        views = [ms for ms, et in evs if et == "view"]
+        if not views:
+            continue
+        t1[uid] = min(views)
+        clicks = [ms for ms, et in evs if et == "click" and ms > t1[uid]]
+        if not clicks:
+            continue
+        t2[uid] = min(clicks)
+        purchases = [ms for ms, et in evs if et == "purchase" and ms > t2[uid]]
+        if purchases:
+            t3[uid] = min(purchases)
+    out = {}
+    for idx, (step, cur, prev) in enumerate(
+        [("view->click", t2, t1), ("click->purchase", t3, t2)], start=1
+    ):
+        deltas = [cur[u] - prev[u] for u in cur]
+        if not deltas:
+            continue
+        n = len(deltas)
+        s = sum(deltas)
+        avg = math.floor(Fraction(s, n) / 1000 * 1000 + Fraction(1, 2)) / 1000
+        if n < 2:
+            sd = None
+        else:
+            var = (n * sum(d * d for d in deltas) - s * s) / (n * (n - 1))
+            sd = math.floor(math.sqrt(var) / 1000 * 1e3 + 0.5) / 1e3
+        out[(idx, step)] = (
+            n,
+            float(avg),
+            min(deltas) / 1000.0,
+            max(deltas) / 1000.0,
+            sd,
+        )
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=86_400_000),
+        ),
+        min_size=0,
+        max_size=40,
+    ).filter(lambda rs: len({(u, ms) for u, _, ms in rs}) == len(rs))
+)
+@settings(**_SETTINGS)
+def test_funnel_latency_matches_walk_reference(spark, tmp_path_factory, rows):
+    """q_funnel_latency must equal the literal first-touch walk and the
+    exact latency statistics (unique (user, ts) pairs keep MIN ties
+    unambiguous — the funnel contract's total-order assumption)."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    epoch = dt.datetime(2024, 1, 1)
+    sf = str(tmp_path_factory.mktemp("flat") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, uid, et, epoch + dt.timedelta(milliseconds=ms))
+            for i, (uid, et, ms) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        (r.step_idx, r.step): (
+            r.n_users,
+            r.avg_seconds,
+            r.min_seconds,
+            r.max_seconds,
+            r.stddev_seconds,
+        )
+        for r in get_queries()["q_funnel_latency"](spark, sf).collect()
+    }
+    want = _funnel_latency_reference(rows)
+    assert set(got) == set(want)
+    for key, (n, avg, mn, mx, sd) in want.items():
+        gn, gavg, gmn, gmx, gsd = got[key]
+        assert gn == n
+        assert abs(gavg - avg) < 1e-3 + 1e-9 * abs(avg)
+        assert (gmn, gmx) == (mn, mx)
+        if sd is None:
+            assert gsd is None
+        else:
+            assert abs(gsd - sd) < 1e-3 + 1e-9 * abs(sd)
