@@ -273,6 +273,8 @@ HEADLINE = [
     "q_lm_bigram",
     "q_diff_in_diff",
     "q_funnel_latency",
+    "q_sprt_abtest",
+    "q_contribution",
 ]
 
 

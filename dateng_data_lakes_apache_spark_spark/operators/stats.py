@@ -3535,3 +3535,168 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("std_error"),
     )
+
+
+@query(
+    "q_sprt_abtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(EXTRACT(day FROM ts) AS INT) AS d,
+             {md5_hex4_duck('user_id', 1)} % 2 AS arm,
+             CAST(COUNT(*) AS BIGINT) AS trials,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT d,
+             COALESCE(MAX(CASE WHEN arm = 1 THEN hits END), 0) AS h1,
+             COALESCE(MAX(CASE WHEN arm = 1 THEN trials END), 0) AS t1,
+             COALESCE(MAX(CASE WHEN arm = 0 THEN hits END), 0) AS h0,
+             COALESCE(MAX(CASE WHEN arm = 0 THEN trials END), 0) AS t0
+      FROM daily GROUP BY d
+    ),
+    llr AS (
+      SELECT d,
+             SUM(CAST(h1 * ln(0.22 / 0.18) + (t1 - h1) * ln(0.78 / 0.82)
+                      AS DECIMAL(20,8)))
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS llr_c
+      FROM piv
+    )
+    SELECT CAST(d AS INT) AS day,
+           floor(CAST(llr_c AS DOUBLE) * 1e6 + 0.5) / 1e6 AS llr,
+           CASE WHEN CAST(llr_c AS DOUBLE) >= ln(19.0) THEN 'accept_h1'
+                WHEN CAST(llr_c AS DOUBLE) <= -ln(19.0) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr
+    """,
+)
+def q_sprt_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test over the experiment's daily
+    ledger: the treatment arm's cumulative log-likelihood ratio for
+    H1: p=0.22 vs H0: p=0.18 purchase rate, with Wald's ±ln(19)
+    boundaries (α≈β≈0.05) — the always-valid monitor that replaces
+    peeking at a fixed-horizon z-test (q_ab_test's sequential sibling).
+
+    Scale shape: one hash agg to the (day, arm) ledger; the LLR walk
+    is a window cumsum over the CALENDAR-BOUNDED pivoted series with
+    each day's increment cast to DECIMAL(20,8) before the running sum
+    (exact accumulation — no float-order drift), and ln() only ever
+    applied to the four CONSTANT likelihood ratios. The md5 arm split
+    matches q_diff_in_diff's assignment.
+    """
+    from ..common import det_round, md5_hex4_spark
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        F.dayofmonth("ts").cast("int").alias("d"),
+        (F.expr(md5_hex4_spark("user_id", 1)) % 2).alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("trials"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits"),
+    )
+    pick = lambda a, c: F.coalesce(
+        F.max(F.when(F.col("arm") == a, F.col(c))), F.lit(0)
+    )
+    piv = daily.groupBy("d").agg(
+        pick(1, "hits").alias("h1"),
+        pick(1, "trials").alias("t1"),
+        pick(0, "hits").alias("h0"),
+        pick(0, "trials").alias("t0"),
+    )
+    import math
+
+    inc = (
+        F.col("h1") * F.lit(math.log(0.22 / 0.18))
+        + (F.col("t1") - F.col("h1")) * F.lit(math.log(0.78 / 0.82))
+    ).cast("decimal(20,8)")
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    llr_c = F.sum(inc).over(w).cast("double")
+    bound = math.log(19.0)
+    walk = piv.select(F.col("d").cast("int").alias("day"), llr_c.alias("llr_c"))
+    return walk.select(
+        "day",
+        det_round(F.col("llr_c"), 6).alias("llr"),
+        F.when(F.col("llr_c") >= bound, "accept_h1")
+        .when(F.col("llr_c") <= -bound, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+@query(
+    "q_contribution",
+    oracle="""
+    WITH leaf AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE o.o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    reg AS (SELECT region, SUM(rev) AS reg_rev FROM leaf GROUP BY region),
+    tot AS (SELECT SUM(rev) AS all_rev FROM leaf)
+    SELECT l.region, l.nation,
+           CAST(l.rev AS DOUBLE) AS revenue,
+           floor(CAST(l.rev AS DOUBLE) / CAST(g.reg_rev AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS share_of_region,
+           floor(CAST(g.reg_rev AS DOUBLE) / CAST(t.all_rev AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS region_share_of_total
+    FROM leaf l JOIN reg g ON g.region = l.region CROSS JOIN tot t
+    WHERE t.all_rev > 0 AND g.reg_rev > 0
+    """,
+)
+def q_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical contribution analysis: each nation's share of its
+    region's revenue and each region's share of the total — the
+    'what drives the number' drill-down every metrics review starts
+    with (q_rollup gives the level totals; this gives the RATIOS
+    between levels, which rollup rows cannot express).
+
+    One star-join aggregation to the leaf (region, nation) table
+    (dims broadcast), then two metadata-scale re-aggregations;
+    shares are exact-decimal / exact-decimal single divisions,
+    6-dp floor-rounded. Zero-revenue parents are excluded (a share
+    of nothing is undefined on both sides).
+    """
+    from ..common import det_round
+
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    leaf = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+    reg = leaf.groupBy("region").agg(F.sum("rev").alias("reg_rev"))
+    tot = leaf.agg(F.sum("rev").alias("all_rev"))
+    return (
+        leaf.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .where((F.col("all_rev") > 0) & (F.col("reg_rev") > 0))
+        .select(
+            "region",
+            "nation",
+            F.col("rev").cast("double").alias("revenue"),
+            det_round(
+                F.col("rev").cast("double") / F.col("reg_rev").cast("double"), 6
+            ).alias("share_of_region"),
+            det_round(
+                F.col("reg_rev").cast("double") / F.col("all_rev").cast("double"),
+                6,
+            ).alias("region_share_of_total"),
+        )
+    )

@@ -2561,3 +2561,78 @@ def test_funnel_latency_matches_walk_reference(spark, tmp_path_factory, rows):
             assert gsd is None
         else:
             assert abs(gsd - sd) < 1e-3 + 1e-9 * abs(sd)
+
+
+def _sprt_reference(rows):
+    """Literal SPRT walk over the daily (arm=1) ledger with exact
+    decimal increments (engine: DECIMAL(20,8)-cast per-day terms)."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    daily: dict[int, list] = {}
+    for uid, day, et in rows:
+        arm = int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 2
+        cur = daily.setdefault(day, [0, 0])
+        if arm == 1:
+            cur[0] += 1
+            cur[1] += et == "purchase"
+    la = math.log(0.22 / 0.18)
+    lb = math.log(0.78 / 0.82)
+    bound = math.log(19.0)
+    out, acc = {}, Decimal(0)
+    q = Decimal("0.00000001")
+    for day in sorted(daily):
+        t1, h1 = daily[day]
+        inc = Decimal(h1 * la + (t1 - h1) * lb).quantize(
+            q, rounding="ROUND_HALF_UP"
+        )
+        acc += inc
+        llr = float(acc)
+        dec = (
+            "accept_h1"
+            if llr >= bound
+            else "accept_h0" if llr <= -bound else "continue"
+        )
+        out[day] = (math.floor(llr * 1e6 + 0.5) / 1e6, dec)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),
+            st.integers(min_value=1, max_value=10),
+            st.sampled_from(["purchase", "view"]),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_sprt_matches_walk_reference(spark, tmp_path_factory, rows):
+    """q_sprt_abtest's decimal-cumsum walk must equal the literal Wald
+    LLR recursion on the same md5 arm split."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("sprt") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, uid, et, dt.datetime(2024, 1, day, 10))
+            for i, (uid, day, et) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.day: (r.llr, r.decision)
+        for r in get_queries()["q_sprt_abtest"](spark, sf).collect()
+    }
+    want = _sprt_reference(rows)
+    assert set(got) == set(want)
+    for day, (llr, dec) in want.items():
+        gl, gd = got[day]
+        assert abs(gl - llr) < 1e-6 + 1e-9 * abs(llr)
+        assert gd == dec
