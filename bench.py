@@ -275,6 +275,8 @@ HEADLINE = [
     "q_funnel_latency",
     "q_sprt_abtest",
     "q_contribution",
+    "q_cuped",
+    "q_markov_stationary",
 ]
 
 

@@ -2570,3 +2570,122 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(det_round(F.sqrt(var) / F.lit(1000.0), 3))
         .alias("stddev_seconds"),
     )
+
+
+#: Fixed iteration count for the stationary-distribution walk — part of
+#: the query contract (both engines unroll exactly these steps).
+_MARKOV_ITERS = 20
+
+
+def _markov_step_sql(t: int) -> str:
+    """One unrolled v·P step + renormalization as MATERIALIZED CTEs
+    (DuckDB inlines CTEs by default — the q_pca_power lesson)."""
+    return f"""v{t}u AS MATERIALIZED (
+      SELECT p.dst AS state,
+             list_aggregate(list(v.pv * p.p ORDER BY p.src), 'sum') AS pv
+      FROM v{t - 1} v JOIN p ON p.src = v.state
+      GROUP BY p.dst
+    ),
+    v{t} AS MATERIALIZED (
+      SELECT state,
+             pv / (SELECT list_aggregate(list(pv ORDER BY state), 'sum')
+                   FROM v{t}u) AS pv
+      FROM v{t}u
+    )"""
+
+
+@query(
+    "q_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    t AS (
+      SELECT event_type AS src, next_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_out FROM t GROUP BY src),
+    p AS (
+      SELECT t.src, t.dst, CAST(t.n AS DOUBLE) / tot.n_out AS p
+      FROM t JOIN tot ON tot.src = t.src
+      WHERE t.dst IN (SELECT src FROM tot)
+    ),
+    k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS kk FROM tot),
+    v0 AS MATERIALIZED (SELECT src AS state, 1.0 / kk AS pv FROM tot, k),
+    {", ".join(_markov_step_sql(t) for t in range(1, _MARKOV_ITERS + 1))}
+    SELECT tot.src AS state,
+           tot.n_out,
+           floor(COALESCE(vf.pv, 0.0) * 1e6 + 0.5) / 1e6 AS stationary_p
+    FROM tot LEFT JOIN v{_MARKOV_ITERS} vf ON vf.state = tot.src
+    """,
+)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain: where
+    does a random surfer of the event-type transition graph spend its
+    time — the long-run engagement mix, q_sequence_transitions' fixed
+    point (and PageRank's dense little sibling: same power iteration,
+    row-stochastic instead of damped).
+
+    Contract: states are the types WITH outgoing transitions; v starts
+    uniform, takes {_MARKOV_ITERS} v·P steps restricted to those states
+    (mass to dangling types drops) with renormalization each step.
+    The data-scale work is the one LEAD shuffle + (src, dst) hash agg;
+    the chain itself is |event-taxonomy|² cells — metadata-scale by
+    construction — so the iteration runs driver-side on the collected
+    cells (the q_pca_power split), while the DuckDB twin unrolls the
+    same steps over MATERIALIZED CTEs. Determinism: p-cells are exact
+    integer divisions; every cross-state sum folds in src/state order
+    on both sides (list_aggregate ↔ sorted Python fold), so the walk
+    is bit-identical; 6-dp rounding only at the output.
+    """
+    import math
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    cells = t.collect()  # |taxonomy|^2 cells — metadata-scale
+    schema = "state string, n_out bigint, stationary_p double"
+    if not cells:
+        return spark.createDataFrame([], schema)
+    n_out: dict[str, int] = {}
+    for r in cells:
+        n_out[r["src"]] = n_out.get(r["src"], 0) + r["n"]
+    states = sorted(n_out)
+    p = {
+        (r["src"], r["dst"]): r["n"] / n_out[r["src"]]
+        for r in cells
+        if r["dst"] in n_out
+    }
+    v = {s: 1.0 / float(len(states)) for s in states}
+    for _ in range(_MARKOV_ITERS):
+        nxt: dict[str, float] = {}
+        for dst in states:
+            acc, present = 0.0, False
+            for src in states:  # ascending src — the oracle's fold order
+                if (src, dst) in p and src in v:
+                    acc = acc + v[src] * p[(src, dst)]
+                    present = True
+            if present:
+                nxt[dst] = acc
+        nrm = 0.0
+        for s in sorted(nxt):  # ascending state — the oracle's fold order
+            nrm = nrm + nxt[s]
+        if not nrm > 0:
+            v = {}
+            break
+        v = {s: x / nrm for s, x in nxt.items()}
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    return spark.createDataFrame(
+        [(s, n_out[s], r6(v.get(s, 0.0))) for s in states], schema
+    )

@@ -3700,3 +3700,171 @@ def q_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("region_share_of_total"),
         )
     )
+
+
+@query(
+    "q_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             {md5_hex4_duck('user_id', 1)} % 2 AS arm,
+             SUM(CASE WHEN EXTRACT(day FROM ts) < 16
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+               AS pre_c,
+             SUM(CASE WHEN EXTRACT(day FROM ts) >= 16
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+               AS post_c
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    gl AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(pre_c) AS DOUBLE) / 1e2 AS sp,
+             CAST(SUM(post_c) AS DOUBLE) / 1e2 AS sq,
+             CAST(SUM(CAST(pre_c AS HUGEINT) * pre_c) AS DOUBLE) / 1e4 AS spp,
+             CAST(SUM(CAST(pre_c AS HUGEINT) * post_c) AS DOUBLE) / 1e4 AS spq
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n, sp / n AS mu_pre,
+             CASE WHEN (n * spp - sp * sp) <= 0 THEN 0.0
+                  ELSE (n * spq - sp * sq) / (n * spp - sp * sp) END AS th
+      FROM gl
+    ),
+    arms AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(pre_c) AS DOUBLE) / 1e2 AS asp,
+             CAST(SUM(post_c) AS DOUBLE) / 1e2 AS asq,
+             CAST(SUM(CAST(post_c AS HUGEINT) * post_c) AS DOUBLE) / 1e4 AS asqq,
+             CAST(SUM(CAST(pre_c AS HUGEINT) * post_c) AS DOUBLE) / 1e4 AS aspq,
+             CAST(SUM(CAST(pre_c AS HUGEINT) * pre_c) AS DOUBLE) / 1e4 AS aspp
+      FROM per_user GROUP BY arm
+    )
+    SELECT CAST(a.arm AS INT) AS arm, a.n_users,
+           floor(a.asq / a.n_users * 1e6 + 0.5) / 1e6 AS mean_post,
+           floor((a.asq / a.n_users
+                  - t.th * (a.asp / a.n_users - t.mu_pre)) * 1e6 + 0.5) / 1e6
+             AS mean_adjusted,
+           CASE WHEN a.n_users < 2
+                  OR (a.n_users * a.asqq - a.asq * a.asq) <= 0 THEN NULL
+                ELSE floor((
+                    (a.asqq - 2 * t.th * (a.aspq - t.mu_pre * a.asq)
+                     + t.th * t.th * (a.aspp - 2 * t.mu_pre * a.asp
+                                      + a.n_users * t.mu_pre * t.mu_pre)
+                     - a.n_users * (a.asq / a.n_users
+                                    - t.th * (a.asp / a.n_users - t.mu_pre))
+                                 * (a.asq / a.n_users
+                                    - t.th * (a.asp / a.n_users - t.mu_pre)))
+                    / (a.asqq - a.asq * a.asq / a.n_users)
+                  ) * 1e6 + 0.5) / 1e6
+           END AS var_ratio
+    FROM arms a, theta t
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the purchase-value experiment:
+    adjusted post-period metric Y' = Y − θ(X − μ_X) with the pooled
+    θ = cov(X,Y)/var(X) from the pre-period covariate — the standard
+    trick that shrinks A/B confidence intervals using pre-experiment
+    behavior (Deng et al. 2013), here reported per arm as raw vs
+    adjusted means plus the achieved variance ratio var(Y')/var(Y).
+
+    One hash agg to per-user (pre, post) integer-cents totals, then
+    ONE more pass of exact cents power sums globally (θ, μ) and per
+    arm; everything downstream — adjusted means, Σ(Y')² expanded as
+    Σ Y² − 2θ Σ(X−μ)Y + θ² Σ(X−μ)² — recombines in fixed expression
+    trees from those exact sums (no per-user float math at all).
+    Guards: zero pre-period variance → θ = 0 (CUPED degrades to the
+    raw metric, the documented convention); n<2 or zero post variance
+    → NULL ratio. Same md5 arm split as q_diff_in_diff / q_sprt_abtest.
+    """
+    from ..common import det_round, md5_hex4_spark
+
+    ev = table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") < 16, cents).otherwise(0)).alias("pre_c"),
+        F.sum(F.when(F.dayofmonth("ts") >= 16, cents).otherwise(0)).alias(
+            "post_c"
+        ),
+    ).select(
+        (F.expr(md5_hex4_spark("user_id", 1)) % 2).alias("arm"),
+        "pre_c",
+        "post_c",
+    )
+    dec0 = lambda c: F.col(c).cast("decimal(38,0)")
+    glob = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("pre_c").cast("double") / F.lit(1e2)).alias("sp"),
+        (F.sum("post_c").cast("double") / F.lit(1e2)).alias("sq"),
+        (F.sum(dec0("pre_c") * F.col("pre_c")).cast("double") / F.lit(1e4)).alias(
+            "spp"
+        ),
+        (F.sum(dec0("pre_c") * F.col("post_c")).cast("double") / F.lit(1e4)).alias(
+            "spq"
+        ),
+    )
+    theta = glob.select(
+        "n",
+        (F.col("sp") / F.col("n")).alias("mu_pre"),
+        F.when(
+            (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")) <= 0,
+            F.lit(0.0),
+        )
+        .otherwise(
+            (F.col("n") * F.col("spq") - F.col("sp") * F.col("sq"))
+            / (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp"))
+        )
+        .alias("th"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (F.sum("pre_c").cast("double") / F.lit(1e2)).alias("asp"),
+        (F.sum("post_c").cast("double") / F.lit(1e2)).alias("asq"),
+        (F.sum(dec0("post_c") * F.col("post_c")).cast("double") / F.lit(1e4)).alias(
+            "asqq"
+        ),
+        (F.sum(dec0("pre_c") * F.col("post_c")).cast("double") / F.lit(1e4)).alias(
+            "aspq"
+        ),
+        (F.sum(dec0("pre_c") * F.col("pre_c")).cast("double") / F.lit(1e4)).alias(
+            "aspp"
+        ),
+    )
+    j = arms.crossJoin(F.broadcast(theta))
+    nu = F.col("n_users")
+    mean_post = F.col("asq") / nu
+    mean_adj = mean_post - F.col("th") * (F.col("asp") / nu - F.col("mu_pre"))
+    ss_adj = (
+        F.col("asqq")
+        - 2 * F.col("th") * (F.col("aspq") - F.col("mu_pre") * F.col("asq"))
+        + F.col("th")
+        * F.col("th")
+        * (
+            F.col("aspp")
+            - 2 * F.col("mu_pre") * F.col("asp")
+            + nu * F.col("mu_pre") * F.col("mu_pre")
+        )
+        - nu * mean_adj * mean_adj
+    )
+    ss_raw = F.col("asqq") - F.col("asq") * F.col("asq") / nu
+    return j.select(
+        F.col("arm").cast("int").alias("arm"),
+        "n_users",
+        det_round(mean_post, 6).alias("mean_post"),
+        det_round(mean_adj, 6).alias("mean_adjusted"),
+        F.when(
+            (nu < 2) | ((nu * F.col("asqq") - F.col("asq") * F.col("asq")) <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(det_round(ss_adj / ss_raw, 6))
+        .alias("var_ratio"),
+    )

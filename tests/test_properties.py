@@ -2636,3 +2636,191 @@ def test_sprt_matches_walk_reference(spark, tmp_path_factory, rows):
         gl, gd = got[day]
         assert abs(gl - llr) < 1e-6 + 1e-9 * abs(llr)
         assert gd == dec
+
+
+def _cuped_reference(rows):
+    """Exact Fraction CUPED: per-user integer-cents pre/post totals,
+    pooled theta, per-arm adjusted means and variance ratio."""
+    import hashlib
+    from fractions import Fraction
+
+    per_user: dict[int, list] = {}
+    for uid, day, cents in rows:
+        if cents is None:
+            continue
+        cur = per_user.setdefault(uid, [0, 0])
+        cur[0 if day < 16 else 1] += cents
+    if not per_user:
+        return None
+    n = len(per_user)
+    pre = {u: Fraction(p, 100) for u, (p, _) in per_user.items()}
+    post = {u: Fraction(q, 100) for u, (_, q) in per_user.items()}
+    sp, sq = sum(pre.values()), sum(post.values())
+    spp = sum(x * x for x in pre.values())
+    spq = sum(pre[u] * post[u] for u in per_user)
+    var_pre = n * spp - sp * sp
+    th = Fraction(0) if var_pre <= 0 else (n * spq - sp * sq) / var_pre
+    mu = sp / n
+    out = {}
+    for arm in (0, 1):
+        users = [
+            u
+            for u in per_user
+            if int(hashlib.md5(str(u).encode()).hexdigest()[:4], 16) % 2 == arm
+        ]
+        if not users:
+            continue
+        na = len(users)
+        mean_post = sum(post[u] for u in users) / na
+        mean_adj = mean_post - th * (sum(pre[u] for u in users) / na - mu)
+        adj = [post[u] - th * (pre[u] - mu) for u in users]
+        ss_adj = sum((a - mean_adj) ** 2 for a in adj)
+        ss_raw = sum((post[u] - mean_post) ** 2 for u in users)
+        ratio = None if na < 2 or ss_raw <= 0 else float(ss_adj / ss_raw)
+        out[arm] = (na, float(mean_post), float(mean_adj), ratio)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=1, max_value=30),
+            st.one_of(st.integers(min_value=0, max_value=20000), st.none()),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_cuped_matches_fraction_reference(spark, tmp_path_factory, rows):
+    """q_cuped's expanded power-sum recombination must equal the exact
+    Fraction per-user construction (theta, adjusted means, variance
+    ratio), including the zero-pre-variance theta=0 convention."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = str(tmp_path_factory.mktemp("cuped") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (
+                i + 1,
+                uid,
+                "purchase",
+                dt.datetime(2024, 1, day, 9),
+                None if c is None else c / 100.0,
+            )
+            for i, (uid, day, c) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.arm: (r.n_users, r.mean_post, r.mean_adjusted, r.var_ratio)
+        for r in get_queries()["q_cuped"](spark, sf).collect()
+    }
+    want = _cuped_reference(rows)
+    if want is None:
+        assert got == {}
+        return
+    assert set(got) == set(want)
+    for arm, (na, mp, ma, ratio) in want.items():
+        gn, gmp, gma, gr = got[arm]
+        assert gn == na
+        assert abs(gmp - mp) < 1e-6 + 1e-9 * abs(mp)
+        assert abs(gma - ma) < 1e-6 + 1e-9 * abs(ma)
+        if ratio is None:
+            assert gr is None
+        else:
+            assert abs(gr - ratio) < 1e-6 + 1e-9 * abs(ratio)
+
+
+def _markov_reference(rows):
+    """Literal restricted power iteration over the (user-ordered)
+    transition counts — the engine's documented contract."""
+    import math
+
+    by_user: dict[int, list] = {}
+    for i, (uid, et) in enumerate(rows):
+        by_user.setdefault(uid, []).append((i, et))
+    counts: dict[tuple, int] = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (_, a), (_, b) in zip(evs, evs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    n_out: dict[str, int] = {}
+    for (a, _), c in counts.items():
+        n_out[a] = n_out.get(a, 0) + c
+    states = sorted(n_out)
+    if not states:
+        return {}
+    p = {
+        (a, b): c / n_out[a] for (a, b), c in counts.items() if b in n_out
+    }
+    v = {s: 1.0 / float(len(states)) for s in states}
+    for _ in range(20):
+        nxt = {}
+        for dst in states:
+            acc, present = 0.0, False
+            for src in states:
+                if (src, dst) in p and src in v:
+                    acc = acc + v[src] * p[(src, dst)]
+                    present = True
+            if present:
+                nxt[dst] = acc
+        nrm = 0.0
+        for s in sorted(nxt):
+            nrm = nrm + nxt[s]
+        if not nrm > 0:
+            v = {}
+            break
+        v = {s: x / nrm for s, x in nxt.items()}
+    return {
+        s: (n_out[s], math.floor(v.get(s, 0.0) * 1e6 + 0.5) / 1e6)
+        for s in states
+    }
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_markov_stationary_matches_walk_reference(
+    spark, tmp_path_factory, rows
+):
+    """q_markov_stationary must equal the literal restricted power
+    iteration on per-user ordered sequences (unique ts per row keeps
+    the LEAD successor unambiguous)."""
+    import datetime as dt
+    import uuid
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    epoch = dt.datetime(2024, 1, 1)
+    sf = str(tmp_path_factory.mktemp("markov") / uuid.uuid4().hex[:8])
+    spark.createDataFrame(
+        [
+            (i + 1, uid, et, epoch + dt.timedelta(minutes=i))
+            for i, (uid, et) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.state: (r.n_out, r.stationary_p)
+        for r in get_queries()["q_markov_stationary"](spark, sf).collect()
+    }
+    want = _markov_reference(rows)
+    assert set(got) == set(want)
+    for s, (n, pv) in want.items():
+        gn, gp = got[s]
+        assert gn == n
+        assert abs(gp - pv) < 1e-9
