@@ -2673,7 +2673,10 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS ss_within,
            CASE WHEN COUNT(*) <= 1 OR SUM(n_g) <= COUNT(*)
                   OR (list_aggregate(list(ss_g ORDER BY grp), 'sum')
-                      - list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum')) <= 0
+                      - list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum'))
+                     <= 1e-9 * (abs(list_aggregate(list(ss_g ORDER BY grp), 'sum'))
+                                + abs(list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum'))
+                                + 1e-300)
                 THEN NULL
                 ELSE floor(((list_aggregate(list(s_g * s_g / n_g ORDER BY grp), 'sum')
                              - list_aggregate(list(s_g ORDER BY grp), 'sum')
@@ -2740,13 +2743,20 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssb = F.col("t_fold") - F.col("s_all") * F.col("s_all") / F.col("n")
     ssw = F.col("ss_all") - F.col("t_fold")
     f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    # Zero within-variance guard must be RELATIVE (the q_ols_multi ulp
+    # lesson, re-found here by the 200-example audit): exactly-zero SSW
+    # leaves a ~1ulp float residue in ss_all − t_fold, and `<= 0` lets
+    # F explode. Both engines evaluate the identical expression.
+    ssw_bad = ssw <= F.lit(1e-9) * (
+        F.abs(F.col("ss_all")) + F.abs(F.col("t_fold")) + F.lit(1e-300)
+    )
     return agg.select(
         "k",
         "n",
         det_round(ssb, 4).alias("ss_between"),
         det_round(ssw, 4).alias("ss_within"),
         F.when(
-            (F.col("k") <= 1) | (F.col("n") <= F.col("k")) | (ssw <= 0),
+            (F.col("k") <= 1) | (F.col("n") <= F.col("k")) | ssw_bad,
             F.lit(None).cast("double"),
         )
         .otherwise(det_round(f_stat, 6))

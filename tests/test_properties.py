@@ -1124,9 +1124,22 @@ def _anova_reference(rows):
     )
     ssb = t - s_all**2 / n
     ssw = ss_all - t
+    # Mirror the engine's FLOAT relative zero-SSW guard (same double
+    # expression: in-order fold over grp-sorted per-group terms).
+    ft = 0.0
+    for grp in sorted(groups):
+        v = groups[grp]
+        fs = float(Fraction(sum(v), 100))
+        ft = ft + fs * fs / len(v)
+    fss = 0.0
+    for grp in sorted(groups):
+        v = groups[grp]
+        fss = fss + float(Fraction(sum(c * c for c in v), 10000))
+    fssw = fss - ft
+    ssw_bad = fssw <= 1e-9 * (abs(fss) + abs(ft) + 1e-300)
     f = (
         None
-        if (k <= 1 or n <= k or ssw <= 0)
+        if (k <= 1 or n <= k or ssw <= 0 or ssw_bad)
         else float((ssb / (k - 1)) / (ssw / (n - k)))
     )
     return k, n, float(ssb), float(ssw), f
