@@ -277,6 +277,7 @@ HEADLINE = [
     "q_contribution",
     "q_cuped",
     "q_markov_stationary",
+    "q_nelson_aalen",
 ]
 
 

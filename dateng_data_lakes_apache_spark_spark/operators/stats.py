@@ -3878,3 +3878,122 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(det_round(ss_adj / ss_raw, 6))
         .alias("var_ratio"),
     )
+
+
+@query(
+    "q_nelson_aalen",
+    oracle="""
+    WITH raw_gaps AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    gaps AS (
+      SELECT (greatest(gap, 0) // 600000000) AS dur, 1 AS observed
+      FROM raw_gaps WHERE gap IS NOT NULL
+    ),
+    open_gaps AS (
+      SELECT (((SELECT MAX(epoch_us(ts)) FROM events) - MAX(epoch_us(ts)))
+                  // 600000000) AS dur,
+             0 AS observed
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT dur, observed FROM gaps WHERE dur IS NOT NULL
+      UNION ALL SELECT dur, observed FROM open_gaps
+    ),
+    at_dur AS (
+      SELECT dur, SUM(observed) AS deaths, COUNT(*) - SUM(observed) AS censored
+      FROM obs GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, deaths, censored,
+             (SELECT COUNT(*) FROM obs)
+               - COALESCE(SUM(deaths + censored) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+      FROM at_dur
+    )
+    SELECT CAST(dur AS BIGINT) AS gap_10min,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(deaths AS BIGINT) AS deaths,
+           floor(CAST(SUM(CAST(CAST(deaths AS DOUBLE) / at_risk AS DECIMAL(20,8)))
+                        OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS cum_hazard,
+           floor(exp(-CAST(SUM(CAST(CAST(deaths AS DOUBLE) / at_risk AS DECIMAL(20,8)))
+                             OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS na_survival
+    FROM risk
+    ORDER BY gap_10min
+    """,
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of the inter-event renewal process
+    (and its exp(−H) survival transform) — q_kaplan_meier's
+    additive-increment sibling on the SAME censored life table: KM
+    multiplies survival factors, NA sums hazard increments d/n, which
+    is the better-behaved estimator near the tail (never collapses to
+    an exact 0 at a saturated bucket) and the input to Cox-model
+    diagnostics.
+
+    Identical data-scale shape to KM: one lag window + one per-user
+    aggregate build the censored observations, the life table is
+    bounded by the time range, and the hazard accumulates over THAT —
+    with each d/n increment cast to DECIMAL(20,8) before the running
+    sum, so the cumulative walk is exact (the SPRT discipline,
+    stricter than KM's exp-sum-ln tree). exp() follows the established
+    6-dp libm-rounding discipline.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gaps = (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            F.expr(
+                "CAST(greatest(us - prev_us, 0L) div 600000000 AS BIGINT)"
+            ).alias("dur"),
+            F.lit(1).alias("observed"),
+        )
+    )
+    gmax = ev.agg(F.max("us").alias("gmax"))
+    open_gaps = (
+        ev.groupBy("user_id")
+        .agg(F.max("us").alias("last_us"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr("CAST((gmax - last_us) div 600000000 AS BIGINT)").alias("dur"),
+            F.lit(0).alias("observed"),
+        )
+    )
+    obs = gaps.unionByName(open_gaps)
+    n_total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    at_dur = obs.groupBy("dur").agg(
+        F.sum("observed").alias("deaths"),
+        (F.count(F.lit(1)) - F.sum("observed")).alias("censored"),
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = at_dur.crossJoin(F.broadcast(n_total)).withColumn(
+        "at_risk",
+        F.col("n_total")
+        - F.coalesce(
+            F.sum(F.col("deaths") + F.col("censored")).over(w_prev), F.lit(0)
+        ),
+    )
+    inc = (F.col("deaths").cast("double") / F.col("at_risk")).cast(
+        "decimal(20,8)"
+    )
+    hazard = F.sum(inc).over(w_run).cast("double")
+    from ..common import det_round
+
+    return risk.select(
+        F.col("dur").cast("bigint").alias("gap_10min"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.col("deaths").cast("bigint").alias("deaths"),
+        det_round(hazard, 6).alias("cum_hazard"),
+        det_round(F.exp(-hazard), 6).alias("na_survival"),
+    ).orderBy("gap_10min")
