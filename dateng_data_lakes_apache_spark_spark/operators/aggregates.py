@@ -457,8 +457,14 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
 
-    old_state = partial(e.where(F.col("ts") < cutoff))   # the stored snapshot
-    delta = partial(e.where(F.col("ts") >= cutoff))      # today's new data
+    # The split must be EXHAUSTIVE: `ts < cutoff` / `ts >= cutoff` are
+    # both NULL for a NULL ts, which would silently drop untimed rows
+    # from BOTH halves while the full-recompute oracle keeps them — a
+    # real incremental-pipeline data-loss bug (found by the nullts
+    # degenerate catalog). NULL-ts rows ride with the delta.
+    is_old = F.col("ts") < cutoff
+    old_state = partial(e.where(is_old))                    # stored snapshot
+    delta = partial(e.where(~F.coalesce(is_old, F.lit(False))))  # new + untimed
     return (
         old_state.unionByName(delta)
         .groupBy("event_type")

@@ -106,7 +106,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, event_id, ts, event_type,
              LAG(event_type) OVER w AS prev
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), changes AS (
       SELECT user_id, event_id, ts, event_type FROM ordered
@@ -135,7 +135,14 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition the events by ingest date and rebuild only users seen in
     the new partition — the same plan over a pruned scan.)
     """
-    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    # ts IS NOT NULL on BOTH sides: an effective-dated row needs a
+    # date, and a NULL ts would sort NULLS FIRST here vs NULLS LAST in
+    # the oracle (nullts catalog find).
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "event_type")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.withColumn("prev", F.lag("event_type").over(w))

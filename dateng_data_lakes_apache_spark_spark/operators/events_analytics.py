@@ -162,6 +162,7 @@ _OHLC_KEY = "%020d%010d"
            {o_dsum('value')} AS volume
     FROM events
     WHERE event_type = 'purchase' AND value IS NOT NULL
+      AND ts IS NOT NULL
     GROUP BY CAST(ts AS DATE)
     """,
 )
@@ -179,8 +180,13 @@ def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade; also Spark min_by RETURNS a NULL value while DuckDB arg_min
     SKIPS it — per-category hostile sweep find).
     """
+    # ts IS NOT NULL (both sides): a NULL ts would form a NULL day
+    # bucket whose arg_min/min_by key is NULL — DuckDB's arg_min SKIPS
+    # NULL keys while Spark's min_by returns NULL (nullts catalog).
     ev = table(spark, sf_dir, "events").where(
-        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
     )
     key = F.format_string(_OHLC_KEY, F.unix_micros("ts"), F.col("event_id"))
     return ev.groupBy(date_str(F.to_date("ts")).alias("day")).agg(
@@ -242,7 +248,7 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              LEAD(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS next_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     t AS (
       SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
@@ -268,7 +274,14 @@ def q_sequence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint IEEE division of identical values on both engines, rounded
     only for display stability.
     """
-    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    # ts IS NOT NULL on BOTH sides: the LEAD window orders by (ts,
+    # event_id) and a NULL ts sorts NULLS FIRST in Spark vs NULLS LAST
+    # in DuckDB, which would reorder that user's sequence (r8 advice).
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
@@ -611,7 +624,7 @@ def _ewma_oracle() -> str:
     WITH ordered AS (
       SELECT user_id, event_id, ts, value,
              {lag_cols}
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id, round(({num}) / ({den}), 4) AS ewma
@@ -646,7 +659,10 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, (lv, wt) in enumerate(zip(lags, weights)):
         num = num + F.coalesce(lv * F.lit(wt), F.lit(0.0))
         den = den + F.when(lv.isNull(), 0.0).otherwise(F.lit(wt))
-    ev = table(spark, sf_dir, "events")
+    # ts IS NOT NULL (both sides): an untimed observation has no place
+    # in the smoothing order — Spark would sort it NULLS FIRST, DuckDB
+    # NULLS LAST, shifting every tap after it (nullts catalog find).
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     # A NULL current value means NO observation at this point → NULL
     # smoothed output (the oracle's bare `value * w0` term encodes the
     # same rule); NULL LAGS are merely absent taps and renormalize
@@ -730,13 +746,14 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ltv_curve",
     oracle=f"""
     WITH first_seen AS (
-      SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE ts IS NOT NULL GROUP BY user_id
     ),
     p AS (
       SELECT e.user_id, e.value,
              CAST(date_diff('day', f.t0, e.ts) AS BIGINT) // 7 AS week_off
       FROM events e JOIN first_seen f ON e.user_id = f.user_id
-      WHERE e.event_type = 'purchase'
+      WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
     ),
     weekly AS (
       SELECT week_off, SUM(CAST(value AS DECIMAL(30,8))) AS wrev,
@@ -762,7 +779,10 @@ def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     a calendar-bounded, metadata-scale table (design rule 6) — with
     decimal week-sums so the running total is summation-order exact.
     """
-    ev = table(spark, sf_dir, "events")
+    # ts IS NOT NULL (both sides): an untimed purchase has no week
+    # offset — its NULL week_off group would sort NULLS FIRST in the
+    # cumulative window here vs NULLS LAST in DuckDB (nullts catalog).
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
     p = (
         ev.where(F.col("event_type") == "purchase")
@@ -1264,13 +1284,15 @@ _SESS_GAP_US = 1800 * 1_000_000
     "q_events_pipeline",
     oracle=f"""
     WITH vol AS (
-      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+      SELECT user_id, COUNT(*) AS c FROM events
+      WHERE ts IS NOT NULL GROUP BY user_id
     ),
     keep AS (SELECT user_id FROM vol WHERE c <= {_BOT_MAX_EVENTS}),
     e AS (
       SELECT ev.user_id, ev.event_id, ev.event_type, epoch_us(ev.ts) AS us,
              CAST(ev.ts AS DATE) AS d
       FROM events ev JOIN keep k ON ev.user_id = k.user_id
+      WHERE ev.ts IS NOT NULL
     ),
     cohort AS (
       SELECT user_id,
@@ -1328,7 +1350,9 @@ def q_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     int-ratio divisions keep every reported number engine-exact (the
     q_sessionize determinism analysis applies stage-for-stage).
     """
-    ev = table(spark, sf_dir, "events")
+    # ts IS NOT NULL (both sides): untimed events can't sessionize or
+    # cohort — NULL us sort position differs cross-engine (nullts).
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     vol = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
     keep = vol.where(F.col("c") <= _BOT_MAX_EVENTS).select("user_id")
     e = ev.join(keep, "user_id").select(
@@ -1783,7 +1807,7 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -1819,7 +1843,9 @@ def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate is ONE double division + 6-dp round over exact integer counts
     — engine-identical.
     """
-    e = table(spark, sf_dir, "events")
+    # ts IS NOT NULL (both sides): untimed events can't sessionize —
+    # their NULL sort position differs cross-engine (nullts catalog).
+    e = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = e.select(
         "user_id",
@@ -2603,6 +2629,7 @@ def _markov_step_sql(t: int) -> str:
                                     ORDER BY ts, event_id) AS next_type
       FROM events
       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND ts IS NOT NULL
     ),
     t AS (
       SELECT event_type AS src, next_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
@@ -2645,8 +2672,12 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
+    # ts IS NOT NULL pins the LEAD sequence order cross-engine (Spark
+    # NULLS FIRST vs DuckDB NULLS LAST on the ts sort key — r8 advice).
     ev = table(spark, sf_dir, "events").where(
-        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
     ).select("user_id", "event_type", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(

@@ -776,7 +776,7 @@ def q_ecdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(ts AS DATE) AS day,
              CAST(COUNT(*) AS BIGINT) AS n,
              SUM(CAST(value AS DECIMAL(30,8))) AS s
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     tot AS (
       SELECT SUM(n) AS tn, SUM(s) AS tsum FROM daily
@@ -817,7 +817,10 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum cannot drift with engine summation order; the peak test
     compares exact decimals.
     """
-    e = table(spark, sf_dir, "events")
+    # ts IS NOT NULL (both sides): a NULL day bucket would sort NULLS
+    # FIRST in Spark's cumulative window vs NULLS LAST in DuckDB,
+    # shifting the whole CUSUM walk (nullts catalog find).
+    e = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(30,8)")).alias("s"),
@@ -1611,7 +1614,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH raw_gaps AS (
       SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
     ),
     gaps AS (
@@ -1623,10 +1626,11 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM raw_gaps WHERE gap IS NOT NULL
     ),
     open_gaps AS (
-      SELECT (((SELECT MAX(epoch_us(ts)) FROM events) - MAX(epoch_us(ts)))
+      SELECT (((SELECT MAX(epoch_us(ts)) FROM events WHERE ts IS NOT NULL)
+                  - MAX(epoch_us(ts)))
                   // 600000000) AS dur,
              0 AS observed
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
     ),
     obs AS (
       SELECT dur, observed FROM gaps WHERE dur IS NOT NULL
@@ -1679,8 +1683,15 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    # ts IS NOT NULL on BOTH sides (r8 advice): a NULL ts would make
+    # Spark's greatest(NULL, 0L) emit a dur=0 death where the oracle's
+    # gap IS NOT NULL drops it, and an all-NULL-ts user would yield a
+    # NULL dur whose window ordering differs cross-engine (Spark NULLS
+    # FIRST vs DuckDB NULLS LAST). Filtering pins both.
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
     )
     w = Window.partitionBy("user_id").orderBy("event_id")
     gaps = (
@@ -2657,7 +2668,7 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                / 10000.0 AS ss_g
       FROM orders
-      WHERE o_totalprice IS NOT NULL
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
       GROUP BY o_orderpriority
     )
     SELECT CAST(COUNT(*) AS INT) AS k,
@@ -2710,7 +2721,14 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..common import det_round
 
-    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    # NULL grp is filtered on BOTH sides: sort_array places a NULL-grp
+    # struct first while DuckDB's list(... ORDER BY grp) is NULLS LAST,
+    # so a NULL priority group would flip the float fold order (r8
+    # advice). Dropping it pins the traversal identically.
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g"),
@@ -3198,20 +3216,25 @@ _OLS_MAG = (
 _OLS_BAD = f"(abs({_OLS_DET}) <= 1e-9 * {_OLS_MAG})"
 _OLS_SST = "(syy - sy*sy/nn)"
 _OLS_SST_BAD = f"({_OLS_SST} <= 1e-9 * (abs(syy) + abs(sy*sy/nn) + 1e-300))"
-_OLS_SELECT = f"""
-  CAST(nn AS BIGINT) AS n,
-  CASE WHEN {_OLS_BAD} THEN NULL
-       ELSE floor({_OLS_DET0}/{_OLS_DET} * 1e6 + 0.5) / 1e6 END AS beta0,
-  CASE WHEN {_OLS_BAD} THEN NULL
-       ELSE floor({_OLS_DET1}/{_OLS_DET} * 1e6 + 0.5) / 1e6 END AS beta_qty,
-  CASE WHEN {_OLS_BAD} THEN NULL
-       ELSE floor({_OLS_DET2}/{_OLS_DET} * 1e6 + 0.5) / 1e6 END AS beta_disc,
-  CASE WHEN {_OLS_BAD} OR {_OLS_SST_BAD} THEN NULL
+# One string PER OUTPUT COLUMN (not one blob split on ",\n" — that
+# split was reformat-fragile, r8 advice): the Spark side selectExpr's
+# the list directly and the oracle joins it, so both engines evaluate
+# the identical per-column expression by construction.
+_OLS_SELECT_COLS = [
+    "CAST(nn AS BIGINT) AS n",
+    f"""CASE WHEN {_OLS_BAD} THEN NULL
+       ELSE floor({_OLS_DET0}/{_OLS_DET} * 1e6 + 0.5) / 1e6 END AS beta0""",
+    f"""CASE WHEN {_OLS_BAD} THEN NULL
+       ELSE floor({_OLS_DET1}/{_OLS_DET} * 1e6 + 0.5) / 1e6 END AS beta_qty""",
+    f"""CASE WHEN {_OLS_BAD} THEN NULL
+       ELSE floor({_OLS_DET2}/{_OLS_DET} * 1e6 + 0.5) / 1e6 END AS beta_disc""",
+    f"""CASE WHEN {_OLS_BAD} OR {_OLS_SST_BAD} THEN NULL
        ELSE floor((1.0 - (syy - ({_OLS_DET0}/{_OLS_DET})*sy
                               - ({_OLS_DET1}/{_OLS_DET})*s1y
                               - ({_OLS_DET2}/{_OLS_DET})*s2y)
-                         / {_OLS_SST}) * 1e6 + 0.5) / 1e6 END AS r2
-"""
+                         / {_OLS_SST}) * 1e6 + 0.5) / 1e6 END AS r2""",
+]
+_OLS_SELECT = ",\n  ".join(_OLS_SELECT_COLS)
 
 
 @query(
@@ -3290,7 +3313,7 @@ def q_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         big("dc", "pc").alias("s2y"),
         big("pc", "pc").alias("syy"),
     ).where(F.col("nn") > 0)
-    return m.selectExpr(*[e.strip() for e in _OLS_SELECT.split(",\n")])
+    return m.selectExpr(*_OLS_SELECT_COLS)
 
 
 @query(
@@ -3885,7 +3908,7 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH raw_gaps AS (
       SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
     ),
     gaps AS (
@@ -3893,10 +3916,11 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM raw_gaps WHERE gap IS NOT NULL
     ),
     open_gaps AS (
-      SELECT (((SELECT MAX(epoch_us(ts)) FROM events) - MAX(epoch_us(ts)))
+      SELECT (((SELECT MAX(epoch_us(ts)) FROM events WHERE ts IS NOT NULL)
+                  - MAX(epoch_us(ts)))
                   // 600000000) AS dur,
              0 AS observed
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
     ),
     obs AS (
       SELECT dur, observed FROM gaps WHERE dur IS NOT NULL
@@ -3945,8 +3969,15 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    # ts IS NOT NULL on BOTH sides (r8 advice): a NULL ts would make
+    # Spark's greatest(NULL, 0L) emit a dur=0 death where the oracle's
+    # gap IS NOT NULL drops it, and an all-NULL-ts user would yield a
+    # NULL dur whose window ordering differs cross-engine (Spark NULLS
+    # FIRST vs DuckDB NULLS LAST). Filtering pins both.
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
     )
     w = Window.partitionBy("user_id").orderBy("event_id")
     gaps = (

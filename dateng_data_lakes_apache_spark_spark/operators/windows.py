@@ -381,7 +381,8 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize",
     oracle="""
     WITH e AS (
-      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      SELECT user_id, event_id, epoch_us(ts) AS us
+      FROM events WHERE ts IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, us,
@@ -427,8 +428,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp-format dependence. Ties in ts collapse into one session on
     both sides (gap 0 < threshold) regardless of tiebreak order.
     """
-    e = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    # ts IS NOT NULL (both sides): an untimed event can't sessionize —
+    # NULL us sorts NULLS FIRST here vs NULLS LAST in DuckDB (nullts
+    # degenerate catalog find).
+    e = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     gap_us = 1800 * 1_000_000
@@ -472,6 +478,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(LEAD(value, 1, 0.0) OVER w, 4) AS next_value,
            round(value - LAG(value, 1, 0.0) OVER w, 4) AS delta_prev
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     """,
 )
@@ -485,7 +492,9 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ordering ties on ts are broken by event_id so the offset neighbors
     (and therefore the deltas) are engine-deterministic.
     """
-    e = table(spark, sf_dir, "events")
+    # ts IS NOT NULL (both sides): NULL sort keys place NULLS FIRST in
+    # Spark vs NULLS LAST in DuckDB, shifting offset neighbors (nullts).
+    e = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
     lag_v = F.lag("value", 1, 0.0).over(w)
     lead_v = F.lead("value", 1, 0.0).over(w)
@@ -503,7 +512,8 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_window",
     oracle="""
     WITH e AS (
-      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      SELECT user_id, event_id, epoch_us(ts) AS us
+      FROM events WHERE ts IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, us,
@@ -540,7 +550,9 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression in either the built-in or the manual pattern shows up as
     a divergence between two green queries.
     """
-    e = table(spark, sf_dir, "events")
+    # Explicit ts IS NOT NULL: session_window drops NULL event-time
+    # rows anyway; the filter pins the contract the oracle mirrors.
+    e = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -596,7 +608,7 @@ def q_window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
                 / 100.0 AS DOUBLE) AS rolling_median
     FROM events
-    WHERE user_id < 100
+    WHERE user_id < 100 AND ts IS NOT NULL
     """,
 )
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -614,7 +626,11 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id < 100 slice keeps the registered result driver-sized; the
     operator itself is per-user-partitioned and unbounded.
     """
-    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    # ts IS NOT NULL (both sides): NULL frame-sort keys order NULLS
+    # FIRST in Spark vs NULLS LAST in DuckDB (nullts catalog find).
+    ev = table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 100) & F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -639,7 +655,7 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
                 AS INT) AS distinct_types_10
     FROM events
-    WHERE user_id < 100
+    WHERE user_id < 100 AND ts IS NOT NULL
     """,
 )
 def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,7 +673,11 @@ def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics. user_id < 100 keeps the registered result driver-sized;
     the operator is per-user-partitioned and unbounded.
     """
-    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    # ts IS NOT NULL (both sides): NULL frame-sort keys order NULLS
+    # FIRST in Spark vs NULLS LAST in DuckDB (nullts catalog find).
+    ev = table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 100) & F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -1,5 +1,10 @@
 """Structured Streaming operators over the events table as a file stream.
 
+NULL event-time contract (r9): rows with ts IS NULL never survive a
+Spark event-time operator (the watermark/window machinery drops them),
+so every batch-SQL oracle here pins the same exclusion with an explicit
+``ts IS NOT NULL`` — found by the ``nullts`` degenerate catalog.
+
 Each query reads the parquet events table with ``readStream`` (file
 source), applies a watermark + stateful operator, and runs with
 ``trigger(availableNow=True)`` into an in-memory sink so it terminates
@@ -186,6 +191,7 @@ def _run_to_memory(
            COUNT(*) AS n_events,
            {o_dsum('value')} AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -224,9 +230,11 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            {o_dsum('value')} AS sum_value
     FROM (
-      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS ws, value FROM events
+      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS ws, value
+      FROM events WHERE ts IS NOT NULL
       UNION ALL
-      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS ws, value FROM events
+      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS ws, value
+      FROM events WHERE ts IS NOT NULL
     )
     GROUP BY ws
     """,
@@ -406,7 +414,7 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sess AS (
       SELECT user_id, ts,
@@ -448,6 +456,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            COUNT(*) AS n_events
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -579,7 +588,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session_native",
     oracle="""
     WITH e AS (
-      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      SELECT user_id, event_id, epoch_us(ts) AS us
+      FROM events WHERE ts IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, us,
@@ -855,7 +865,7 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) OVER w AS n_so_far,
            MAX(value) OVER w AS max_so_far
     FROM events
-    WHERE event_type = 'purchase'
+    WHERE event_type = 'purchase' AND ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
@@ -1010,7 +1020,7 @@ def _stage_events_duplicated(spark: SparkSession, sf_dir: str) -> str:
     # exactly the distinct purchases.
     oracle="""
     SELECT event_id, user_id, event_type
-    FROM events WHERE event_type = 'purchase'
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     """,
 )
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1052,6 +1062,7 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
            {o_ts_str('ts')} AS last_ts,
            value AS last_value
     FROM events
+    WHERE ts IS NOT NULL
     QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
     """,
 )
@@ -1315,6 +1326,7 @@ def q_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            {o_dsum('value')} AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -1414,6 +1426,7 @@ _HOT_MIN = 3  # events per (hour, band) to flag — non-vacuous at sf0.001
            CAST({_GEO_BAND} AS BIGINT) AS band,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     HAVING COUNT(*) >= {_HOT_MIN}
     ORDER BY window_start, band
@@ -1524,7 +1537,7 @@ def q_stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
              event_type,
              CAST(COUNT(*) AS BIGINT) AS n_events
       FROM events
-      WHERE event_type IS NOT NULL
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
       GROUP BY 1, 2
     ),
     ranked AS (

@@ -51,11 +51,15 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.session import get_spark
     from dateng_data_lakes_apache_spark_spark.staging import STAGED_BUILDERS, clear_stage_memo
 
-    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties", "skew"]
+    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties", "skew", "nullts"]
     spark = get_spark(app_name="degenerate-oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = get_queries(), get_oracles()
     names = [n for n in qs if n in oracles and n not in STAGED_BUILDERS]
+    only = os.environ.get("SPARK_GRAFT_SWEEP_ONLY", "")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in keep]
     total_bad = 0
     for variant in variants:
         sf = build(spark, variant)

@@ -21,6 +21,12 @@ against each, reporting anything that raises:
 - ``skew``   — full sf0.001 rows with every FK remapped zipf-ishly
                (~50/25/12% of rows onto the referenced table's 3
                smallest keys) so joins/aggs run on genuinely hot keys
+- ``nullts`` — hostile's per-category shape but the dirt is NULL
+               event-time: ts is NULLed in row 0 of every event_type
+               group (r9; ts is in KEYS so no other variant ever
+               NULLs it — the class behind the r8 advice finds: a
+               window ordered by ts puts NULLs FIRST in Spark but
+               LAST in DuckDB, and NULL-gap arithmetic diverges)
 
 This is the out-of-band counterpart of tests/test_degenerate_inputs.py
 (which pins the previously-failing sets): run it after touching source
@@ -29,7 +35,7 @@ staging, Python kernels, or parse/scan expressions. Round-7 state:
 on the oracle sibling, tools/degenerate_oracle_sweep.py); round 8 adds
 ``skew`` and the per-category hostile dirt.
 
-Usage: python tools/degenerate_sweep.py [empty one hostile ties skew]
+Usage: python tools/degenerate_sweep.py [empty one hostile ties skew nullts]
 """
 
 from __future__ import annotations
@@ -164,6 +170,30 @@ def build(spark, variant: str) -> str:
                     ).cast(f_.dataType)
                 cols.append(c.alias(f_.name))
             df = df.select(*cols)
+        elif variant == "nullts":
+            # Same per-category row shape as hostile, but the only dirt
+            # is ts=NULL on row 0 of each category group — isolates the
+            # NULL-event-time divergence class from hostile's dirt.
+            cat = CAT.get(t)
+            if cat is not None:
+                gw = PW.partitionBy(cat).orderBy(PK[t])
+                df = (
+                    df.withColumn("_rid", F.row_number().over(gw) - 1)
+                    .where(F.col("_rid") < 3)
+                )
+            else:
+                df = df.limit(6).withColumn(
+                    "_rid", F.monotonically_increasing_id()
+                )
+            cols = []
+            for f_ in df.schema.fields:
+                if f_.name == "_rid":
+                    continue
+                c = F.col(f_.name)
+                if f_.name == "ts":
+                    c = F.when(F.col("_rid") == 0, F.lit(None)).otherwise(c)
+                cols.append(c.alias(f_.name))
+            df = df.select(*cols)
         else:  # hostile
             # NULL/empty dirt must reach EVERY ranked/filtered subset a
             # query might carve (ADVICE r7: nulling only global row 0
@@ -207,7 +237,7 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.session import get_spark
     from dateng_data_lakes_apache_spark_spark.staging import clear_stage_memo
 
-    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties", "skew"]
+    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties", "skew", "nullts"]
     spark = get_spark(app_name="degenerate-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs = get_queries()
