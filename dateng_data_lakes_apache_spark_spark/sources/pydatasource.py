@@ -125,12 +125,19 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _TICK_TOTAL = 1000
-_TICK_BATCH = 300
+# Offset batch sized so the bounded drain is TWO data micro-batches
+# plus the zero-input stop probe (VERDICT r8 item 5): each Python-
+# source micro-batch pays a fixed worker/protocol cost that dominated
+# the wall clock at 4 batches (12.9 s at sf0.01), while two batches
+# still prove the multi-batch offset bookkeeping the query exists for.
+_TICK_BATCH = 500
 
 
 class TickStreamReader:
     """Bounded deterministic tick stream: rows (idx, v = idx mod 7) for
-    idx in [0, TOTAL), served in offset-tracked batches of BATCH.
+    idx in [0, total), served in offset-tracked batches of ``batch``
+    (defaults: module constants; overridable via source options so the
+    scaling sweep can grow the stream without touching the contract).
 
     ``read`` advances the offset and serves new rows; ``readBetweenOffsets``
     re-derives any committed range — the REPLAY contract that makes a
@@ -140,12 +147,16 @@ class TickStreamReader:
     no driver state beyond the integer.
     """
 
+    def __init__(self, total: int = None, batch: int = None) -> None:
+        self.total = _TICK_TOTAL if total is None else int(total)
+        self.batch = _TICK_BATCH if batch is None else int(batch)
+
     def initialOffset(self):
         return {"idx": 0}
 
     def read(self, start):
         s = int(start["idx"])
-        e = min(s + _TICK_BATCH, _TICK_TOTAL)
+        e = min(s + self.batch, self.total)
         return (iter([(i, float(i % 7)) for i in range(s, e)]), {"idx": e})
 
     def readBetweenOffsets(self, start, end):
@@ -169,7 +180,9 @@ class TickStreamSource(DataSource):
 
         # Subclass at call time so module import never requires the
         # streaming ABC (keeps batch-only environments importable).
-        reader = TickStreamReader()
+        reader = TickStreamReader(
+            total=self.options.get("total"), batch=self.options.get("batch")
+        )
         cls = type("_TickSimple", (SimpleDataSourceStreamReader,), {})
         inst = cls()
         inst.initialOffset = reader.initialOffset
@@ -199,22 +212,33 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to single-batch), so the runner uses the default trigger and
     stops on the first zero-input micro-batch — which can only occur
     after the bounded source is exhausted, making the drain
-    deterministic: ~TOTAL/BATCH micro-batches, complete-mode aggregate
+    deterministic: TOTAL/BATCH (=2) data micro-batches, complete-mode aggregate
     equal to the closed-form oracle regardless of batch boundaries.
     """
     import time
     import uuid as _uuid
 
     spark.dataSource.register(TickStreamSource)
+    # Sweep knob: SPARK_GRAFT_TICK_TOTAL/_BATCH scale the bounded stream
+    # (tools/sf1_sweep.py times a 10x drain); parity always runs the
+    # defaults the oracle bakes in.
+    import os as _os
+
+    total = _os.environ.get("SPARK_GRAFT_TICK_TOTAL", str(_TICK_TOTAL))
+    batch = _os.environ.get("SPARK_GRAFT_TICK_BATCH", str(_TICK_BATCH))
     agg = (
         spark.readStream.format("tick_stream")
+        .option("total", total)
+        .option("batch", batch)
         .load()
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("idx").alias("sum_idx"))
     )
     sink = f"pyds_stream_{_uuid.uuid4().hex[:8]}"
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 7 distinct keys: 4 state partitions bound the per-batch per-store
+    # commit cost (delta file + fsync each micro-batch).
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             agg.writeStream.format("memory")

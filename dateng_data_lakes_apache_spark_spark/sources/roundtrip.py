@@ -36,9 +36,7 @@ from ..common import dsum, o_dsum
 from ..registry import query
 from .readers import read_csv, read_json, read_parquet, write_csv, write_parquet
 
-_SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
-)
+from ..scratch import SCRATCH as _SCRATCH  # run-ID-keyed (r9): no cross-session staging races
 
 
 def _catalog_manifest(sf_dir: str):

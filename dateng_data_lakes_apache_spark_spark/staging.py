@@ -25,11 +25,11 @@ Layout (race-safety, ADVICE r4): each run writes to an sf-tagged
 directory ``.scratch/expected/<name>/<sf-tag>`` — concurrent runs at
 different scale factors never clobber each other's bytes — then
 atomically repoints the ``current`` symlink that the (static) oracle SQL
-reads. The only remaining race window is two concurrent sessions racing
-the pointer itself between query-run and oracle-run; the driver and the
-parity suite are strictly sequential, and a clobbered pointer produces a
-loud hash MISMATCH, never a silent false pass, because the winning run's
-row set differs.
+reads. Since r9 the whole
+``expected`` tree additionally nests under the process's run-ID scratch
+root (scratch.py), so two concurrent SESSIONS cannot race the pointer
+or the bytes at all — the residual race class the r8 record observed
+in combined runs is structurally gone.
 """
 
 from __future__ import annotations
@@ -40,11 +40,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_EXPECTED_ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".scratch",
-    "expected",
-)
+from .scratch import SCRATCH
+
+#: Run-ID-keyed (scratch.SCRATCH): concurrent sessions can never race
+#: each other's staged bytes or `current` pointers (VERDICT r8 item 1).
+_EXPECTED_ROOT = os.path.join(SCRATCH, "expected")
 
 #: name → builder callable returning the PRE-staging pipeline frame.
 #: This is the registry the structural guards target: plan snapshots and

@@ -32,7 +32,7 @@ from ..catalog import normalize_nanos_ts, table_path
 from ..common import o_dsum, o_ts_str, ts_str
 from ..registry import query
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+from ..scratch import SCRATCH as _SCRATCH  # run-ID-keyed (r9): no cross-session staging races
 
 
 def _events_manifest(sf_dir: str) -> list:

@@ -436,3 +436,96 @@ def test_stream_ordered_stage_invalidates_on_events_change(spark, tmp_path):
     s2 = _stage_events_ordered(spark, sf)
     rows2 = spark.read.parquet(*glob.glob(os.path.join(s2, "batch-*.parquet"))).count()
     assert rows2 == 8, "ordered stream stage served the previous catalog shape"
+
+
+def test_commit_optimistic_threaded_race_serializes_all_appends(tmp_path):
+    """N threads race commit_optimistic from the SAME stale read: every
+    append must land in a distinct version (the CAS arbitrates), the
+    final snapshot must contain all N files, and no log slot may be
+    skipped or double-claimed — pure metadata, no Spark needed."""
+    import json
+    import os
+    import threading
+
+    from dateng_data_lakes_apache_spark_spark.sources.snapshot import (
+        commit,
+        commit_optimistic,
+        latest_version,
+        snapshot_files,
+    )
+
+    root = str(tmp_path / "racetab")
+    os.makedirs(root)
+    base = os.path.join(root, "base.parquet")
+    open(base, "wb").close()
+    commit(root, 0, added=[base], removed=[])
+
+    n = 8
+    results: list[int] = []
+    errs: list[Exception] = []
+    barrier = threading.Barrier(n)
+
+    def writer(i: int) -> None:
+        f = os.path.join(root, f"add{i}.parquet")
+        open(f, "wb").close()
+        barrier.wait()  # maximize contention on the first CAS
+        try:
+            results.append(commit_optimistic(root, [f], [], read_version=0))
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert sorted(results) == list(range(1, n + 1))  # distinct, gap-free
+    assert latest_version(root) == n
+    live = snapshot_files(root, n)
+    assert base in live and len(live) == n + 1
+    # every log entry is valid JSON with exactly one added file
+    vdir = os.path.join(root, "_vlog")
+    for v in range(1, n + 1):
+        with open(os.path.join(vdir, f"v{v}.json")) as fh:
+            e = json.load(fh)
+        assert len(e["added"]) == 1 and e["removed"] == []
+
+
+def test_commit_optimistic_rejects_stale_overlapping_rewrite(tmp_path):
+    """A writer rewriting a file that a commit it never saw already
+    replaced must get CommitConflict (lost-update protection), while a
+    disjoint rewrite from the same stale read commits fine."""
+    import os
+
+    import pytest
+
+    from dateng_data_lakes_apache_spark_spark.sources.snapshot import (
+        CommitConflict,
+        commit,
+        commit_optimistic,
+        snapshot_files,
+    )
+
+    root = str(tmp_path / "conftab")
+    os.makedirs(root)
+    f_a, f_b = os.path.join(root, "a.parquet"), os.path.join(root, "b.parquet")
+    open(f_a, "wb").close()
+    open(f_b, "wb").close()
+    commit(root, 0, added=[f_a, f_b], removed=[])
+
+    f_a2 = os.path.join(root, "a2.parquet")
+    open(f_a2, "wb").close()
+    assert commit_optimistic(root, [f_a2], [f_a], read_version=0) == 1
+
+    # stale writer also rewriting a → conflict
+    f_a3 = os.path.join(root, "a3.parquet")
+    open(f_a3, "wb").close()
+    with pytest.raises(CommitConflict):
+        commit_optimistic(root, [f_a3], [f_a], read_version=0)
+
+    # stale writer rewriting the UNTOUCHED b → lands as v2
+    f_b2 = os.path.join(root, "b2.parquet")
+    open(f_b2, "wb").close()
+    assert commit_optimistic(root, [f_b2], [f_b], read_version=0) == 2
+    assert set(snapshot_files(root, 2)) == {f_a2, f_b2}

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from dateng_data_lakes_apache_spark_spark.pipelines import star_schema as ss
 
 REF_DATA = "/root/reference/data"
-SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+from dateng_data_lakes_apache_spark_spark.scratch import SCRATCH  # run-ID-keyed (r9)
 
 
 @pytest.fixture(scope="module")

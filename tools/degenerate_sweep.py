@@ -51,7 +51,11 @@ from pyspark.sql.types import DoubleType, LongType, StringType
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC_SF = "/root/testdata/sf0.001"
-ROOT = os.path.join(REPO, ".scratch", "degcat")
+# Run-ID-keyed (r9): the pytest suite's hostile/skew fixtures delegate
+# to build(), so a shared degcat tree would let two concurrent suites
+# race each other's catalog rebuilds. sf0.001 rebuilds are cheap.
+from dateng_data_lakes_apache_spark_spark.scratch import SCRATCH
+ROOT = os.path.join(SCRATCH, "degcat")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",

@@ -45,7 +45,14 @@ REPLICAS = 10
 
 #: Key offsets chosen far above every sf0.1 max (orderkey 600k,
 #: partkey 20k, suppkey 1k, doc_id 5k) so replica key spaces are disjoint.
-OFF = {"orderkey": 10_000_000, "partkey": 1_000_000, "suppkey": 100_000, "doc": 1_000_000}
+OFF = {
+    "orderkey": 10_000_000,
+    "partkey": 1_000_000,
+    "suppkey": 100_000,
+    "doc": 1_000_000,
+    "custkey": 1_000_000,
+    "vec": 1_000_000,
+}
 
 HEAVYWEIGHTS = [
     "q_basket_lift",
@@ -61,7 +68,21 @@ HEAVYWEIGHTS = [
     # wedge join (Σ deg² bound) and the per-pair gram join
     "q_local_clustering",
     "q_eval_bleu",
+    # r9 (VERDICT item 3): the remaining top-cost families — PQ ANN
+    # (codebook build + ADC shortlist over 10x rotated vectors), the
+    # Arrow cogroup kernel (10x orders/customer), the two stateful
+    # stream shapes over the 10x events replay, and the Python stream
+    # source (10x offsets at constant batch count via the tick knob).
+    "q_ann_pq",
+    "q_cogroup_reconcile",
+    "q_stream_outer_join",
+    "q_stream_chained",
+    "q_python_stream_source",
 ]
+
+#: q_python_stream_source's "10x data" is 10x stream rows, not 10x
+#: catalog bytes: the sweep sets these env knobs for its sf1x leg.
+TICK_10X = {"SPARK_GRAFT_TICK_TOTAL": "10000", "SPARK_GRAFT_TICK_BATCH": "5000"}
 
 
 def generate(spark) -> None:
@@ -123,9 +144,60 @@ def generate(spark) -> None:
         )
         out = rep if out is None else out.unionByName(rep)
     out.repartition(16).write.mode("overwrite").parquet(ev_dst)
-    # The dedup/graph heavyweights only read lineitem + documents; link
-    # the rest so catalog.table() resolves every name if ever needed.
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "embeddings"):
+    # orders + customer: 10 disjoint replicas with shifted keys (r9, for
+    # the cogroup-reconcile slope — its grouping key is the custkey, so
+    # a symlinked copy would measure the same data).
+    for tname, keys in (
+        ("orders", {"o_orderkey": "orderkey", "o_custkey": "custkey"}),
+        ("customer", {"c_custkey": "custkey"}),
+    ):
+        dst = f"{SF1X}/{tname}.parquet"
+        if os.path.islink(dst):
+            os.unlink(dst)  # pre-r9 layouts linked these to sf0.1
+        t = spark.read.parquet(f"{SF01}/{tname}.parquet")
+        out = None
+        for i in range(REPLICAS):
+            rep = t.select(
+                *[
+                    (F.col(c) + F.lit(i * OFF[keys[c]])).alias(c)
+                    if c in keys
+                    else F.col(c)
+                    for c in t.columns
+                ]
+            )
+            out = rep if out is None else out.unionByName(rep)
+        out.repartition(16).write.mode("overwrite").parquet(dst)
+    # embeddings: shifted vec_id + per-replica ROTATION of the vector
+    # components (r9, for the q_ann_pq slope). Rotation keeps the norm
+    # distribution and each replica's internal neighbor topology while
+    # decorrelating replicas — plain copies would give every vector 9
+    # exact duplicates (cosine 1.0), an adversarial near-dup workload,
+    # not a scale-up. (A per-replica scalar would be worse: cosine is
+    # scale-invariant, so that IS a plain copy.)
+    emb_dst = f"{SF1X}/embeddings.parquet"
+    if os.path.islink(emb_dst):
+        os.unlink(emb_dst)
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    dim_row = emb.select(F.size("vec").alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    out = None
+    for i in range(REPLICAS):
+        if i == 0 or dim == 0:
+            vec = F.col("vec")
+        else:
+            vec = F.concat(
+                F.slice("vec", i + 1, dim - i), F.slice("vec", 1, i)
+            )
+        rep = emb.select(
+            (F.col("vec_id") + F.lit(i * OFF["vec"])).alias("vec_id"),
+            vec.alias("vec"),
+            *[c for c in emb.columns if c not in ("vec_id", "vec")],
+        )
+        out = rep if out is None else out.unionByName(rep)
+    out.repartition(16).write.mode("overwrite").parquet(emb_dst)
+    # The remaining dimension tables are never on a sweep's data-scale
+    # path; link them so catalog.table() resolves every name.
+    for t in ("region", "nation", "supplier", "part"):
         dst = f"{SF1X}/{t}.parquet"
         if not os.path.lexists(dst):
             os.symlink(f"{SF01}/{t}.parquet", dst)
@@ -142,9 +214,20 @@ def sweep(spark) -> dict:
 
     def run_once(name: str, sf_dir: str) -> float:
         fn = STAGED_BUILDERS.get(name) or qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
+        # The tick stream's scale knob is row count, not catalog bytes.
+        tick_env = TICK_10X if (name == "q_python_stream_source" and sf_dir == SF1X) else {}
+        saved = {k: os.environ.get(k) for k in tick_env}
+        os.environ.update(tick_env)
+        try:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         release_caches()
         spark.catalog.clearCache()
         gc.collect()
@@ -229,6 +312,7 @@ def main() -> None:
         if (
             not os.path.exists(f"{SF1X}/lineitem.parquet")
             or os.path.islink(f"{SF1X}/events.parquet")  # pre-r8 layout
+            or os.path.islink(f"{SF1X}/embeddings.parquet")  # pre-r9 layout
             or mode == "--gen-only"
         ):
             generate(spark)
