@@ -28,7 +28,7 @@ _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as exact integer ratio
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
-    ckpt_every: int = 2,
+    ckpt_every: int = 3,
     edge_pre_partition: bool = False,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list (src, dst), returning
@@ -45,7 +45,10 @@ def pagerank(
     rounds. Without it the 5-round chain re-plans the full tree per
     round — measured 19.7 s at sf0.1 on Spark 4.1, vs 9.2 s with
     ckpt_every=2 + the node table persisted (bit-identical ranks; the
-    re-planning, not the data, was the cost). ``localCheckpoint`` uses
+    re-planning, not the data, was the cost). With the r9 fused |V|
+    state the sweet spot moved to ckpt_every=3 — one eager cut for 5
+    rounds (a localCheckpoint is itself a blocking action; the A/B:
+    ck=2 ~7.6 s vs ck=3 ~6.8 s at sf0.1, identical ranks). ``localCheckpoint`` uses
     executor-local storage — right for a bounded-iteration batch job;
     on a shared/preemptible cluster use ``spark.sparkContext.
     setCheckpointDir`` + ``.checkpoint()`` for a fault-tolerant cut at
@@ -83,56 +86,64 @@ def pagerank(
     indexed = track(indexed)
     # Every node appears as a SRC: callers stage undirected graphs as
     # both edge directions (the out-degree ≥ 1 contract below), so the
-    # node set IS deg's key set — deriving it from the about-to-be-
-    # cached degree table saves the union+distinct shuffle pair a
-    # two-column scan of the edge list would cost (r9: part of the
-    # q_pagerank setup diet).
-    nodes = deg.select(F.col("src").alias("node"))
-    nodes = track(nodes)  # anchors every round's left join AND the init ranks
-    ranks = nodes.select("node", F.lit(_SCALE).cast("long").alias("rank_scaled"))
+    # node set IS deg's key set. Cache the |V|-sized (node, out_deg)
+    # table ONCE — it anchors the per-round division AND every round's
+    # left join AND the init ranks; an uncached variant recomputed the
+    # |E|-scale degree aggregation every iteration (r9 measure: ~13 s
+    # vs ~8 s at sf0.1). This also replaces the old union+distinct
+    # node-set shuffle pair.
+    node_deg = track(
+        deg.select(F.col("src").alias("node"), "out_deg")
+    )
     base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN  # (1-d) mass
+    # Fused |V|-scale state (VERDICT r8 item 2): each round's state row
+    # is (node, rank_scaled, contrib = rank div out_deg). Carrying the
+    # PRE-DIVIDED contribution means (a) the division happens once per
+    # NODE, never per edge — the edge-scale pass only relays a ready
+    # long and the groupBy(dst) partial-aggregates it map-side within
+    # the cached edge partitions before the shuffle — and (b) the rank
+    # update and the next round's division fuse into the ONE left join
+    # onto the cached node_deg table (a separate ranks⋈deg join per
+    # round measured +1.5 s over 5 rounds at sf0.1). `div` is true
+    # integer division on longs — a double `/` then cast can round UP
+    # across an integer boundary at ~1e15+ magnitudes, silently
+    # breaking bit-determinism.
+    state = node_deg.select(
+        "node",
+        F.lit(_SCALE).cast("long").alias("rank_scaled"),
+        F.expr(f"CAST({_SCALE} AS LONG) div out_deg").alias("contrib"),
+    )
     prev_ckpt = None
-    deg_small = deg.withColumnRenamed("src", "node")
     for it in range(iters):
-        # Per-SOURCE contribution first, at |V| scale: rank div out_deg
-        # is one division per NODE here, not one per EDGE after the join
-        # (VERDICT r8 item 2 — the map-side diet: the edge-scale pass
-        # then only carries a ready long, and the groupBy(dst) partial-
-        # aggregates it within the cached edge partitions pre-shuffle).
-        per_src = ranks.join(deg_small, "node").select(
-            F.col("node").alias("c_src"),
-            # `div` is true integer division on longs — a double `/` then
-            # cast can round UP across an integer boundary at ~1e15+
-            # magnitudes, silently breaking bit-determinism
-            F.expr("rank_scaled div out_deg").alias("contrib"),
-        )
         contribs = (
-            indexed.join(per_src, indexed.src == per_src.c_src)
+            indexed.join(state, indexed.src == state.node)
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_mass"))
         )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+        new_rank = (
+            F.lit(base)
+            + F.expr(f"(coalesce(in_mass, 0L) * {_DAMP_NUM}) div {_DAMP_DEN}")
+        ).cast("long")
+        state = (
+            node_deg.join(contribs, node_deg.node == contribs.dst, "left")
             .select(
                 "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"(coalesce(in_mass, 0L) * {_DAMP_NUM}) div {_DAMP_DEN}"
-                    )
-                )
-                .cast("long")
-                .alias("rank_scaled"),
+                new_rank.alias("rank_scaled"),
+                F.expr(
+                    f"(CAST({base} AS LONG) + "
+                    f"(coalesce(in_mass, 0L) * {_DAMP_NUM}) div {_DAMP_DEN})"
+                    " div out_deg"
+                ).alias("contrib"),
             )
         )
         if ckpt_every and (it + 1) % ckpt_every == 0 and it + 1 < iters:
-            ranks = local_checkpoint(ranks)
+            state = local_checkpoint(state)
             # The new checkpoint is materialized (eager) — the previous
             # round's blocks have no remaining reader (ADVICE r4).
             if prev_ckpt is not None:
                 release_superseded(prev_ckpt)
-            prev_ckpt = ranks
-    return ranks
+            prev_ckpt = state
+    return state.select("node", "rank_scaled")
 
 
 def _pagerank_oracle(iters: int = 5) -> str:
@@ -192,11 +203,26 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form graphs.
     """
     li = table(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        (F.col("l_partkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    ).distinct()
-    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Both directions in ONE distinct pass: explode each lineitem row
+    # into its two directed edges, then distinct once. The old
+    # fwd.distinct() UNION reverse(fwd) shape planned the 600k-row
+    # distinct exchange in BOTH union arms during the cache build (r9
+    # A/B: explode ~6.8 s vs union ~8.2 s total at sf0.1, identical
+    # edge set — the arms are disjoint by key parity, so set semantics
+    # are unchanged and the oracle's fwd/rev formulation still matches).
+    p2, s2 = (F.col("l_partkey") * 2), (F.col("l_suppkey") * 2 + 1)
+    edges = (
+        li.select(
+            F.explode(
+                F.array(
+                    F.struct(p2.alias("src"), s2.alias("dst")),
+                    F.struct(s2.alias("src"), p2.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
     ranks = pagerank(edges, iters=5)
     return (
         ranks.select(

@@ -210,10 +210,15 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     AvailableNow isn't supported for Python stream sources (Spark falls
     back to single-batch), so the runner uses the default trigger and
-    stops on the first zero-input micro-batch — which can only occur
-    after the bounded source is exhausted, making the drain
-    deterministic: TOTAL/BATCH (=2) data micro-batches, complete-mode aggregate
-    equal to the closed-form oracle regardless of batch boundaries.
+    stops once the COMPLETED micro-batches account for every row of the
+    bounded source (recentProgress only reports committed batches, so
+    the complete-mode sink already holds the full aggregate) — the
+    drain is TOTAL/BATCH (=2) data micro-batches, equal to the
+    closed-form oracle regardless of batch boundaries. A zero-input
+    probe batch remains as fallback, but waiting for it as the ONLY
+    stop signal costs ~10 s idle: the engine schedules the empty batch
+    only after the Python source's no-new-data poll cadence elapses
+    (r9 measure: data batches done at t+8.4 s, probe at t+18.4 s).
     """
     import time
     import uuid as _uuid
@@ -247,11 +252,15 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         deadline = time.monotonic() + 300
+        expected = int(total)
         while q.isActive and time.monotonic() < deadline:
-            if any(p["numInputRows"] == 0 for p in q.recentProgress):
+            done = sum(p["numInputRows"] for p in q.recentProgress)
+            if done >= expected or any(
+                p["numInputRows"] == 0 for p in q.recentProgress
+            ):
                 q.stop()
                 break
-            time.sleep(0.2)
+            time.sleep(0.1)
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
