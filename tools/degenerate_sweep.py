@@ -22,11 +22,13 @@ against each, reporting anything that raises:
                (~50/25/12% of rows onto the referenced table's 3
                smallest keys) so joins/aggs run on genuinely hot keys
 - ``nullts`` — hostile's per-category shape but the dirt is NULL
-               event-time: ts is NULLed in row 0 of every event_type
-               group (r9; ts is in KEYS so no other variant ever
-               NULLs it — the class behind the r8 advice finds: a
-               window ordered by ts puts NULLs FIRST in Spark but
-               LAST in DuckDB, and NULL-gap arithmetic diverges)
+               event-time: every TIMESTAMP column (events.ts,
+               orders.o_orderdate, lineitem.l_shipdate) is NULLed in
+               row 0 of each category group (r9; ts is in KEYS so no
+               other variant ever NULLs it — the class behind the r8
+               advice finds: a window ordered by a time column puts
+               NULLs FIRST in Spark but LAST in DuckDB, and NULL-gap
+               arithmetic diverges)
 
 This is the out-of-band counterpart of tests/test_degenerate_inputs.py
 (which pins the previously-failing sets): run it after touching source
@@ -47,7 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import Window as PW
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StringType
+from pyspark.sql.types import DoubleType, LongType, StringType, TimestampType
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC_SF = "/root/testdata/sf0.001"
@@ -194,7 +196,7 @@ def build(spark, variant: str) -> str:
                 if f_.name == "_rid":
                     continue
                 c = F.col(f_.name)
-                if f_.name == "ts":
+                if isinstance(f_.dataType, TimestampType) or f_.name == "ts":
                     c = F.when(F.col("_rid") == 0, F.lit(None)).otherwise(c)
                 cols.append(c.alias(f_.name))
             df = df.select(*cols)
