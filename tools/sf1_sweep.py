@@ -178,20 +178,20 @@ def generate(spark) -> None:
     if os.path.islink(emb_dst):
         os.unlink(emb_dst)
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
-    dim_row = emb.select(F.size("vec").alias("d")).first()
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
     dim = int(dim_row["d"]) if dim_row else 0
     out = None
     for i in range(REPLICAS):
         if i == 0 or dim == 0:
-            vec = F.col("vec")
+            vec = F.col("embedding")
         else:
             vec = F.concat(
-                F.slice("vec", i + 1, dim - i), F.slice("vec", 1, i)
+                F.slice("embedding", i + 1, dim - i), F.slice("embedding", 1, i)
             )
         rep = emb.select(
             (F.col("vec_id") + F.lit(i * OFF["vec"])).alias("vec_id"),
-            vec.alias("vec"),
-            *[c for c in emb.columns if c not in ("vec_id", "vec")],
+            vec.alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
         )
         out = rep if out is None else out.unionByName(rep)
     out.repartition(16).write.mode("overwrite").parquet(emb_dst)
