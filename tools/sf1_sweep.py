@@ -280,7 +280,11 @@ def sweep_isolated() -> dict:
     import subprocess
 
     result: dict[str, dict] = {}
-    for name in HEAVYWEIGHTS:
+    only = os.environ.get("SF1_SWEEP_NAMES", "")
+    names = (
+        [n.strip() for n in only.split(",") if n.strip()] if only else HEAVYWEIGHTS
+    )
+    for name in names:
         env = dict(os.environ, SF1_SWEEP_ONLY=name)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--sweep-only"],
