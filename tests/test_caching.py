@@ -91,9 +91,16 @@ def test_release_superseded_exact_object_contract(spark):
 def test_iterative_loops_release_every_superseded_round(spark, monkeypatch):
     """ADVICE r5 done-criterion: in a real iterative operator, every
     release after round 1 must return True (False would mean the loop
-    passed a derived frame and is silently leaking checkpoint blocks)."""
+    passed a derived frame and is silently leaking checkpoint blocks).
+
+    q_pagerank's production cadence is ckpt_every=3 (ONE cut per 5
+    rounds — nothing is ever superseded there, r9), so the release path
+    is exercised by running the same loop at ckpt_every=1, which
+    supersedes a checkpoint every round after the first."""
     import dateng_data_lakes_apache_spark_spark.operators.graph as graph
     from .conftest import SF_SMALL
+    from dateng_data_lakes_apache_spark_spark.catalog import table
+    from pyspark.sql import functions as F
 
     returns: list[bool] = []
     orig = graph.release_superseded
@@ -104,7 +111,15 @@ def test_iterative_loops_release_every_superseded_round(spark, monkeypatch):
         return r
 
     monkeypatch.setattr(graph, "release_superseded", spy)
-    QS["q_pagerank"](spark, SF_SMALL).collect()
+    li = table(spark, SF_SMALL, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    graph.pagerank(edges, iters=4, ckpt_every=1).collect()
     release_caches()
     assert returns, "pagerank never called release_superseded"
     assert all(returns), (
