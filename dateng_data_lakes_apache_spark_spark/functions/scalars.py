@@ -136,9 +136,9 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_funcs",
     oracle="""
     SELECT event_id,
-           json_extract_string(NULLIF(props, ''), '$.k') AS k_str,
-           CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) AS k_int,
-           CASE WHEN CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) >= 50
+           json_extract_string((CASE WHEN json_valid(props) THEN props END), '$.k') AS k_str,
+           CAST(json_extract_string((CASE WHEN json_valid(props) THEN props END), '$.k') AS INT) AS k_int,
+           CASE WHEN CAST(json_extract_string((CASE WHEN json_valid(props) THEN props END), '$.k') AS INT) >= 50
                 THEN 'high' ELSE 'low' END AS k_band
     FROM events
     """,
@@ -282,11 +282,13 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_struct",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) AS k,
-           CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) IS NOT NULL AS parsed_ok,
-           CASE WHEN CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) IS NULL
-                THEN NULL  -- Spark: from_json of dirt -> NULL struct -> NULL to_json
-                ELSE concat('{"k":', CAST(CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) AS VARCHAR), '}')
+           CAST(json_extract_string((CASE WHEN json_valid(props) THEN props END), '$.k') AS INT) AS k,
+           CAST(json_extract_string((CASE WHEN json_valid(props) THEN props END), '$.k') AS INT) IS NOT NULL AS parsed_ok,
+           CASE WHEN props IS NULL OR props = ''
+                THEN NULL  -- Spark: from_json of NULL/'' -> NULL struct -> NULL
+                WHEN CAST(json_extract_string((CASE WHEN json_valid(props) THEN props END), '$.k') AS INT) IS NULL
+                THEN '{}'  -- malformed text / missing k: PERMISSIVE struct-of-nulls, to_json omits null fields
+                ELSE concat('{"k":', CAST(CAST(json_extract_string((CASE WHEN json_valid(props) THEN props END), '$.k') AS INT) AS VARCHAR), '}')
            END AS rebuilt
     FROM events
     """,

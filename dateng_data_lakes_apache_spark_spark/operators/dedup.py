@@ -1031,7 +1031,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 20000 AS doc_id, upper(text) || ' !!!' AS text
+      -- ASCII-only upcasing (translate, not upper): Unicode case
+      -- tailoring diverges between the JVM and utf8proc (upper('ss'
+      -- sharp s) is 'SS' in Java but the capital sharp s in DuckDB),
+      -- so the synthesized case-variant must stay in the common subset
+      SELECT doc_id + 20000 AS doc_id,
+             translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' !!!' AS text
       FROM documents WHERE doc_id % 11 = 0
     ),
     norm AS (
@@ -1071,7 +1076,11 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = base.unionByName(
         base.where(F.col("doc_id") % 11 == 0).select(
             (F.col("doc_id") + 20000).alias("doc_id"),
-            F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
+            # ASCII translate, not upper(): Unicode case tailoring
+            # diverges cross-engine (see the oracle's comment).
+            F.concat(
+                F.translate("text", "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ"), F.lit(" !!!")
+            ).alias("text"),
         )
     )
     norm = F.trim(

@@ -518,7 +518,7 @@ def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS (
       SELECT user_id, ts AS v_ts,
-             arg_max(CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) % 5, event_id)
+             arg_max(CAST(json_extract_string((CASE WHEN json_valid(props) THEN props END), '$.k') AS INT) % 5, event_id)
                AS channel
       FROM events WHERE event_type = 'view' GROUP BY user_id, ts
     ),

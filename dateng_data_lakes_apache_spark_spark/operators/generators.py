@@ -46,9 +46,9 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_funcs",
     oracle="""
     SELECT event_id,
-           CAST(len(json_keys(NULLIF(props, ''))) AS INT) AS n_keys,
-           CAST(json_keys(NULLIF(props, ''))[1] AS VARCHAR) AS first_key,
-           CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) AS k_val
+           CAST(len(json_keys((CASE WHEN json_valid(props) THEN props END))) AS INT) AS n_keys,
+           CAST(json_keys((CASE WHEN json_valid(props) THEN props END))[1] AS VARCHAR) AS first_key,
+           CAST(json_extract_string((CASE WHEN json_valid(props) THEN props END), '$.k') AS INT) AS k_val
     FROM events
     """,
 )

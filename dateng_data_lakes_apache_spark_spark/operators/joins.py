@@ -351,7 +351,7 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
       SELECT event_id,
-             NULLIF(CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) % 7, 3) AS k_mod
+             NULLIF(CAST(json_extract_string((CASE WHEN json_valid(props) THEN props END), '$.k') AS INT) % 7, 3) AS k_mod
       FROM events
     ), grp AS (
       SELECT k_mod, COUNT(*) AS group_n FROM keyed GROUP BY k_mod

@@ -108,11 +108,11 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_variant_funcs",
     oracle="""
-    SELECT CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT) % 10 AS k_bucket,
+    SELECT CAST(json_extract_string((CASE WHEN json_valid(props) THEN props END), '$.k') AS INT) % 10 AS k_bucket,
            COUNT(*) AS n_events,
-           CAST(MAX(CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INT)) AS INT) AS max_k
+           CAST(MAX(CAST(json_extract_string((CASE WHEN json_valid(props) THEN props END), '$.k') AS INT)) AS INT) AS max_k
     FROM events
-    WHERE json_extract_string(NULLIF(props, ''), '$.missing') IS NULL
+    WHERE json_extract_string((CASE WHEN json_valid(props) THEN props END), '$.missing') IS NULL
     GROUP BY 1
     """,
 )

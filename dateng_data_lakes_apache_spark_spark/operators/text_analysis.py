@@ -227,7 +227,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_doc_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(lower(trim(text))) AS content_md5,
+           -- ASCII translate, not lower(): Unicode case tailoring
+           -- diverges between the JVM and utf8proc (dotted-I, sharp-s),
+           -- and a fingerprint must be engine- and platform-stable
+           md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS content_md5,
            CASE WHEN text IS NULL THEN NULL ELSE
              list_min(list_transform(
                range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
@@ -251,7 +254,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
+        # ASCII translate, not lower(): see the oracle's comment —
+        # fingerprints must not depend on the engine's Unicode tailoring.
+        F.md5(
+            F.translate(F.trim(F.col("text")), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+        ).alias("content_md5"),
         # NULL text -> NULL fingerprint: concat_ws would silently turn the
         # NULL shingle slice into md5('') — a fake match-everything
         # fingerprint in a dedup index (hostile sweep find)

@@ -31,6 +31,17 @@ import duckdb
 
 from degenerate_sweep import TABLES, build
 
+#: Skipped ONLY on the ``unicode`` catalog, and printed loudly: these
+#: two queries exist to showcase Spark's upper()/lower(), whose Unicode
+#: case TAILORING legitimately differs from DuckDB's utf8proc on a few
+#: codepoints (Java upper('ß')='SS' vs 'ẞ'; lower('İ')='i̇' vs 'i').
+#: That is a platform semantic like libm rounding — not reproducible in
+#: the oracle without replacing the function under test. Operators
+#: whose SEMANTICS must be tailoring-independent (fingerprints, dedup
+#: normalization) were instead FIXED to ASCII translate and stay
+#: swept — the exemption is exactly the two case-function showcases.
+UNICODE_TAILORING_EXEMPT = {"q_string_funcs", "q_array_setops"}
+
 
 def degenerate_duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     """Like tests.parity.duck_connection, but glob-reads the Spark-written
@@ -51,7 +62,7 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.session import get_spark
     from dateng_data_lakes_apache_spark_spark.staging import STAGED_BUILDERS, clear_stage_memo
 
-    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties", "skew", "nullts"]
+    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties", "skew", "nullts", "unicode"]
     spark = get_spark(app_name="degenerate-oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = get_queries(), get_oracles()
@@ -65,6 +76,12 @@ def main() -> None:
         sf = build(spark, variant)
         bad = {}
         for name in names:
+            if variant == "unicode" and name in UNICODE_TAILORING_EXEMPT:
+                print(
+                    f"[{variant}] {name}: SKIPPED — engine case-tailoring "
+                    "showcase (documented exemption)", flush=True,
+                )
+                continue
             try:
                 spark_pdf = qs[name](spark, sf).toPandas()
                 con = degenerate_duck_connection(sf)

@@ -21,6 +21,13 @@ against each, reporting anything that raises:
 - ``skew``   — full sf0.001 rows with every FK remapped zipf-ishly
                (~50/25/12% of rows onto the referenced table's 3
                smallest keys) so joins/aggs run on genuinely hot keys
+- ``unicode``— hostile's per-category shape but the dirt is MULTI-BYTE
+               text: row 0 of each category group gets German sharp-s /
+               dotted-I / combining-accent content, row 1 gets emoji +
+               CJK, in every non-key string column (r9; hostile's dirt
+               is NULL/'' only, so case-mapping and byte-vs-char
+               length divergences between the JVM and utf8proc were
+               never exercised)
 - ``nullts`` — hostile's per-category shape but the dirt is NULL
                event-time: every TIMESTAMP column (events.ts,
                orders.o_orderdate, lineitem.l_shipdate) is NULLed in
@@ -37,7 +44,7 @@ staging, Python kernels, or parse/scan expressions. Round-7 state:
 on the oracle sibling, tools/degenerate_oracle_sweep.py); round 8 adds
 ``skew`` and the per-category hostile dirt.
 
-Usage: python tools/degenerate_sweep.py [empty one hostile ties skew nullts]
+Usage: python tools/degenerate_sweep.py [empty one hostile ties skew nullts unicode]
 """
 
 from __future__ import annotations
@@ -176,6 +183,39 @@ def build(spark, variant: str) -> str:
                     ).cast(f_.dataType)
                 cols.append(c.alias(f_.name))
             df = df.select(*cols)
+        elif variant == "unicode":
+            # Same per-category row shape as hostile; dirt is multi-byte
+            # text. 'Straße' upper-cases to 'STRASSE' (length change),
+            # 'İ' lower-cases differently per tailoring, 'é' appears
+            # composed AND decomposed, plus emoji/CJK for tokenizers.
+            cat = CAT.get(t)
+            if cat is not None:
+                gw = PW.partitionBy(cat).orderBy(PK[t])
+                df = (
+                    df.withColumn("_rid", F.row_number().over(gw) - 1)
+                    .where(F.col("_rid") < 3)
+                )
+            else:
+                df = df.limit(6).withColumn(
+                    "_rid", F.monotonically_increasing_id()
+                )
+            u0 = "Stra\u00dfe \u0130stanbul caf\u00e9 cafe\u0301"
+            u1 = "\U0001f986 duck \u4e2d\u6587\u8bed\u6599 \u00c5ngstr\u00f6m"
+            cols = []
+            for f_ in df.schema.fields:
+                if f_.name == "_rid":
+                    continue
+                c = F.col(f_.name)
+                if f_.name not in KEYS and f_.name != cat and isinstance(
+                    f_.dataType, StringType
+                ):
+                    c = (
+                        F.when(F.col("_rid") == 0, F.lit(u0))
+                        .when(F.col("_rid") == 1, F.lit(u1))
+                        .otherwise(c)
+                    )
+                cols.append(c.alias(f_.name))
+            df = df.select(*cols)
         elif variant == "nullts":
             # Same per-category row shape as hostile, but the only dirt
             # is ts=NULL on row 0 of each category group — isolates the
@@ -243,7 +283,7 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.session import get_spark
     from dateng_data_lakes_apache_spark_spark.staging import clear_stage_memo
 
-    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties", "skew", "nullts"]
+    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties", "skew", "nullts", "unicode"]
     spark = get_spark(app_name="degenerate-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs = get_queries()
