@@ -19,24 +19,54 @@ from pyspark.sql import functions as F
 DEC = "decimal(30,8)"
 
 
+def finite(col: Column) -> Column:
+    """True iff the (numeric) value is non-NULL and finite.
+
+    The decimal-exact aggregates are DEFINED over finite observations:
+    a corrupt feed's NaN/±Inf must be excluded EXPLICITLY on both
+    engines, because the implicit behaviors diverge catastrophically —
+    Spark's non-ANSI double→decimal cast silently NULLs non-finite
+    (dropping it from sums) while DuckDB's cast THROWS; worse, Spark's
+    double→bigint cast turns NaN into 0 and +Inf into Long.MAX (a fake
+    zero-cent / max-cent observation — silent corruption). Found by the
+    r9 ``nonfinite`` degenerate catalog."""
+    d = col.cast("double")
+    return d.isNotNull() & ~F.isnan(d) & (F.abs(d) != float("inf"))
+
+
+def o_finite(expr: str) -> str:
+    """DuckDB twin of :func:`finite`."""
+    return f"isfinite(CAST({expr} AS DOUBLE))"
+
+
 def dsum(col: Column) -> Column:
-    """Deterministic double sum: exact decimal accumulation → double."""
-    return F.sum(col.cast(DEC)).cast("double")
+    """Deterministic double sum over FINITE observations: exact decimal
+    accumulation → double (see :func:`finite` for the exclusion rule)."""
+    return F.sum(F.when(finite(col), col).cast(DEC)).cast("double")
 
 
 def davg(col: Column) -> Column:
-    """Deterministic double avg: exact decimal sum / count → double."""
-    return F.sum(col.cast(DEC)).cast("double") / F.count(col)
+    """Deterministic double avg over FINITE observations."""
+    return F.sum(F.when(finite(col), col).cast(DEC)).cast("double") / F.count(
+        F.when(finite(col), col)
+    )
 
 
 def o_dsum(expr: str) -> str:
     """DuckDB twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+    return (
+        f"CAST(SUM(CASE WHEN {o_finite(expr)} "
+        f"THEN CAST({expr} AS DECIMAL(30,8)) END) AS DOUBLE)"
+    )
 
 
 def o_davg(expr: str) -> str:
     """DuckDB twin of :func:`davg`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) / COUNT({expr})"
+    return (
+        f"CAST(SUM(CASE WHEN {o_finite(expr)} "
+        f"THEN CAST({expr} AS DECIMAL(30,8)) END) AS DOUBLE)"
+        f" / COUNT(CASE WHEN {o_finite(expr)} THEN 1 END)"
+    )
 
 
 def nsize(col: Column) -> Column:

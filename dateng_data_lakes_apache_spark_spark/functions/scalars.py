@@ -110,11 +110,20 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(greatest(value, 100.0) AS DOUBLE) AS val_hi,
            CAST(least(value, 100.0) AS DOUBLE) AS val_lo
     FROM events
+    WHERE value IS NULL OR isfinite(value)
     """,
 )
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar pack over events.value."""
-    e = table(spark, sf_dir, "events")
+    # Non-finite rows excluded on BOTH sides (nonfinite catalog, r9):
+    # ceil/floor→bigint of NaN is 0/Long.MAX in Spark but an error in
+    # DuckDB — neither is a usable semantic, so the pack is defined
+    # over finite (or NULL-propagating) inputs.
+    from ..common import finite
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("value").isNull() | finite(F.col("value"))
+    )
     v = F.col("value")
     return e.select(
         "event_id",

@@ -102,15 +102,23 @@ def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     # np.percentile(90) == quantile_cont(0.9) (same linear interpolation),
     # MAD == median of absolute deviations.
     oracle="""
-    WITH med AS (
-      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    WITH fin AS (
+      -- finite-or-NULL observations only (nonfinite catalog, r9):
+      -- numpy's median of a NaN-bearing array is NaN while DuckDB's
+      -- median skips nothing and sorts NaN greatest — order statistics
+      -- are defined over finite observations here
+      SELECT event_type, value FROM events
+      WHERE value IS NULL OR isfinite(value)
+    ),
+    med AS (
+      SELECT event_type, median(value) AS med FROM fin GROUP BY event_type
     )
     SELECT e.event_type,
            COUNT(*) AS n,
            round(median(e.value), 6) AS median_value,
            round(quantile_cont(e.value, 0.9), 6) AS p90_value,
            round(median(abs(e.value - m.med)), 6) AS mad_value
-    FROM events e JOIN med m ON e.event_type = m.event_type
+    FROM fin e JOIN med m ON e.event_type = m.event_type
     GROUP BY e.event_type
     """,
 )
@@ -119,7 +127,12 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     group key. Groups here are event types (5) — each group's frame fits
     a worker; for high-cardinality keys this pattern holds because state
     is per-group, not per-partition."""
-    e = table(spark, sf_dir, "events")
+    from ..common import finite
+
+    # finite-or-NULL only (see the oracle comment — r9 nonfinite find)
+    e = table(spark, sf_dir, "events").where(
+        F.col("value").isNull() | finite(F.col("value"))
+    )
     return (
         e.select("event_type", "value")
         .groupBy("event_type")

@@ -429,6 +429,7 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(value) AS min_value,
            MAX(value) AS max_value
     FROM events
+    WHERE value IS NULL OR isfinite(value)
     GROUP BY event_type
     """,
 )
@@ -446,7 +447,14 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is derived sum/count at read time; storing it would break
     mergeability.)
     """
-    e = table(spark, sf_dir, "events")
+    from ..common import finite
+
+    # finite-or-NULL only (r9 nonfinite catalog): a NaN/Inf observation
+    # would be silently NULLed by Spark's decimal cast but error in
+    # DuckDB — quarantined explicitly before the materialized state.
+    e = table(spark, sf_dir, "events").where(
+        F.col("value").isNull() | finite(F.col("value"))
+    )
     cutoff = "2024-01-25"
 
     def partial(df: DataFrame) -> DataFrame:

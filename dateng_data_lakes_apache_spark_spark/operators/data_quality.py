@@ -373,6 +373,7 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CASE WHEN day(ts) < 16 THEN 0 ELSE 1 END AS half,
              least(CAST(floor(value / 50) AS INT), 9) AS band
       FROM events
+      WHERE value IS NULL OR isfinite(value)
     ),
     counts AS (
       SELECT band,
@@ -404,7 +405,14 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final 10-row reduction and the result is rounded before
     reporting, the same libm discipline as q_text_entropy.
     """
-    ev = table(spark, sf_dir, "events")
+    from ..common import finite
+
+    # finite-or-NULL only (r9 nonfinite catalog): floor(NaN)→int is 0
+    # in Spark but an error in DuckDB — a drift monitor must quarantine
+    # corrupt observations, not bucket them.
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNull() | finite(F.col("value"))
+    )
     banded = ev.select(
         F.when(F.dayofmonth("ts") < 16, 0).otherwise(1).alias("half"),
         F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias("band"),

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..caching import track
 from ..catalog import table
 from ..common import DEC, date_str, det_round, dsum, o_date_str, o_det_round, o_dsum
+from ..common import finite as _finite
 from ..registry import query
 
 # The funnel's ordered stages. Strict ts ordering between stages: a
@@ -315,7 +316,8 @@ def q_sequence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, value, epoch_us(ts) AS us,
              LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS next_us
-      FROM events WHERE event_type = 'purchase'
+      FROM events
+      WHERE event_type = 'purchase' AND (value IS NULL OR isfinite(value))
     ),
     g AS (
       SELECT user_id, value, (next_us - us) // 1000000 AS gap_s
@@ -345,7 +347,14 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    from ..common import finite
+
+    # finite-or-NULL values only (r9 nonfinite catalog): NaN/Inf would
+    # error DuckDB's DECIMAL(18,4) cast and silently NULL in Spark's.
+    ev = table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & (F.col("value").isNull() | finite(F.col("value")))
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",
@@ -691,6 +700,7 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS n
       FROM events
+      WHERE value IS NULL OR isfinite(value)
     )
     SELECT user_id, event_id,
            round((value - s / n)
@@ -716,7 +726,14 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_agg_stats, applied per window frame. One Exchange + one Sort;
     frame cost is O(1) per row (running sums, not per-row rescans).
     """
-    ev = table(spark, sf_dir, "events")
+    from ..common import finite
+
+    # finite-or-NULL only (r9 nonfinite catalog): a NaN/Inf baseline
+    # observation would be silently NULLed out of Spark's decimal frame
+    # sums but error in DuckDB — quarantined before scoring.
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNull() | finite(F.col("value"))
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -754,6 +771,7 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(date_diff('day', f.t0, e.ts) AS BIGINT) // 7 AS week_off
       FROM events e JOIN first_seen f ON e.user_id = f.user_id
       WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+        AND (e.value IS NULL OR isfinite(e.value))
     ),
     weekly AS (
       SELECT week_off, SUM(CAST(value AS DECIMAL(30,8))) AS wrev,
@@ -785,7 +803,11 @@ def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
     p = (
-        ev.where(F.col("event_type") == "purchase")
+        # non-finite purchase values excluded (r9 nonfinite catalog)
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("value").isNull() | _finite(F.col("value")))
+        )
         .join(first_seen, "user_id")
         .select(
             (F.datediff(F.col("ts"), F.col("t0")).cast("bigint") / 7)
@@ -896,6 +918,7 @@ _BACKTEST_SPLIT = "2024-01-16"  # train < split <= test (30-day window)
              CAST(COUNT(*) AS BIGINT) AS n_train,
              SUM(CAST(value AS DECIMAL(30,8))) AS s_train
       FROM events WHERE CAST(ts AS DATE) < DATE '{_BACKTEST_SPLIT}'
+        AND (value IS NULL OR isfinite(value))
       GROUP BY 1, 2
     ),
     test AS (
@@ -903,6 +926,7 @@ _BACKTEST_SPLIT = "2024-01-16"  # train < split <= test (30-day window)
              CAST(COUNT(*) AS BIGINT) AS n_test,
              SUM(CAST(value AS DECIMAL(30,8))) AS s_test
       FROM events WHERE CAST(ts AS DATE) >= DATE '{_BACKTEST_SPLIT}'
+        AND (value IS NULL OR isfinite(value))
       GROUP BY 1, 2
     )
     SELECT t.event_type,
@@ -936,7 +960,13 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; the split predicate prunes on the partition column when
     events are date-partitioned.
     """
-    e = table(spark, sf_dir, "events")
+    from ..common import finite
+
+    # finite-or-NULL only (r9 nonfinite catalog): decimal-cast
+    # divergence on NaN/Inf — corrupt observations are quarantined.
+    e = table(spark, sf_dir, "events").where(
+        F.col("value").isNull() | finite(F.col("value"))
+    )
     split = F.lit(_BACKTEST_SPLIT).cast("date")
     base = e.select(
         "event_type",
@@ -1190,7 +1220,8 @@ def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id,
              epoch_us(ts) AS s_us,
              epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS e_us
-      FROM events WHERE event_type = 'view'
+      FROM events
+      WHERE event_type = 'view' AND isfinite(value)
     ),
     flagged AS (
       SELECT user_id, s_us, e_us,
@@ -1235,7 +1266,15 @@ def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     user flags 0 (empty preceding MAX is NULL, the > is false), so
     island ids start at 0 on both engines.
     """
-    e = table(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    from ..common import finite
+
+    # FINITE durations only (r9 nonfinite catalog): round(NaN)→bigint
+    # is 0 in Spark but an error in DuckDB, and a NaN-duration interval
+    # has no defined end. NULL durations also drop (an interval needs a
+    # length) — finite() is already NULL-rejecting.
+    e = table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "view") & finite(F.col("value"))
+    )
     iv = e.select(
         "user_id",
         "event_id",
@@ -1434,7 +1473,7 @@ _BAL_DELTA = "CAST(floor(value * 100 + 0.5) AS BIGINT) - 5000"
       SELECT user_id, {_BAL_DELTA} AS delta,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
       FROM events
-      WHERE value IS NOT NULL  -- same no-signal drop as the kernel
+      WHERE isfinite(value)  -- same no-signal drop as the kernel
     ),
     walk AS (
       SELECT user_id, 1 AS rn,
@@ -1486,13 +1525,12 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         table(spark, sf_dir, "events")
+        # A NULL or NON-FINITE value row carries no balance information:
+        # drop it before the kernel (NaN would poison the int64 cumsums
+        # — Spark's floor(NaN)→bigint is a fake 0-cent delta, r9
+        # nonfinite catalog find). finite() rejects NULL too.
+        .where(_finite(F.col("value")))
         .select("user_id", "event_id", F.expr(_BAL_DELTA).alias("delta"))
-        # A NULL value row carries no balance information: drop it before
-        # the kernel (NaN would poison the int64 cumsums; the SQL twin
-        # would propagate NULL through the user's entire walk — a
-        # malformed-input artifact, not a semantic). No-op on the
-        # catalog tables, which have no null values.
-        .where(F.col("delta").isNotNull())
     )
 
     def kernel(batches):
@@ -1541,7 +1579,7 @@ _EWMA_X = "CAST(floor(value * 100 + 0.5) AS BIGINT)"  # cents, engine-identical
       SELECT user_id, {_EWMA_X} AS x,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
       FROM events
-      WHERE value IS NOT NULL  -- same no-signal drop as the kernel
+      WHERE isfinite(value)  -- same no-signal drop as the kernel
     ),
     walk AS (
       SELECT user_id, 1 AS rn, x AS ew, x AS mx FROM ev WHERE rn = 1
@@ -1580,10 +1618,10 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         table(spark, sf_dir, "events")
+        # NULL/non-finite observations carry no signal: drop them before
+        # the kernel (same discipline and rationale as q_clamped_balance).
+        .where(_finite(F.col("value")))
         .select("user_id", "event_id", F.expr(_EWMA_X).alias("x"))
-        # Null observations carry no signal: drop them before the kernel
-        # (same discipline and rationale as q_clamped_balance).
-        .where(F.col("x").isNotNull())
     )
 
     def kernel(batches):
@@ -2036,7 +2074,7 @@ def q_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM({_BAL_DELTA}) OVER (PARTITION BY user_id ORDER BY event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
       FROM events
-      WHERE value IS NOT NULL
+      WHERE isfinite(value)
     ),
     walk AS (
       SELECT user_id, running,
@@ -2065,9 +2103,11 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id; both window passes share the same sort. At 100 TB per-user
     history is the bounded unit of work, same as the balance kernel.
     """
+    # finite only (r9 nonfinite catalog): Spark's floor(NaN)→bigint is
+    # a fake 0-cent delta; finite() rejects NULL too (no-signal drop).
     ev = (
         table(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
+        .where(_finite(F.col("value")))
         .select("user_id", "event_id", F.expr(_BAL_DELTA).alias("delta"))
     )
     w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(

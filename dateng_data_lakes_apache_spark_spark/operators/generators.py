@@ -239,7 +239,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH obs AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+             CAST(SUM(CASE WHEN isfinite(CAST(value AS DOUBLE))
+                            THEN CAST(value AS DECIMAL(30,8)) END)
+                  AS DOUBLE) AS sum_value
       FROM events WHERE event_id % 97 = 0
       GROUP BY 1, 2
     ), spine AS (
@@ -362,7 +364,9 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH obs AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+             CAST(SUM(CASE WHEN isfinite(CAST(value AS DOUBLE))
+                            THEN CAST(value AS DECIMAL(30,8)) END)
+                  AS DOUBLE) AS sum_value
       FROM events WHERE event_id % 97 = 0
       GROUP BY 1, 2
     ), spine AS (

@@ -32,6 +32,7 @@ from ..catalog import normalize_nanos_ts, table_path
 from ..common import o_dsum, o_ts_str, ts_str
 from ..registry import query
 
+from ..common import finite as _finite
 from ..scratch import SCRATCH as _SCRATCH  # run-ID-keyed (r9): no cross-session staging races
 
 
@@ -368,6 +369,7 @@ def custom_state_stream(ev: DataFrame, timeout_ms: int) -> DataFrame:
              / 100.0 AS sum_value,
            MAX(value) AS max_value
     FROM events
+    WHERE value IS NULL OR isfinite(value)
     GROUP BY user_id
     ORDER BY user_id
     """,
@@ -386,7 +388,16 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what lets the batch-aggregate twin serve as an EXACT
     oracle (cents-integer accumulation in the state keeps the float
     sum engine-identical)."""
-    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    from ..common import finite
+
+    # finite-or-NULL values only (r9 nonfinite catalog): the cents
+    # accumulation in the state kernel is undefined on NaN/Inf, and the
+    # engines' implicit casts diverge — excluded explicitly both sides.
+    ev = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("value").isNull() | finite(F.col("value")))
+        .select("user_id", "value")
+    )
     result_stream = custom_state_stream(ev, timeout_ms=30 * 60 * 1000)
     result = _run_to_memory(result_stream, "custom_state", "update", stop_on_idle=True)
     # update-mode sink may hold one row per state update; keep the final
@@ -866,6 +877,7 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(value) OVER w AS max_so_far
     FROM events
     WHERE event_type = 'purchase' AND ts IS NOT NULL
+      AND (value IS NULL OR isfinite(value))
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
@@ -894,7 +906,12 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_nanos_ts(
             spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
         )
-        .where(F.col("event_type") == "purchase")
+        .where(
+            (F.col("event_type") == "purchase")
+            # finite-or-NULL values only (r9 nonfinite catalog): the
+            # running max diverges cross-engine on NaN/Inf inputs.
+            & (F.col("value").isNull() | _finite(F.col("value")))
+        )
         .select("user_id", "event_id", "ts", "value")
     )
     out_schema = "user_id bigint, event_id bigint, n_so_far bigint, max_so_far double"

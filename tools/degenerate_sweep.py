@@ -21,6 +21,12 @@ against each, reporting anything that raises:
 - ``skew``   — full sf0.001 rows with every FK remapped zipf-ishly
                (~50/25/12% of rows onto the referenced table's 3
                smallest keys) so joins/aggs run on genuinely hot keys
+- ``nonfinite``— hostile's per-category shape but the dirt is
+               non-finite doubles: events.value gets NaN in row 0,
+               +Infinity in row 1, -0.0 in row 2 of each event_type
+               group (r9; corrupt sensors/exporters emit these in any
+               real 100 TB feed, and NaN ordering/grouping and
+               Inf→BIGINT casts are classic cross-engine traps)
 - ``unicode``— hostile's per-category shape but the dirt is MULTI-BYTE
                text: row 0 of each category group gets German sharp-s /
                dotted-I / combining-accent content, row 1 gets emoji +
@@ -181,6 +187,32 @@ def build(spark, variant: str) -> str:
                         .when(h < 87, F.lit(k[min(2, len(k) - 1)]))
                         .otherwise(c)
                     ).cast(f_.dataType)
+                cols.append(c.alias(f_.name))
+            df = df.select(*cols)
+        elif variant == "nonfinite":
+            cat = CAT.get(t)
+            if cat is not None:
+                gw = PW.partitionBy(cat).orderBy(PK[t])
+                df = (
+                    df.withColumn("_rid", F.row_number().over(gw) - 1)
+                    .where(F.col("_rid") < 3)
+                )
+            else:
+                df = df.limit(6).withColumn(
+                    "_rid", F.monotonically_increasing_id()
+                )
+            cols = []
+            for f_ in df.schema.fields:
+                if f_.name == "_rid":
+                    continue
+                c = F.col(f_.name)
+                if f_.name == "value":
+                    c = (
+                        F.when(F.col("_rid") == 0, F.lit(float("nan")))
+                        .when(F.col("_rid") == 1, F.lit(float("inf")))
+                        .when(F.col("_rid") == 2, F.lit(-0.0))
+                        .otherwise(c)
+                    )
                 cols.append(c.alias(f_.name))
             df = df.select(*cols)
         elif variant == "unicode":
