@@ -30,6 +30,7 @@ def pagerank(
     iters: int = 5,
     ckpt_every: int = 3,
     edge_pre_partition: bool = False,
+    check_contract: bool = False,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list (src, dst), returning
     (node, rank_scaled) with rank_scaled a ×1e12 fixed-point long.
@@ -56,10 +57,30 @@ def pagerank(
 
     Nodes must all have out-degree ≥ 1 (callers stage undirected graphs
     as both edge directions), which sidesteps dangling-mass
-    redistribution — documented constraint, asserted by the caller.
+    redistribution. Since r9 the node set is derived from the distinct
+    SRC keys, so a directed graph with sink nodes would silently drop
+    the sinks from the output and discard their incoming mass — pass
+    ``check_contract=True`` (one anti-join count, |E|-scale, before the
+    iterations start) to fail loudly on such misuse instead; the
+    registered q_pagerank stages both directions by construction and
+    skips the check on the hot path (ADVICE r9).
     Cache lifecycle: callers own the persisted tables (bench clears
     between queries).
     """
+    if check_contract:
+        n_sinks = (
+            edges.select(F.col("dst").alias("node"))
+            .join(edges.select(F.col("src").alias("node")), "node", "left_anti")
+            .limit(1)
+            .count()
+        )
+        if n_sinks:
+            raise ValueError(
+                "pagerank contract violation: edge list has sink nodes "
+                "(dst values never appearing as src). Stage undirected "
+                "graphs as both edge directions, or add self-loops / "
+                "dangling-mass handling before calling pagerank."
+            )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # The edge list MUST be persisted: it anchors every iteration, and
     # without it AQE's broadcast of each round's (small) contribution

@@ -36,7 +36,7 @@ ORACLES: dict[str, str] = {}
 #: ``get_queries()`` emits this order first and everything else after —
 #: guaranteeing every contract operator gets a driver verdict each round.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # -- §2.3 contract (44) --------------------------------------------
+    # -- §2.3 contract (48) --------------------------------------------
     "q_scan_project",
     "q_filter_eq",
     "q_filter_range",
@@ -55,6 +55,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_agg_approx_distinct",
     "q_rollup",
     "q_cube",
+    "q_agg_string_concat",
     "q_having",
     "q_sort_limit",
     "q_window_rank",
@@ -62,9 +63,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_window_running",
     "q_union_all",
     "q_intersect",
+    "q_intersect_all",
     "q_except",
     "q_string_funcs",
     "q_date_funcs",
+    "q_bitwise_funcs",
     "q_math_funcs",
     "q_json_funcs",
     "q_array_funcs",
@@ -73,6 +76,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_star_etl",
     "q_dedup_exact",
     "q_dedup_minhash",  # SURVEY's q_dedup_near
+    "q_corpus_length_profile",
     "q_text_stats",
     "q_vector_norm",
     "q_similarity_topk",
@@ -94,25 +98,25 @@ PRIORITY_ORDER: tuple[str, ...] = (
     #       (q_dedup_resolve, q_pagerank, q_decontaminate,
     #       q_split_train_test, q_tfidf, q_hybrid_search) — all green in
     #       CORRECTNESS_r04/r05.
-    #   r6 (current): the long-planned next wave — star-join pricing,
-    #       cross-doc line dedup, chained/restart streaming, DQ
-    #       constraint audit, SCD2 lookup.
-    #   r7+ (planned): q_stream_full_outer, q_scd2_build, remaining
-    #       starjoin shapes, formats/roundtrips (snapshot/dynamic
-    #       overwrite/text/dirty-JSON), window pack, events analytics
-    #       (attribution, skyline, period growth), then the r3
-    #       extension-session families (q_geo_radius_join, q_table_diff,
-    #       q_clamped_balance, q_lpm_route_join, q_eval_confusion,
-    #       q_geo_cluster) — highest-signal
-    #       first; every candidate is already green in the local parity
+    #   r6: star-join pricing, cross-doc line dedup, chained/restart
+    #       streaming, DQ constraint audit, SCD2 lookup — all 6 earned
+    #       4 rounds of driver green (r6-r9) and retired to make room.
+    #   r10 (current): the §2.3 block above grew from 44 to 48 names
+    #       (q_agg_string_concat / q_intersect_all / q_bitwise_funcs /
+    #       q_corpus_length_profile were §2.3 additions that had never
+    #       reached the driver window — VERDICT r9 item 1), leaving 2
+    #       rotating slots: q_stream_full_outer + q_scd2_build, the
+    #       next never-driver-checked pair from the r7 plan.
+    #   r11+ (planned): snapshot/dynamic-overwrite/text/dirty-JSON
+    #       roundtrips, events analytics (attribution, skyline, period
+    #       growth), then the extension families (q_geo_radius_join,
+    #       q_table_diff, q_clamped_balance, q_lpm_route_join,
+    #       q_eval_confusion, q_geo_cluster) — highest-signal first;
+    #       every candidate is already green in the local parity
     #       replica (PARITY_r{N}.json), so rotation converts verified
     #       queries into driver evidence, never gambles on new ones.
-    "q_starjoin_pricing",
-    "q_dedup_lines",
-    "q_stream_chained",
-    "q_stream_restart",
-    "q_dq_constraints",
-    "q_scd2_lookup",
+    "q_stream_full_outer",
+    "q_scd2_build",
 )
 
 _LOADED = False

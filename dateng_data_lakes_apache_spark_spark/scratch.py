@@ -19,11 +19,15 @@ the inputs by design, so the re-stage cost is bounded.
 
 Lifecycle: the run directory is removed at interpreter exit (atexit);
 directories orphaned by crashed runs are pruned at import once they
-age past ``_STALE_S``. Intentionally-shared trees (the degenerate-sweep
-catalogs under ``.scratch/degcat``, the 10x sweep's ``sfsweep``) stay
-OUTSIDE the run root: they are single-writer tool artifacts, not
-session staging, and live in top-level dirs the pruner never touches
-(it only considers ``run-*`` entries).
+age past ``_STALE_S`` AND their embedded pid is no longer alive (the
+pid check is the liveness key — a dir's mtime only moves when direct
+children change, so an mtime-only rule could reap a live >24h
+soak/bench run). Of the intentionally-shared tool trees, only the 10x
+sweep's ``sfsweep`` still lives OUTSIDE the run root (single-writer
+tool artifact in a top-level dir the pruner never touches — it only
+considers ``run-*`` entries); the degenerate-sweep catalogs moved
+UNDER the run-scoped root in r9 (``tools/degenerate_sweep.py``
+``ROOT``), so concurrent sweeps build private catalogs.
 """
 
 from __future__ import annotations
@@ -58,6 +62,16 @@ def _cleanup() -> None:
 atexit.register(_cleanup)
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OSError):
+        return True  # exists (owned by someone else) — treat as alive
+    return True
+
+
 def _prune_stale() -> None:
     try:
         entries = os.listdir(SCRATCH_BASE)
@@ -67,6 +81,17 @@ def _prune_stale() -> None:
     for n in entries:
         if not n.startswith("run-"):
             continue
+        # run-<pid>-<token>: never reap a dir whose owning process is
+        # still alive, however old — a soak/bench session can outlive
+        # _STALE_S without touching the dir's direct children (mtime is
+        # NOT a liveness signal). A recycled pid at worst delays the
+        # prune to the next import after that process exits.
+        parts = n.split("-")
+        try:
+            if len(parts) >= 2 and _pid_alive(int(parts[1])):
+                continue
+        except ValueError:
+            pass
         p = os.path.join(SCRATCH_BASE, n)
         try:
             if now - os.path.getmtime(p) > _STALE_S:

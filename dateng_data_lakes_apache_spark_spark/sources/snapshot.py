@@ -167,9 +167,9 @@ def _stage_versioned_orders(spark: SparkSession, sf_dir: str) -> str:
     UNION ALL
     SELECT CAST(1 AS INT) AS version,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(CASE WHEN o_custkey BETWEEN {_UPD_LO} AND {_UPD_HI}
-                              THEN o_totalprice * 2
-                              ELSE o_totalprice END AS DECIMAL(30,8))) AS DOUBLE)
+           {o_dsum(f'''CASE WHEN o_custkey BETWEEN {_UPD_LO} AND {_UPD_HI}
+                            THEN o_totalprice * 2
+                            ELSE o_totalprice END''')}
              AS sum_price
     FROM orders
     """,
@@ -437,11 +437,11 @@ def _stage_concurrent_orders(spark: SparkSession, sf_dir: str) -> str:
     FROM base
     UNION ALL
     SELECT CAST(1 AS INT), COUNT(*),
-           CAST(SUM(CAST(p AS DECIMAL(30,8))) AS DOUBLE)
+           {o_dsum('p')}
     FROM v1
     UNION ALL
     SELECT CAST(2 AS INT), COUNT(*),
-           CAST(SUM(CAST(p AS DECIMAL(30,8))) AS DOUBLE)
+           {o_dsum('p')}
     FROM (SELECT p FROM v1 UNION ALL SELECT p FROM app)
     """,
 )

@@ -172,7 +172,12 @@ def test_simhash_hamming_separation(spark, planted, sf_dir, monkeypatch):
     monkeypatch.setattr(
         dd, "table", lambda _s, _d, _n: planted.withColumn("dummy", F.lit(1))
     )
-    rows = dd.q_dedup_simhash.__wrapped__(spark, sf_dir).collect()
+    # simhash_frame (the builder), NOT the registered query: the
+    # registered path delegates to staging.run_staged, whose
+    # per-(session, name, sf) memo may already hold the REAL corpus's
+    # staged table from an earlier test module (e.g. plan-lint), which
+    # would silently bypass the monkeypatched catalog (VERDICT r9 §wrong-1).
+    rows = dd.simhash_frame(spark, sf_dir).collect()
     by_id = {r.doc_id: r.simhash for r in rows}
     assert by_id[0] == by_id[1]
 

@@ -32,6 +32,20 @@ def test_pagerank_star_center_dominates(spark):
     assert len(leaf) == 1  # symmetric leaves rank identically
 
 
+def test_pagerank_sink_contract_fails_loudly(spark):
+    # directed graph with a sink (3 never appears as src): with
+    # check_contract=True the call must raise instead of silently
+    # dropping node 3 and its incoming mass (ADVICE r9)
+    import pytest
+
+    directed = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with pytest.raises(ValueError, match="sink nodes"):
+        pagerank(directed, check_contract=True)
+    # and a both-directions staging of the same pairs passes the check
+    ranks = pagerank(_edges(spark, [(1, 2), (2, 3)]), check_contract=True).collect()
+    assert {r.node for r in ranks} == {1, 2, 3}
+
+
 def test_pagerank_mass_conservation(spark):
     # undirected graph, no dangling nodes: total mass stays n*SCALE
     # (floor divisions may shave ≤ a few units per node per iteration)

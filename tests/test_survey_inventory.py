@@ -26,3 +26,32 @@ def test_survey_names_resolve_to_registry():
     survey_names = set(re.findall(r"`(q_[a-z0-9_]+)`", open(SURVEY).read()))
     phantom = survey_names - set(get_queries()) - ALIASES
     assert not phantom, f"SURVEY names with no implementation: {sorted(phantom)}"
+
+
+DRIVER_WINDOW = 50  # the external driver caps CORRECTNESS_r{N}.json at 50 rows
+
+
+def _section_2_3_contract_names() -> set[str]:
+    """Query names in the first column of the SURVEY §2.3 contract table."""
+    text = open(SURVEY).read()
+    start = text.index("### 2.3")
+    end = text.index("### 2.4")
+    names = re.findall(r"^\| `(q_[a-z0-9_]+)`", text[start:end], flags=re.M)
+    assert len(names) >= 44, "SURVEY §2.3 table parse broke"
+    # §2.3's one documented alias: q_dedup_near is registered as q_dedup_minhash.
+    return {("q_dedup_minhash" if n == "q_dedup_near" else n) for n in names}
+
+
+def test_every_contract_query_is_inside_the_driver_window():
+    """Regression guard (VERDICT r9 item 7): a §2.3 addition left outside
+    registry.PRIORITY_ORDER's first-50 block never earns a driver-grade
+    CORRECTNESS row — exactly how 4 contract queries went unevidenced for
+    9 rounds.  The driver processes queries in dict-insertion order and
+    caps its report at 50 entries, so every §2.3 name must be among the
+    first 50 names ``get_queries()`` emits."""
+    window = list(get_queries())[:DRIVER_WINDOW]
+    missing = _section_2_3_contract_names() - set(window)
+    assert not missing, (
+        f"SURVEY §2.3 contract queries outside the driver's 50-row window "
+        f"(add them to registry.PRIORITY_ORDER's contract block): {sorted(missing)}"
+    )

@@ -62,7 +62,9 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.session import get_spark
     from dateng_data_lakes_apache_spark_spark.staging import STAGED_BUILDERS, clear_stage_memo
 
-    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties", "skew", "nullts", "unicode"]
+    variants = sys.argv[1:] or [
+        "empty", "one", "hostile", "ties", "skew", "nonfinite", "nullts", "unicode",
+    ]
     spark = get_spark(app_name="degenerate-oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = get_queries(), get_oracles()

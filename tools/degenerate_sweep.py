@@ -50,7 +50,7 @@ staging, Python kernels, or parse/scan expressions. Round-7 state:
 on the oracle sibling, tools/degenerate_oracle_sweep.py); round 8 adds
 ``skew`` and the per-category hostile dirt.
 
-Usage: python tools/degenerate_sweep.py [empty one hostile ties skew nullts unicode]
+Usage: python tools/degenerate_sweep.py [empty one hostile ties skew nonfinite nullts unicode]
 """
 
 from __future__ import annotations
@@ -315,7 +315,9 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.session import get_spark
     from dateng_data_lakes_apache_spark_spark.staging import clear_stage_memo
 
-    variants = sys.argv[1:] or ["empty", "one", "hostile", "ties", "skew", "nullts", "unicode"]
+    variants = sys.argv[1:] or [
+        "empty", "one", "hostile", "ties", "skew", "nonfinite", "nullts", "unicode",
+    ]
     spark = get_spark(app_name="degenerate-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs = get_queries()
