@@ -281,6 +281,63 @@ HEADLINE = [
 ]
 
 
+#: BENCH_r01's 20-query window — the only stable cross-round yardstick
+#: (every round's baseline ratio is computed on this sum), so these
+#: names are ALWAYS printed first regardless of rotation.
+BASELINE_WINDOW = [
+    "q_scan_project",
+    "q_filter_range",
+    "q_agg_groupby",
+    "q_agg_distinct",
+    "q_join_inner_2key",
+    "q_join_left",
+    "q_join_broadcast",
+    "q_join_theta_range",
+    "q_window_topk_per_group",
+    "q_window_running",
+    "q_sort_limit",
+    "q_explode_wordcount",
+    "q_text_quality",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_doc_fingerprint",
+    "q_vector_norm",
+    "q_similarity_topk",
+    "q_star_etl",
+    "q_stream_tumbling",
+]
+
+
+def print_order(timings: dict[str, float]) -> list[str]:
+    """Rotate the printed subset so driver evidence spreads over rounds.
+
+    The driver captures only the last ~2000 stdout chars (~78 of 232
+    headline queries), and a static print order starved late HEADLINE
+    registrations of driver-recorded numbers for 9 rounds (VERDICT r9
+    item 6). Order: (1) the 20-query baseline window, always — the
+    cross-round performance yardstick; (2) queries never present in any
+    committed ``BENCH_r*.json`` parsed map, HEADLINE order — each round
+    automatically promotes whatever still lacks driver evidence;
+    (3) everything else. Per-query numbers dropped from the printed
+    tail remain in BENCH_DETAIL.json.
+    """
+    import glob
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            seen.update(parsed.get("queries") or {})
+        except (OSError, ValueError):
+            continue
+    base = [n for n in BASELINE_WINDOW if n in timings]
+    fresh = [n for n in timings if n not in seen and n not in base]
+    rest = [n for n in timings if n in seen and n not in base]
+    return base + fresh + rest
+
+
 def execute_fully(df) -> None:
     """Run the whole plan through the no-op sink (no driver materialize)."""
     df.write.format("noop").mode("overwrite").save()
@@ -371,8 +428,10 @@ def main() -> None:
         )
         f.write("\n")
 
+    ordered = print_order(timings)
+
     def contract_line(decimals: int, keep: int) -> str:
-        q = {n: round(t, decimals) for n, t in list(timings.items())[:keep]}
+        q = {n: round(timings[n], decimals) for n in ordered[:keep]}
         return json.dumps(
             {
                 "metric": "headline_queries_total_wall_seconds",

@@ -299,6 +299,7 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(value * 100 + 0.5) AS BIGINT)
                + ({_duck4('event_id', 1)} % 201 - 100) AS p
       FROM events
+      WHERE value IS NOT NULL AND isfinite(value)
     ),
     sums AS (
       SELECT COUNT(*) AS n,
@@ -325,10 +326,18 @@ def q_eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     One map-side-combined aggregation over a two-column projection —
     the same ride-the-scan shape as the rest of the eval family.
     """
+    from ..common import finite
+
     v = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
     p = f"({v} + ({_spark4('event_id', 1)} % 201 - 100))"
-    scored = table(spark, sf_dir, "events").select(
-        F.expr(v).alias("v"), F.expr(p).alias("p")
+    # finite(value): an untruthed row can't be scored — and a NaN cents
+    # cast is silent garbage in Spark, a throw in DuckDB (nonfinite
+    # sweep find, r10). NULLs were already dropped by the cast+SUM path
+    # on both sides; the explicit filter makes n count scored rows only.
+    scored = (
+        table(spark, sf_dir, "events")
+        .where(finite(F.col("value")))
+        .select(F.expr(v).alias("v"), F.expr(p).alias("p"))
     )
     sums = scored.agg(
         F.count(F.lit(1)).alias("n"),

@@ -158,11 +158,17 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_histogram",
+    # Non-finite values carry the engine-wide finite contract: a NaN/Inf
+    # bucket is meaningless, Spark's double→bigint cast silently fakes
+    # one (NaN→0, +Inf→Long.MAX) and DuckDB's THROWS — exclude
+    # explicitly on BOTH sides (nonfinite sweep find, r10). NULLs keep
+    # their own bucket (floor(NULL) = NULL) as before.
     oracle=f"""
     SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
            COUNT(*) AS n,
            {o_dsum('value')} AS sum_value
     FROM events
+    WHERE value IS NULL OR isfinite(value)
     GROUP BY 1
     """,
 )
@@ -171,7 +177,11 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram primitive: map-side partial aggregation collapses each
     partition to (bucket, count, sum) before the shuffle, so the shuffle
     carries buckets, not rows, at any scale."""
-    e = table(spark, sf_dir, "events")
+    from ..common import finite
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("value").isNull() | finite(F.col("value"))
+    )
     return e.groupBy(
         F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket")
     ).agg(
@@ -267,11 +277,14 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_histogram_2d",
+    # finite contract on the binned measure (see q_agg_histogram):
+    # NULL keeps its bin, NaN/Inf rows are excluded on both sides.
     oracle="""
     SELECT CAST(hour(ts) AS INT) AS hour_bin,
            CAST(FLOOR(value / 100.0) AS BIGINT) AS value_bin,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events
+    WHERE value IS NULL OR isfinite(value)
     GROUP BY hour_bin, value_bin
     """,
 )
@@ -284,7 +297,11 @@ def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions are exact integer derivations (hour extraction, floor
     division), so the cell assignment is engine-identical.
     """
-    e = table(spark, sf_dir, "events")
+    from ..common import finite
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("value").isNull() | finite(F.col("value"))
+    )
     return e.groupBy(
         F.hour("ts").cast("int").alias("hour_bin"),
         F.floor(F.col("value") / 100.0).cast("bigint").alias("value_bin"),
@@ -718,16 +735,25 @@ _ECDF_PS = [i / 10 for i in range(1, 10)]
 
 @query(
     "q_ecdf_normalize",
+    # finite contract on value (nonfinite sweep find, r10): a NaN/Inf
+    # observation poisons the interpolated cut points AND the `<=`
+    # bucket rule orders NaN differently across engines (Spark sorts
+    # NaN above +Inf; DuckDB's comparison is FALSE) — exclude
+    # non-finite rows from both phases on both sides. NULLs were
+    # already consistent (percentile skips them, decile 0 bucket).
     oracle=f"""
-    WITH bounds AS (
-      SELECT quantile_cont(value, {_ECDF_PS!r}) AS bs FROM events
+    WITH fin AS (
+      SELECT * FROM events WHERE value IS NULL OR isfinite(value)
+    ),
+    bounds AS (
+      SELECT quantile_cont(value, {_ECDF_PS!r}) AS bs FROM fin
     )
     SELECT event_type,
            CAST(len(list_filter(b.bs, x -> x <= e.value)) AS INT) AS decile,
            CAST(COUNT(*) AS BIGINT) AS n,
            round(MIN(e.value), 4) AS min_v,
            round(MAX(e.value), 4) AS max_v
-    FROM events e CROSS JOIN bounds b
+    FROM fin e CROSS JOIN bounds b
     GROUP BY 1, 2
     """,
 )
@@ -749,7 +775,11 @@ def q_ecdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash parity is the standing proof), and the bucket rule compares
     identical doubles with the same <= on both sides.
     """
-    e = table(spark, sf_dir, "events")
+    from ..common import finite
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("value").isNull() | finite(F.col("value"))
+    )
     bounds = e.agg(
         F.percentile("value", F.array(*[F.lit(p) for p in _ECDF_PS])).alias("bs")
     )
@@ -771,12 +801,19 @@ def q_ecdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_cusum_changepoint",
+    # value finite contract (nonfinite sweep find, r10): one NaN would
+    # poison a whole day's decimal sum — Spark's double→decimal cast
+    # silently NULLs it while DuckDB's THROWS. Non-finite rows are
+    # excluded at source on both sides; NULL values stay counted in n
+    # (SUM already skips them), matching the hostile-catalog pin.
     oracle="""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day,
              CAST(COUNT(*) AS BIGINT) AS n,
              SUM(CAST(value AS DECIMAL(30,8))) AS s
-      FROM events WHERE ts IS NOT NULL GROUP BY 1
+      FROM events
+      WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
+      GROUP BY 1
     ),
     tot AS (
       SELECT SUM(n) AS tn, SUM(s) AS tsum FROM daily
@@ -817,10 +854,15 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum cannot drift with engine summation order; the peak test
     compares exact decimals.
     """
+    from ..common import finite
+
     # ts IS NOT NULL (both sides): a NULL day bucket would sort NULLS
     # FIRST in Spark's cumulative window vs NULLS LAST in DuckDB,
     # shifting the whole CUSUM walk (nullts catalog find).
-    e = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    e = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & (F.col("value").isNull() | finite(F.col("value")))
+    )
     daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(30,8)")).alias("s"),
@@ -955,6 +997,7 @@ _O_U32 = (
                AS w,
              CAST(e.value AS DECIMAL(30,8)) AS v
       FROM events e CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+      WHERE e.value IS NULL OR isfinite(e.value)
     ),
     means AS (
       SELECT event_type, b,
@@ -995,11 +1038,22 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     group. B=50 trades CI resolution for bench cost; scale it with
     budget, not with data size.
     """
+    from ..common import finite
+
     # The B-fold explode amplifies each input partition 50x; spread()
     # fixes the single-row-group scan's one-task plan before the 5M md5
     # evaluations (conditional — a well-partitioned lake scan keeps its
     # partitioning; downstream aggregate is placement-independent).
-    e = spread(table(spark, sf_dir, "events"), spark)
+    # Non-finite values are excluded up front (finite contract,
+    # nonfinite sweep find r10): Spark's decimal cast silently NULLs a
+    # NaN but its Poisson weight would still inflate the denominator,
+    # while DuckDB's cast throws — both wrong, one loudly.
+    e = spread(
+        table(spark, sf_dir, "events").where(
+            F.col("value").isNull() | finite(F.col("value"))
+        ),
+        spark,
+    )
     reps = e.select(
         "event_type",
         F.explode(F.array(*[F.lit(b) for b in range(_BOOT_B)])).alias("b"),
@@ -3760,7 +3814,8 @@ def q_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
                AS post_c
       FROM events
-      WHERE event_type = 'purchase' AND value IS NOT NULL
+      WHERE event_type = 'purchase'
+        AND value IS NOT NULL AND isfinite(value)
         AND user_id IS NOT NULL AND ts IS NOT NULL
       GROUP BY user_id
     ),
@@ -3826,11 +3881,14 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw metric, the documented convention); n<2 or zero post variance
     → NULL ratio. Same md5 arm split as q_diff_in_diff / q_sprt_abtest.
     """
-    from ..common import det_round, md5_hex4_spark
+    from ..common import det_round, finite, md5_hex4_spark
 
+    # finite(value) covers non-NULL too: a NaN would survive floor()
+    # into Spark's silent bigint-0 vs DuckDB's cast throw (nonfinite
+    # sweep find, r10).
     ev = table(spark, sf_dir, "events").where(
         (F.col("event_type") == "purchase")
-        & F.col("value").isNotNull()
+        & finite(F.col("value"))
         & F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
     )

@@ -609,6 +609,7 @@ def q_window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 100.0 AS DOUBLE) AS rolling_median
     FROM events
     WHERE user_id < 100 AND ts IS NOT NULL
+      AND (value IS NULL OR isfinite(value))
     """,
 )
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,10 +627,18 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id < 100 slice keeps the registered result driver-sized; the
     operator itself is per-user-partitioned and unbounded.
     """
+    from ..common import finite
+
     # ts IS NOT NULL (both sides): NULL frame-sort keys order NULLS
     # FIRST in Spark vs NULLS LAST in DuckDB (nullts catalog find).
+    # Non-finite values are excluded from the frames on both sides
+    # (floor(Inf*100) survives into a bigint cast that Spark fakes and
+    # DuckDB throws — nonfinite sweep find, r10); NULL values stay,
+    # both engines' frame quantiles skip them.
     ev = table(spark, sf_dir, "events").where(
-        (F.col("user_id") < 100) & F.col("ts").isNotNull()
+        (F.col("user_id") < 100)
+        & F.col("ts").isNotNull()
+        & (F.col("value").isNull() | finite(F.col("value")))
     )
     w = (
         Window.partitionBy("user_id")
