@@ -231,6 +231,15 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics: keys present on either side emit), so the driver gets a
     hash-checked row for the API surface itself. numpy/decimal math
     keeps totals engine-exact.
+
+    Measured cost floor (r10 A/B, tools/cogroup_batch_probe.py —
+    BASELINE.md "Arrow-batch / partition-count A/B"): per-GROUP Python
+    dispatch. ``arrow.maxRecordsPerBatch`` is a no-op for this shape
+    (one kernel call per key regardless); partition count is the real
+    knob — fewer partitions amortize Python-worker spin-up over more
+    groups (sf1x: 8 parts ~21.5 s vs 128 parts ~33 s). At cluster
+    scale the same rule reads "thousands of groups per worker"; the
+    session default already scales, so nothing is hardcoded here.
     """
     import numpy as np
 
