@@ -39,6 +39,46 @@ def o_finite(expr: str) -> str:
     return f"isfinite(CAST({expr} AS DOUBLE))"
 
 
+#: Hive partition directory names embed the partition VALUE; most
+#: filesystems cap a single path segment at 255 BYTES, so an unbounded
+#: string partition key is a latent write failure (found by the r10
+#: ``longtext`` catalog: a 10k-char value aborted every partitioned
+#: sink). Values at or under this byte bound pass through verbatim —
+#: the margin below 255 absorbs the ``column=`` prefix and hive's
+#: %-escaping of special characters.
+PARTITION_VALUE_MAX_BYTES = 128
+
+
+def bound_part(col: Column) -> Column:
+    """Bound a string partition value for hive directory layout.
+
+    Values ≤ :data:`PARTITION_VALUE_MAX_BYTES` UTF-8 bytes are verbatim
+    (the normal case — real partition keys are dates/categories);
+    longer values become ``first-24-chars + '#' + md5(value)`` (≤ 96
+    prefix bytes even for 4-byte code points, + 33 ASCII — unique per
+    raw value, deterministic, engine-reproducible). Byte gate, char
+    prefix: the gate must be byte-accurate for the filesystem limit,
+    while a CHARACTER prefix slice is identical in both engines and can
+    never split a code point. This is an INGEST rule, not a read-path
+    transform: apply it to the partition column when STAGING a
+    partitioned table, the same way a production lake bounds its
+    partition keys. NULL stays NULL (and hive collapses NULL/'' to the
+    default partition regardless — see the q_dynamic_overwrite oracle
+    note). md5 (not xxhash64): the oracle twin needs the identical
+    suffix, and DuckDB has md5 built in."""
+    return F.when(F.octet_length(col) <= PARTITION_VALUE_MAX_BYTES, col).otherwise(
+        F.concat(F.substring(col, 1, 24), F.lit("#"), F.md5(col))
+    )
+
+
+def o_bound_part(expr: str) -> str:
+    """DuckDB twin of :func:`bound_part` (strlen = byte length)."""
+    return (
+        f"CASE WHEN strlen({expr}) <= {PARTITION_VALUE_MAX_BYTES} THEN {expr} "
+        f"ELSE substr({expr}, 1, 24) || '#' || md5({expr}) END"
+    )
+
+
 def dsum(col: Column) -> Column:
     """Deterministic double sum over FINITE observations: exact decimal
     accumulation → double (see :func:`finite` for the exclusion rule)."""

@@ -43,6 +43,7 @@ def read_csv(
     header: bool = True,
     sep: str = ",",
     null_value: str | None = CSV_NULL,
+    multi_line: bool = False,
 ) -> DataFrame:
     """CSV reader (reference S5 / the commented-out K3 sink's format).
 
@@ -50,11 +51,21 @@ def read_csv(
     the right reader for anything ``write_csv`` produced (NULL vs ''
     stays lossless). For third-party CSVs where a literal two-character
     ``\\N`` field must stay a string, pass ``null_value=None`` to get
-    Spark's stock empty-string-as-NULL dialect (ADVICE r7)."""
+    Spark's stock empty-string-as-NULL dialect (ADVICE r7).
+
+    ``multi_line=True`` parses RFC-4180 quoted fields that span lines
+    (what ``write_csv`` emits for newline-bearing text — r10 longtext
+    find: without it such a record SHATTERS into malformed rows).
+    The cost is real and the reason it is not the default: multiLine
+    CSV is not line-splittable, so each file parses as one task — at
+    100 TB keep newline-bearing text in parquet/JSONL, or accept
+    file-level parallelism on the CSV ingest hop."""
     paths = [path] if isinstance(path, str) else list(path)
     reader = spark.read.option("header", header).option("sep", sep)
     if null_value is not None:
         reader = reader.option("nullValue", null_value)
+    if multi_line:
+        reader = reader.option("multiLine", True)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(paths)
@@ -105,12 +116,21 @@ def write_parquet(
 
 def write_csv(df: DataFrame, path: str, sep: str = ",", header: bool = True, mode: str = "overwrite") -> None:
     """CSV sink (reference K3, ETL_from_Notebook.py:120-122 — commented
-    out there, first-class here). NULL-vs-'' lossless via ``CSV_NULL``."""
+    out there, first-class here). NULL-vs-'' lossless via ``CSV_NULL``.
+
+    Whitespace trimming is OFF: Spark's CSV writer defaults
+    ``ignoreLeading/TrailingWhiteSpace`` to true and silently REWRITES
+    values on the way out ('  \\n word  ' landed as 'word' — r10
+    longtext find). A sink must be byte-faithful; trimming is a
+    parse-time policy for dirty third-party input, never a write-time
+    default."""
     (
         df.write.mode(mode)
         .option("header", header)
         .option("sep", sep)
         .option("nullValue", CSV_NULL)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(path)
     )
 

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..caching import track
 from ..catalog import table
-from ..common import dsum, o_dsum
+from ..common import bound_part, dsum, o_bound_part, o_dsum
 from ..registry import query
 from .readers import read_csv, read_json, read_parquet, write_csv, write_parquet
 
@@ -113,11 +113,15 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage_dir(sf_dir, "customer_csv")
     if not _staged(path):
         write_csv(table(spark, sf_dir, "customer"), path)
+    # multi_line: the engine's own CSV may quote newline-bearing text
+    # (write_csv is byte-faithful since r10) — the roundtrip reader
+    # must parse it; see read_csv for the splittability trade-off.
     c = read_csv(
         spark,
         path,
         schema="c_custkey bigint, c_name string, c_nationkey int, "
         "c_acctbal double, c_mktsegment string",
+        multi_line=True,
     )
     return c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_cust"),
@@ -229,8 +233,17 @@ def q_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = _stage_dir(sf_dir, "orders_part")
     if not _staged(path):
+        # Partition VALUES are bounded at ingest (common.bound_part —
+        # r10 longtext find: a 10k-char value exceeds the filesystem's
+        # 255-byte path-segment cap and aborts the write). Real keys
+        # (priorities here) pass verbatim; the filter literal below is
+        # its own bounded form.
         write_parquet(
-            table(spark, sf_dir, "orders"), path, partition_by=["o_orderpriority"]
+            table(spark, sf_dir, "orders").withColumn(
+                "o_orderpriority", bound_part(F.col("o_orderpriority"))
+            ),
+            path,
+            partition_by=["o_orderpriority"],
         )
     o = read_parquet(
         spark, path, empty_schema=table(spark, sf_dir, "orders").schema
@@ -540,6 +553,11 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("xml")
         .schema("s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
         .option("rowTag", "supplier")
+        # default-on surrounding-space trimming silently rewrites
+        # whitespace-bearing string values on read-back (r10 longtext
+        # find: a '  \\n word \\n ' name came back as 'word') — a
+        # ROUNDTRIP must be byte-faithful, so trimming is off.
+        .option("ignoreSurroundingSpaces", "false")
         .load(path)
     )
     return s.groupBy("s_nationkey").agg(
@@ -583,8 +601,17 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = _stage_dir(sf_dir, "orders_part")
     if not _staged(path):
+        # bound_part: same ingest rule as q_partitioned_pruned (shared
+        # staged table) — and the dim predicate below is PREFIX-STABLE
+        # under it (it reads the first '-'-separated token; bound_part
+        # preserves the first 24 chars and its md5 suffix contains no
+        # '-'), so runtime pruning decisions match the raw-value oracle.
         write_parquet(
-            table(spark, sf_dir, "orders"), path, partition_by=["o_orderpriority"]
+            table(spark, sf_dir, "orders").withColumn(
+                "o_orderpriority", bound_part(F.col("o_orderpriority"))
+            ),
+            path,
+            partition_by=["o_orderpriority"],
         )
     fact = read_parquet(
         spark, path, empty_schema=table(spark, sf_dir, "orders").schema
@@ -763,14 +790,17 @@ def q_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- value — Spark writes both NULL and '' to __HIVE_DEFAULT_PARTITION__
     -- and reads both back as NULL. That collapse is a property of ANY
     -- hive-partitioned lake (not this engine); the oracle models it.
-    SELECT NULLIF(o_orderpriority, '') AS o_orderpriority,
+    -- o_bound_part: the staged table bounds partition values at ingest
+    -- (common.bound_part), so the read-back group key is the bounded
+    -- form — the oracle applies the identical derivation.
+    SELECT NULLIF({o_bound_part('o_orderpriority')}, '') AS o_orderpriority,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
                               THEN o_totalprice * 2
                               ELSE o_totalprice END AS DECIMAL(30,8))) AS DOUBLE)
              AS sum_price
     FROM orders
-    GROUP BY NULLIF(o_orderpriority, '')
+    GROUP BY NULLIF({o_bound_part('o_orderpriority')}, '')
     """,
 )
 def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -796,8 +826,14 @@ def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would re-stage (full-rewrite) the base table on every call.
     marker = os.path.join(path, ".staged_base")
     if not os.path.exists(marker):
+        # bound_part: partition values are bounded at ingest (see
+        # q_partitioned_pruned / common.bound_part — r10 longtext find).
         write_parquet(
-            table(spark, sf_dir, "orders"), path, partition_by=["o_orderpriority"]
+            table(spark, sf_dir, "orders").withColumn(
+                "o_orderpriority", bound_part(F.col("o_orderpriority"))
+            ),
+            path,
+            partition_by=["o_orderpriority"],
         )
         open(marker, "w").close()
     # The correction batch derives from the PRISTINE source, not the
@@ -848,52 +884,39 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse → aggregate. Raw text/JSONL lines are how real corpora ARRIVE
     at a lake (Common Crawl WET, chat logs), so the text reader is the
     true ingest edge; this round-trips the engine's own corpus through
-    it. Records serialize as ``doc_id\\tlang\\tn_chars\\ttext`` (the
-    corpus is single-line documents — tab/newline-free, asserted by the
-    staging gate), parse back with a limit-4 split, and the per-lang
-    aggregate INCLUDING an order-pinned corpus md5 proves no line was
-    lost, reordered into the wrong doc, or truncated. Text scans are
-    never column-pruned and parse on every read — the documented
-    trade-off vs parquet (SURVEY §1.3); at 100 TB this path exists for
-    INGEST, after which data lives columnar.
+    it. Records serialize as JSONL (``to_json`` per record): a raw
+    TSV dialect cannot represent documents CONTAINING tabs/newlines —
+    the r10 ``longtext`` catalog hit exactly that, and the previous
+    staging gate refused such corpora loudly; JSON strings escape
+    themselves, which is precisely why JSONL is the line format real
+    corpora ship in. Parse back with ``from_json`` (JVM-side, exact),
+    and the per-lang aggregate INCLUDING an order-pinned corpus md5
+    proves no line was lost, reordered into the wrong doc, or
+    truncated — including multi-line and tab-bearing documents. Text
+    scans are never column-pruned and parse on every read — the
+    documented trade-off vs parquet (SURVEY §1.3); at 100 TB this path
+    exists for INGEST, after which data lives columnar.
     """
     d = table(spark, sf_dir, "documents")
     path = _stage_dir(sf_dir, "documents_text")
+    rec_schema = "doc_id bigint, lang string, n_chars bigint, text string"
     if not _staged(path):
-        bad = d.where(
-            F.col("text").contains("\t") | F.col("text").contains("\n")
-        ).limit(1).count()
-        if bad:
-            raise ValueError("text corpus must be tab/newline-free for line staging")
-        # NULL fields serialize as the \\N sentinel: concat_ws SKIPS null
-        # args entirely, so a NULL lang would silently shift every later
-        # field one slot left on the parse (hostile sweep find). The
-        # corpus is synthetic words (no literal \\N), same convention as
-        # the CSV dialect (readers.CSV_NULL).
         (
             d.select(
-                F.concat_ws(
-                    "\t",
-                    F.coalesce(F.col("doc_id").cast("string"), F.lit("\\N")),
-                    F.coalesce(F.col("lang"), F.lit("\\N")),
-                    F.coalesce(F.col("n_chars").cast("string"), F.lit("\\N")),
-                    F.coalesce(F.col("text"), F.lit("\\N")),
+                F.to_json(
+                    F.struct("doc_id", "lang", "n_chars", "text")
                 ).alias("value")
             )
             .write.mode("overwrite")
             .text(path)
         )
     lines = spark.read.text(path)
-    parts = F.split(F.col("value"), "\t", 4)
-
-    def _field(i: int):
-        return F.nullif(parts.getItem(i), F.lit("\\N"))
-
+    rec = F.from_json(F.col("value"), rec_schema)
     parsed = lines.select(
-        _field(0).cast("bigint").alias("doc_id"),
-        _field(1).alias("lang"),
-        _field(2).cast("bigint").alias("n_chars"),
-        _field(3).alias("text"),
+        rec.getField("doc_id").alias("doc_id"),
+        rec.getField("lang").alias("lang"),
+        rec.getField("n_chars").alias("n_chars"),
+        rec.getField("text").alias("text"),
     )
     kept = F.sort_array(F.collect_list(F.struct("doc_id", "text")))
     return parsed.groupBy("lang").agg(
@@ -1073,7 +1096,7 @@ def q_cross_format_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     legs = {
         "parquet": src,
-        "csv": read_csv(spark, csv_path, schema=_CUSTOMER_DDL),
+        "csv": read_csv(spark, csv_path, schema=_CUSTOMER_DDL, multi_line=True),
         "json": read_json(spark, json_path, schema=_CUSTOMER_DDL),
         "orc": spark.read.orc(orc_path),
     }

@@ -270,19 +270,18 @@ _HOSTILE_VALUE_PINNED = [
 ]
 
 
-@pytest.mark.parametrize("name", _HOSTILE_VALUE_PINNED)
-def test_hostile_value_parity_pinned(spark, hostile_catalog, name):
+def _value_parity(spark, catalog, name):
     import duckdb
 
     from dateng_data_lakes_apache_spark_spark.registry import get_oracles
 
     from .parity import _canon_frame
 
-    spark_pdf = get_queries()[name](spark, hostile_catalog).toPandas()
+    spark_pdf = get_queries()[name](spark, catalog).toPandas()
     con = duckdb.connect()
     try:
         for t in _TABLES:
-            p = os.path.join(hostile_catalog, f"{t}.parquet")
+            p = os.path.join(catalog, f"{t}.parquet")
             src = f"{p}/*.parquet" if os.path.isdir(p) else p
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
         duck_pdf = con.execute(get_oracles()[name]).df()
@@ -292,6 +291,61 @@ def test_hostile_value_parity_pinned(spark, hostile_catalog, name):
         f"{name}: rows {len(spark_pdf)} vs {len(duck_pdf)}"
     )
     assert _canon_frame(spark_pdf) == _canon_frame(duck_pdf)
+
+
+@pytest.mark.parametrize("name", _HOSTILE_VALUE_PINNED)
+def test_hostile_value_parity_pinned(spark, hostile_catalog, name):
+    _value_parity(spark, hostile_catalog, name)
+
+
+@pytest.fixture(scope="session")
+def longtext_catalog(spark):
+    """Pathological TEXT SHAPE dirt (r10): a 10k-char unbroken
+    mega-token, a 2-word phrase repeated 1.5k times, and
+    whitespace/newline-only near-empty text — delegated to the shared
+    tools builder so the fixture cannot drift from the sweep."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from degenerate_sweep import build
+
+    return build(spark, "longtext")
+
+
+#: r10 longtext finds, each now pinning a production contract:
+#: - q_string_similarity: the unbounded 2-arg levenshtein wedged >35 min
+#:   on 10k-char names (O(|a|·|b|) per pair); pinned: length-band gate +
+#:   equality short-circuit + bounded 3-arg levenshtein — same kept
+#:   pairs, bounded cost.
+#: - q_partitioned_pruned / q_join_dpp / q_dynamic_overwrite: a 10k-char
+#:   hive partition VALUE exceeds the filesystem's 255-byte path-segment
+#:   cap and aborts the write; pinned: common.bound_part at staging (the
+#:   ingest rule), oracle twin o_bound_part where the key is emitted.
+#: - q_text_roundtrip: the raw-TSV line dialect cannot represent
+#:   tab/newline-bearing documents; pinned: JSONL serialization (records
+#:   escape themselves) through the same text-reader ingest edge.
+#: - q_xml_roundtrip: Spark XML's default surrounding-space trim
+#:   rewrote '  \n word \n ' to 'word' on read-back; pinned:
+#:   ignoreSurroundingSpaces=false on the roundtrip read.
+#: - q_cross_format_parity / q_csv_roundtrip: the CSV WRITER's default
+#:   whitespace trim rewrote values on the way out, and the reader
+#:   shattered quoted multi-line records; pinned: byte-faithful
+#:   write_csv + multi_line read.
+_LONGTEXT_VALUE_PINNED = [
+    "q_string_similarity",
+    "q_partitioned_pruned",
+    "q_join_dpp",
+    "q_dynamic_overwrite",
+    "q_text_roundtrip",
+    "q_xml_roundtrip",
+    "q_cross_format_parity",
+    "q_csv_roundtrip",
+]
+
+
+@pytest.mark.parametrize("name", _LONGTEXT_VALUE_PINNED)
+def test_longtext_value_parity_pinned(spark, longtext_catalog, name):
+    _value_parity(spark, longtext_catalog, name)
 
 
 def test_skew_report_detects_zipf_hot_keys(spark, skew_catalog):

@@ -63,7 +63,8 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.staging import STAGED_BUILDERS, clear_stage_memo
 
     variants = sys.argv[1:] or [
-        "empty", "one", "hostile", "ties", "skew", "nonfinite", "nullts", "unicode",
+        "empty", "one", "hostile", "ties", "skew",
+        "nonfinite", "nullts", "unicode", "longtext",
     ]
     spark = get_spark(app_name="degenerate-oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")

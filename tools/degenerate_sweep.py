@@ -34,6 +34,14 @@ against each, reporting anything that raises:
                is NULL/'' only, so case-mapping and byte-vs-char
                length divergences between the JVM and utf8proc were
                never exercised)
+- ``longtext``— hostile's per-category shape but the dirt is TEXT
+               SHAPE: a 10k-char unbroken mega-token (row 0), a
+               2-word phrase repeated 1.5k times (row 1), and
+               whitespace/newline-only near-empty text (row 2) in
+               every non-key string column (r10; the text operators —
+               shingles, BPE, token counts, repetition/entropy,
+               line dedup — had never seen a document whose shape,
+               not content, is the attack)
 - ``nullts`` — hostile's per-category shape but the dirt is NULL
                event-time: every TIMESTAMP column (events.ts,
                orders.o_orderdate, lineitem.l_shipdate) is NULLed in
@@ -50,13 +58,14 @@ staging, Python kernels, or parse/scan expressions. Round-7 state:
 on the oracle sibling, tools/degenerate_oracle_sweep.py); round 8 adds
 ``skew`` and the per-category hostile dirt.
 
-Usage: python tools/degenerate_sweep.py [empty one hostile ties skew nonfinite nullts unicode]
+Usage: python tools/degenerate_sweep.py [empty one hostile ties skew nonfinite nullts unicode longtext]
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -248,6 +257,47 @@ def build(spark, variant: str) -> str:
                     )
                 cols.append(c.alias(f_.name))
             df = df.select(*cols)
+        elif variant == "longtext":
+            # Same per-category row shape as hostile; the dirt is
+            # pathological TEXT SHAPE (r10): row 0 gets one unbroken
+            # 10k-char mega-token (no whitespace at all — shingle
+            # windows larger than the word count, BPE on a single
+            # giant word, regex token scans), row 1 gets a 2-word
+            # phrase repeated 1.5k times (degenerate repetition — LSH
+            # band saturation, repetition/entropy metrics, n-gram
+            # counts), row 2 gets whitespace/newline-heavy near-empty
+            # text (split/line semantics, zero-token documents with
+            # non-zero length).
+            cat = CAT.get(t)
+            if cat is not None:
+                gw = PW.partitionBy(cat).orderBy(PK[t])
+                df = (
+                    df.withColumn("_rid", F.row_number().over(gw) - 1)
+                    .where(F.col("_rid") < 3)
+                )
+            else:
+                df = df.limit(6).withColumn(
+                    "_rid", F.monotonically_increasing_id()
+                )
+            t0 = "x" * 10_000
+            t1 = ("spam ham " * 1_500).rstrip()
+            t2 = "  \n\n\t \n word \n\n\t  "
+            cols = []
+            for f_ in df.schema.fields:
+                if f_.name == "_rid":
+                    continue
+                c = F.col(f_.name)
+                if f_.name not in KEYS and f_.name != cat and isinstance(
+                    f_.dataType, StringType
+                ):
+                    c = (
+                        F.when(F.col("_rid") == 0, F.lit(t0))
+                        .when(F.col("_rid") == 1, F.lit(t1))
+                        .when(F.col("_rid") == 2, F.lit(t2))
+                        .otherwise(c)
+                    )
+                cols.append(c.alias(f_.name))
+            df = df.select(*cols)
         elif variant == "nullts":
             # Same per-category row shape as hostile, but the only dirt
             # is ts=NULL on row 0 of each category group — isolates the
@@ -316,21 +366,33 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.staging import clear_stage_memo
 
     variants = sys.argv[1:] or [
-        "empty", "one", "hostile", "ties", "skew", "nonfinite", "nullts", "unicode",
+        "empty", "one", "hostile", "ties", "skew",
+        "nonfinite", "nullts", "unicode", "longtext",
     ]
     spark = get_spark(app_name="degenerate-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs = get_queries()
+    only = os.environ.get("SPARK_GRAFT_SWEEP_ONLY", "")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {n: f for n, f in qs.items() if n in keep}
+    verbose = bool(os.environ.get("SPARK_GRAFT_SWEEP_VERBOSE"))
     total_fails = 0
     for variant in variants:
         sf = build(spark, variant)
         fails = {}
         for name, fn in qs.items():
+            t0 = time.perf_counter()
             try:
                 fn(spark, sf).collect()
             except Exception as exc:  # noqa: BLE001 — a sweep reports, never stops
                 fails[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:160]}"
                 print(f"[{variant}] {name}: {fails[name]}", flush=True)
+            if verbose:
+                print(
+                    f"[{variant}] {name}: {time.perf_counter() - t0:.1f}s",
+                    flush=True,
+                )
         clear_stage_memo()
         total_fails += len(fails)
         print(f"=== {variant}: {len(fails)} failures / {len(qs)} queries", flush=True)
