@@ -316,7 +316,9 @@ def print_order(timings: dict[str, float]) -> list[str]:
     registrations of driver-recorded numbers for 9 rounds (VERDICT r9
     item 6). Order: (1) the 20-query baseline window, always — the
     cross-round performance yardstick; (2) queries never present in any
-    committed ``BENCH_r*.json`` parsed map, HEADLINE order — each round
+    ON-DISK ``BENCH_r*.json`` parsed map (the working tree's glob, so an
+    untracked current-round file counts as seen — ADVICE r10),
+    HEADLINE order — each round
     automatically promotes whatever still lacks driver evidence;
     (3) everything else. Per-query numbers dropped from the printed
     tail remain in BENCH_DETAIL.json.

@@ -43,38 +43,65 @@ def o_finite(expr: str) -> str:
 #: filesystems cap a single path segment at 255 BYTES, so an unbounded
 #: string partition key is a latent write failure (found by the r10
 #: ``longtext`` catalog: a 10k-char value aborted every partitioned
-#: sink). Values at or under this byte bound pass through verbatim —
-#: the margin below 255 absorbs the ``column=`` prefix and hive's
-#: %-escaping of special characters.
+#: sink). Values whose worst-case ESCAPED on-disk length is at or under
+#: this bound pass through verbatim — the margin below 255 absorbs the
+#: ``column=`` prefix.
 PARTITION_VALUE_MAX_BYTES = 128
+
+#: Characters hive %-escapes in partition directory names — each raw
+#: byte becomes 3 on-disk bytes (``%XX``). Gating on RAW bytes alone is
+#: not enough (ADVICE r10): a 128-byte value of mostly colons/newlines
+#: expands ~3x on disk and still blows the 255-byte path-segment cap,
+#: so :func:`bound_part` gates on the worst-case escaped length. The
+#: set mirrors Spark ``ExternalCatalogUtils.charToEscape`` (= Hive
+#: ``FileUtils``): ASCII control chars, DEL, and ``"#%'*/:=?\{[]^`` —
+#: multi-byte UTF-8 passes through unescaped. Same regex runs in Java
+#: regex (Spark) and RE2 (DuckDB).
+PART_ESC_RE = "[\\x00-\\x1f\\x7f\"#%'*/:=?\\\\{\\[\\]^]"
+
+
+def _part_esc_len(col: Column) -> Column:
+    """Worst-case hive-escaped byte length of a partition value: raw
+    UTF-8 bytes + 2 extra per escape-required char (1 byte → ``%XX``)."""
+    return F.octet_length(col) + 2 * (
+        F.length(col) - F.length(F.regexp_replace(col, PART_ESC_RE, ""))
+    )
 
 
 def bound_part(col: Column) -> Column:
     """Bound a string partition value for hive directory layout.
 
-    Values ≤ :data:`PARTITION_VALUE_MAX_BYTES` UTF-8 bytes are verbatim
-    (the normal case — real partition keys are dates/categories);
-    longer values become ``first-24-chars + '#' + md5(value)`` (≤ 96
-    prefix bytes even for 4-byte code points, + 33 ASCII — unique per
-    raw value, deterministic, engine-reproducible). Byte gate, char
-    prefix: the gate must be byte-accurate for the filesystem limit,
-    while a CHARACTER prefix slice is identical in both engines and can
-    never split a code point. This is an INGEST rule, not a read-path
-    transform: apply it to the partition column when STAGING a
-    partitioned table, the same way a production lake bounds its
-    partition keys. NULL stays NULL (and hive collapses NULL/'' to the
-    default partition regardless — see the q_dynamic_overwrite oracle
-    note). md5 (not xxhash64): the oracle twin needs the identical
-    suffix, and DuckDB has md5 built in."""
-    return F.when(F.octet_length(col) <= PARTITION_VALUE_MAX_BYTES, col).otherwise(
-        F.concat(F.substring(col, 1, 24), F.lit("#"), F.md5(col))
-    )
+    Values whose worst-case escaped length (raw UTF-8 bytes + 2 per
+    hive-escaped char, see :data:`PART_ESC_RE`) is ≤
+    :data:`PARTITION_VALUE_MAX_BYTES` are verbatim (the normal case —
+    real partition keys are dates/categories); longer values become
+    ``first-24-chars + '#' + md5(value)`` (≤ 72 escaped / 96 raw prefix
+    bytes even for all-escaped or 4-byte code points, + 33 ASCII —
+    unique per raw value, deterministic, engine-reproducible). Byte
+    gate, char prefix: the gate must be byte-accurate for the
+    filesystem limit, while a CHARACTER prefix slice is identical in
+    both engines and can never split a code point. This is an INGEST
+    rule, not a read-path transform: apply it to the partition column
+    when STAGING a partitioned table, the same way a production lake
+    bounds its partition keys. NULL stays NULL (and hive collapses
+    NULL/'' to the default partition regardless — see the
+    q_dynamic_overwrite oracle note). md5 (not xxhash64): the oracle
+    twin needs the identical suffix, and DuckDB has md5 built in."""
+    return F.when(
+        _part_esc_len(col) <= PARTITION_VALUE_MAX_BYTES, col
+    ).otherwise(F.concat(F.substring(col, 1, 24), F.lit("#"), F.md5(col)))
 
 
 def o_bound_part(expr: str) -> str:
-    """DuckDB twin of :func:`bound_part` (strlen = byte length)."""
+    """DuckDB twin of :func:`bound_part` (strlen = byte length;
+    length = char length; regexp_replace 'g' = Spark's replace-all)."""
+    esc = PART_ESC_RE.replace("'", "''")
+    elen = (
+        f"(strlen({expr}) + 2*(length({expr}) "
+        f"- length(regexp_replace({expr}, '{esc}', '', 'g'))))"
+    )
     return (
-        f"CASE WHEN strlen({expr}) <= {PARTITION_VALUE_MAX_BYTES} THEN {expr} "
+        f"CASE WHEN {elen} <= {PARTITION_VALUE_MAX_BYTES} THEN {expr} "
         f"ELSE substr({expr}, 1, 24) || '#' || md5({expr}) END"
     )
 

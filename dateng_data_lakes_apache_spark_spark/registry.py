@@ -107,16 +107,35 @@ PRIORITY_ORDER: tuple[str, ...] = (
     #       reached the driver window — VERDICT r9 item 1), leaving 2
     #       rotating slots: q_stream_full_outer + q_scd2_build, the
     #       next never-driver-checked pair from the r7 plan.
-    #   r11+ (planned): snapshot/dynamic-overwrite/text/dirty-JSON
-    #       roundtrips, events analytics (attribution, skyline, period
-    #       growth), then the extension families (q_geo_radius_join,
-    #       q_table_diff, q_clamped_balance, q_lpm_route_join,
-    #       q_eval_confusion, q_geo_cluster) — highest-signal first;
-    #       every candidate is already green in the local parity
-    #       replica (PARITY_r{N}.json), so rotation converts verified
-    #       queries into driver evidence, never gambles on new ones.
-    "q_stream_full_outer",
-    "q_scd2_build",
+    #   ROTATION RULE (VERDICT r10 item 3): each round the 2 free slots
+    #       go to the two highest-risk queries that have NEVER had a
+    #       driver-grade CORRECTNESS row in ANY round ("first-time
+    #       names"), risk-ranked by (a) oracles touched by this round's
+    #       source changes, then (b) staged/partitioned-write semantics,
+    #       then (c) cost. Every candidate must already be green in the
+    #       local parity replica (PARITY_r{N}.json), so rotation
+    #       converts verified queries into driver evidence, never
+    #       gambles on new ones.
+    #   r10: q_stream_full_outer + q_scd2_build — both driver green.
+    #   r11 (current): VERDICT r10 named q_dedup_resolve/q_pagerank
+    #       believing them never-driver-checked, but both are green in
+    #       CORRECTNESS_r02–r05; spending the slots there would re-prove
+    #       proven queries. Per the rule above they go instead to
+    #       q_join_dpp + q_dynamic_overwrite: genuinely never-checked
+    #       AND their oracles changed this round (bound_part now gates
+    #       on worst-case hive-escaped length; q_join_dpp's dim
+    #       predicate oracle now bounds before splitting — ADVICE r10),
+    #       so driver evidence on exactly these two validates the
+    #       round's riskiest diff.
+    #   r12+ (planned): q_partitioned_pruned, q_snapshot_asof,
+    #       dirty-ingest audits (q_json_malformed_audit,
+    #       q_csv_malformed_audit), text/XML/cross-format roundtrips,
+    #       events analytics (q_attribution, q_skyline), then the
+    #       extension families (q_geo_radius_join, q_table_diff,
+    #       q_clamped_balance, q_lpm_route_join, q_eval_confusion,
+    #       q_geo_cluster) — highest-signal first.
+    "q_join_dpp",
+    "q_dynamic_overwrite",
 )
 
 _LOADED = False

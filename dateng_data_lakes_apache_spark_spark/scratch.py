@@ -90,7 +90,10 @@ def _prune_stale() -> None:
         try:
             if len(parts) >= 2 and _pid_alive(int(parts[1])):
                 continue
-        except ValueError:
+        except (ValueError, OverflowError):
+            # OverflowError: os.kill rejects pids beyond C int range — a
+            # corrupted 'run-<huge>-x' name must not break every engine
+            # import (ADVICE r10); treat as not-alive and age-prune.
             pass
         p = os.path.join(SCRATCH_BASE, n)
         try:

@@ -575,8 +575,14 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            {o_dsum('o_totalprice')} AS sum_price
     FROM orders
     -- TRY_CAST: Spark's CAST('' AS INT) is NULL while DuckDB's raises;
-    -- a priority with no numeric prefix simply fails the filter
-    WHERE TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) <= 2
+    -- a priority with no numeric prefix simply fails the filter.
+    -- o_bound_part BEFORE the split: the Spark side reads the staged
+    -- bounded partition values, so the oracle predicate must see the
+    -- same bounded string (ADVICE r10: a >bound priority whose first
+    -- '-' lies beyond char 24 but whose first token still casts ≤ 2 —
+    -- e.g. 25 leading zeros then '1-' — would otherwise pass raw here
+    -- while the bounded side's first token becomes 'prefix#md5').
+    WHERE TRY_CAST(string_split({o_bound_part('o_orderpriority')}, '-')[1] AS INT) <= 2
     GROUP BY o_orderstatus
     """,
 )
@@ -602,10 +608,11 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage_dir(sf_dir, "orders_part")
     if not _staged(path):
         # bound_part: same ingest rule as q_partitioned_pruned (shared
-        # staged table) — and the dim predicate below is PREFIX-STABLE
-        # under it (it reads the first '-'-separated token; bound_part
-        # preserves the first 24 chars and its md5 suffix contains no
-        # '-'), so runtime pruning decisions match the raw-value oracle.
+        # staged table). The oracle applies o_bound_part before ITS
+        # split so both engines evaluate the dim predicate on the same
+        # bounded string (ADVICE r10 closed the prefix-stability gap:
+        # a first token longer than the 24-char prefix that still casts
+        # to an int ≤ 2 diverged under the old raw-value oracle).
         write_parquet(
             table(spark, sf_dir, "orders").withColumn(
                 "o_orderpriority", bound_part(F.col("o_orderpriority"))
