@@ -39,6 +39,48 @@ def o_finite(expr: str) -> str:
     return f"isfinite(CAST({expr} AS DOUBLE))"
 
 
+def vec_ok(col: Column, dim: int | None = None) -> Column:
+    """Vector validity contract: True iff ``col`` is a usable embedding.
+
+    A vector participates in geometric operators only if it is non-NULL,
+    non-empty, every element is non-NULL and finite, and (when ``dim``
+    is given) it has exactly the declared dimension. Found by the r11
+    ``badvec`` degenerate catalog: without the contract, a NULL element
+    makes DuckDB's list_inner_product THROW while Spark's zip_with
+    silently propagates NULL; a NaN/Inf element poisons dot products,
+    LSH sign buckets and centroid training on both engines; a
+    wrong-length vector is NULL-padded by Spark's zip_with but is a
+    hard error in DuckDB — three different failure modes for the same
+    corrupt row. A real 100 TB corpus WILL contain such vectors
+    (truncated writes, failed embedding jobs), so the rule is explicit
+    and identical on both engines, like :func:`finite` for scalars.
+    ``dim`` comes from the embedding model's card — production pipelines
+    always know it; at scale, validate at ingest and persist the flag
+    instead of re-evaluating per query. Zero-norm vectors PASS (they
+    are legitimate for norms/centroids/scalers); cosine consumers must
+    additionally exclude them (norm > 0) — division by a zero norm is
+    the remaining poisoning path.
+    """
+    ok = col.isNotNull() & (F.size(col) > 0) & F.forall(col, finite)
+    if dim is not None:
+        ok = ok & (F.size(col) == dim)
+    return ok
+
+
+def o_vec_ok(expr: str, dim: int | None = None) -> str:
+    """DuckDB twin of :func:`vec_ok` (len / list_transform /
+    list_aggregate 'bool_and'; coalesce guards the NULL-list fold)."""
+    ok = (
+        f"({expr} IS NOT NULL AND len({expr}) > 0 AND "
+        f"coalesce(list_aggregate(list_transform({expr}, "
+        f"x -> x IS NOT NULL AND isfinite(CAST(x AS DOUBLE))), "
+        f"'bool_and'), FALSE))"
+    )
+    if dim is not None:
+        ok = f"({ok} AND len({expr}) = {dim})"
+    return ok
+
+
 #: Hive partition directory names embed the partition VALUE; most
 #: filesystems cap a single path segment at 255 BYTES, so an unbounded
 #: string partition key is a latent write failure (found by the r10

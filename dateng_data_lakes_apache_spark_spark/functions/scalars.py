@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..common import det_round, o_det_round, o_ts_str, ts_str
+from ..common import det_round, o_det_round, o_finite, o_ts_str, ts_str
 from ..registry import query
 
 
@@ -173,11 +173,15 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           {o_det_round('CAST(embedding[1] AS DOUBLE)', 4)} AS first_val,
-           {o_det_round('CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)'
-                        ' + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)', 4)}
-             AS head4_sum,
-           CAST(embedding[1] > 0 AS BOOLEAN) AS first_positive
+           CASE WHEN {o_finite('embedding[1]')} THEN
+             {o_det_round('CAST(embedding[1] AS DOUBLE)', 4)} END AS first_val,
+           CASE WHEN {o_finite('CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)'
+                               ' + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)')} THEN
+             {o_det_round('CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)'
+                          ' + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)', 4)}
+           END AS head4_sum,
+           CAST(CASE WHEN {o_finite('embedding[1]')}
+                     THEN embedding[1] > 0 END AS BOOLEAN) AS first_positive
     FROM embeddings
     """,
 )
@@ -188,18 +192,29 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact so the explicit 4-term sum is engine-identical. Rounding is
     det_round: a tiny-negative head4_sum rounded through the engines'
     native round() diverges as -0.0 vs 0.0 (sf0.001 sweep find).
+    Degenerate arrays (r11 badvec) are REPORTED, not filtered — this is
+    the array-function showcase, not a geometric operator: nsize keeps
+    a NULL array's dim NULL (Spark's legacy size() fabricates -1), and
+    the value outputs apply the engine-wide finite contract (det_round
+    floors through a BIGINT on Spark but stays DOUBLE in DuckDB, so a
+    NaN/Inf input fabricates 0 on one engine and NaN on the other —
+    the same class the r10 nonfinite sweep pinned for scalars).
     """
     em = table(spark, sf_dir, "embeddings")
+    from ..common import finite, nsize
 
     def el(i: int):
         return F.element_at("embedding", i).cast("double")
 
+    head4 = el(1) + el(2) + el(3) + el(4)
     return em.select(
         "vec_id",
-        F.size("embedding").cast("int").alias("dim"),
-        det_round(el(1), 4).alias("first_val"),
-        det_round(el(1) + el(2) + el(3) + el(4), 4).alias("head4_sum"),
-        (F.element_at("embedding", 1) > 0).alias("first_positive"),
+        nsize(F.col("embedding")).cast("int").alias("dim"),
+        F.when(finite(el(1)), det_round(el(1), 4)).alias("first_val"),
+        F.when(finite(head4), det_round(head4, 4)).alias("head4_sum"),
+        F.when(finite(el(1)), F.element_at("embedding", 1) > 0).alias(
+            "first_positive"
+        ),
     )
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..caching import local_checkpoint, release_superseded, track
 from ..catalog import table
-from ..common import det_round, o_det_round
+from ..common import det_round, o_det_round, o_vec_ok, vec_ok
 from ..registry import query
 from ..staging import run_staged, staged_builder, staged_oracle
 
@@ -44,6 +44,41 @@ def _norm(a) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+#: DuckDB WHERE fragment of the vector validity contract at the table's
+#: declared dimension — the oracle twin of ``vec_ok(col, _DIM)``.
+_VEC_OK_SQL = o_vec_ok("embedding", _DIM)
+
+#: ... plus the zero-norm exclusion for cosine consumers (a zero vector
+#: has no direction; 0/0 cosine is NaN-poisoning on both engines).
+#: CASE, not AND: SQL conjunctions don't short-circuit, and DuckDB's
+#: list_dot_product THROWS on a NULL-element vector even when the
+#: vec_ok conjunct is already FALSE — CASE guarantees the norm is only
+#: evaluated on contract-valid vectors (badvec sweep find).
+_VEC_UNIT_SQL = (
+    f"(CASE WHEN {_VEC_OK_SQL} "
+    f"THEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+    f"CAST(embedding AS DOUBLE[])) > 0 ELSE FALSE END)"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str, *, unit: bool = False) -> DataFrame:
+    """The embeddings table filtered to the vector validity contract
+    (common.vec_ok at the declared dimension — r11 ``badvec`` catalog:
+    NULL/NaN/Inf-element, empty, NULL, and wrong-length vectors are
+    excluded identically on both engines before any geometric operator
+    sees them). ``unit=True`` additionally drops zero-norm vectors —
+    mandatory for every cosine consumer, where a zero norm divides.
+    At 100 TB this filter runs once at INGEST and persists a validity
+    flag (or quarantines the rows — see q_vector_audit); re-evaluating
+    the per-element scan per query is the local-test shape only."""
+    e = table(spark, sf_dir, "embeddings").where(
+        vec_ok(F.col("embedding"), _DIM)
+    )
+    if unit:
+        e = e.where(_dot(F.col("embedding"), F.col("embedding")) > 0)
+    return e
+
+
 @query(
     "q_vector_norm",
     oracle=f"""
@@ -55,13 +90,17 @@ def _norm(a) -> Column:
            {o_det_round('list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))'
                         ' / len(embedding)', 4)} AS mean_val
     FROM embeddings
+    WHERE {_VEC_OK_SQL}
     """,
 )
 def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm and mean — the basic vector-math kernel.
     det_round: a near-zero mean rounded through native round() diverges
-    as -0.0 vs 0.0 between the engines (sf0.001 sweep find)."""
-    e = table(spark, sf_dir, "embeddings")
+    as -0.0 vs 0.0 between the engines (sf0.001 sweep find).
+    Vector validity contract (badvec): only vec_ok vectors are scored;
+    zero-norm vectors stay (norm 0 / mean 0 — no division by norm
+    here); the excluded rows are q_vector_audit's business."""
+    e = _emb(spark, sf_dir)
     emb = F.col("embedding")
     mean = _dot(emb, F.transform(emb, lambda x: F.lit(1.0))) / F.size(emb)
     return e.select(
@@ -97,9 +136,10 @@ def cosine_topk(
     # left-fold — the same summation as the Spark-side F.aggregate —
     # so the rounded values match exactly (verified against a Python
     # double fold in tests/test_similarity.py).
-    oracle="""
+    oracle=f"""
     WITH q AS (
-      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = 0 AND {_VEC_UNIT_SQL}
     )
     SELECT vec_id, label,
            round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
@@ -107,14 +147,17 @@ def cosine_topk(
                                           CAST(embedding AS DOUBLE[])))
                     * sqrt(list_dot_product(qe, qe))), 4) AS cosine
     FROM embeddings, q
-    WHERE vec_id <> 0
+    WHERE vec_id <> 0 AND {_VEC_UNIT_SQL}
     ORDER BY cosine DESC, vec_id ASC
     LIMIT 10
     """,
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors of vec_id=0 (brute-force baseline)."""
-    e = table(spark, sf_dir, "embeddings")
+    """Exact cosine top-10 neighbors of vec_id=0 (brute-force baseline).
+    Vector validity contract + zero-norm exclusion (badvec) on both
+    engines — a corrupt or zero query vector yields an empty result, a
+    deterministic emptiness, not NaN-ranked garbage."""
+    e = _emb(spark, sf_dir, unit=True)
     q = e.where(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("q_embedding")
     )
@@ -216,7 +259,7 @@ def lsh_bucket_table(embeddings: DataFrame, n_tables: int = _LSH_TABLES,
     # bit-identical across both engines.
     oracle=f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE {_VEC_UNIT_SQL}),
     b AS ({_lsh_bucket_union_sql()}),
     q AS (SELECT table_id, bucket, v AS qv FROM b WHERE vec_id = {_QUERY_VEC_ID}),
     cands AS (
@@ -247,8 +290,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucket-join + exact re-rank pipeline frame for
-    :func:`q_ann_lsh` (also the frame the snapshot/lint guards pin)."""
-    e = table(spark, sf_dir, "embeddings")
+    :func:`q_ann_lsh` (also the frame the snapshot/lint guards pin).
+    Validity + zero-norm contract (badvec): corrupt vectors never reach
+    bucketing — a NaN dot poisons the sign fold into a stable-but-wrong
+    bucket, the silent-corruption shape."""
+    e = _emb(spark, sf_dir, unit=True)
     bucketed = lsh_bucket_table(e)
     q = bucketed.where(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("q_embedding"),
@@ -280,9 +326,10 @@ def ann_lsh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same double-cast list_dot_product trick as q_similarity_topk: both
     # engines compute the identical strict double fold, so rounded values
     # hash-match.
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE {_VEC_UNIT_SQL}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            round(list_dot_product(a.v, b.v)
@@ -304,8 +351,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     block key — hash-partitioned shuffle, no cross-product. At 100 TB
     the blocking key comes from q_dedup_embedding_lsh's bucket index
     instead of a label column; the verify stage is identical.
+    Validity + zero-norm contract (badvec) on both sides.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir, unit=True)
     a = e.alias("a")
     b = e.alias("b")
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
@@ -336,7 +384,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary pairs classify identically.
     oracle=f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE {_VEC_UNIT_SQL}),
     b AS ({_lsh_bucket_union_sql()}),
     pairs AS (
       SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
@@ -372,8 +420,9 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_lsh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed pair-join + cosine-verify pipeline frame for
-    :func:`q_dedup_embedding_lsh` (also what the snapshot/lint guards pin)."""
-    e = table(spark, sf_dir, "embeddings")
+    :func:`q_dedup_embedding_lsh` (also what the snapshot/lint guards pin).
+    Validity + zero-norm contract (badvec) before bucketing."""
+    e = _emb(spark, sf_dir, unit=True)
     bucketed = lsh_bucket_table(e).select("vec_id", "embedding", "table_id", "bucket")
     # The bucket index is reused by both sides of the pair join — persist
     # it (at lake scale: a parquet write at ingest time, the ANN index).
@@ -521,8 +570,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @staged_builder("q_ann_ivf")
 def ann_ivf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-staging frame for :func:`q_ann_ivf` (construction runs the two
-    Lloyd rounds; the returned frame is the probe + re-rank plan)."""
-    e = table(spark, sf_dir, "embeddings")
+    Lloyd rounds; the returned frame is the probe + re-rank plan).
+    Validity + zero-norm contract (badvec): one NaN vector in Lloyd
+    training would poison EVERY centroid silently — the index-build
+    stage is where the validity filter earns its keep at 100 TB."""
+    e = _emb(spark, sf_dir, unit=True)
     cents = kmeans_centroids(e, k=8, iters=2)
     # cell assignment: map-only argmin over the broadcast centroid array
     assigned = _argmin_assign(e, cents, "embedding").select(
@@ -560,12 +612,12 @@ def ann_ivf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_vector_centroid",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
       SELECT label, i AS pos,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS sv
       FROM embeddings, range(1, 4096) t(i)
-      WHERE i <= len(embedding)
+      WHERE i <= len(embedding) AND {_VEC_OK_SQL}
     )
     SELECT label, CAST(pos AS INT) AS pos,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -584,7 +636,9 @@ def q_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — the shuffle is tiny regardless of corpus size). No
     collect_list of raw vectors ever happens, so no group's memory
     grows with corpus size — the failure mode of the naive "collect
-    vectors, average in Python" approach.  Output is one row per
+    vectors, average in Python" approach.  Validity contract (badvec):
+    only vec_ok vectors contribute — one NaN element would otherwise
+    poison its (label, pos) cell's mean.  Output is one row per
     (label, dimension): plain scalar doubles hash identically through
     pandas on both engines, where an assembled array column would not
     (Spark arrays → Python lists, DuckDB lists → numpy arrays); callers
@@ -597,7 +651,7 @@ def q_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose HALF_UP (Spark) vs HALF_EVEN (DuckDB) tie-break diverges on
     dyadic-rational inputs like m/512 that float embeddings do contain.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     ex = e.select(
         "label",
         F.posexplode("embedding").alias("pos0", "v"),
@@ -614,12 +668,13 @@ def q_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embedding_quantize",
-    oracle="""
+    oracle=f"""
     WITH mx AS (
       SELECT vec_id,
              CAST(GREATEST(list_max(embedding), -list_min(embedding)) AS DOUBLE)
                AS max_abs
       FROM embeddings
+      WHERE {_VEC_OK_SQL}
     ),
     ex AS (
       SELECT e.vec_id, m.max_abs,
@@ -655,7 +710,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is why floor, not round-half-up, is the right quantizer for a
     cross-engine-reproducible corpus.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     max_abs = F.greatest(
         F.array_max("embedding"), -F.array_min("embedding")
     ).cast("double")
@@ -688,7 +743,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for the bit-identical sign-fold argument).
     oracle=f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE {_VEC_UNIT_SQL}),
     b AS ({_lsh_bucket_union_sql()}),
     pairs AS (
       SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
@@ -737,7 +792,7 @@ def knn_graph_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`q_knn_graph` (also the frame the snapshot/lint guards pin)."""
     from pyspark.sql import Window
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir, unit=True)
     bucketed = lsh_bucket_table(e).select("vec_id", "embedding", "table_id", "bucket")
     # Session-owned index cache, same lifecycle as q_dedup_embedding_lsh.
     bucketed = track(bucketed)
@@ -775,7 +830,7 @@ def knn_graph_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_hybrid_search",
-    oracle="""
+    oracle=f"""
     WITH w AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
     ),
@@ -811,7 +866,8 @@ def knn_graph_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lex
     ),
     q AS (
-      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = 0 AND {_VEC_UNIT_SQL}
     ),
     den AS (
       SELECT vec_id,
@@ -820,7 +876,7 @@ def knn_graph_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             CAST(embedding AS DOUBLE[])))
                       * sqrt(list_dot_product(qe, qe))), 4) AS cosine
       FROM embeddings, q
-      WHERE vec_id <> 0
+      WHERE vec_id <> 0 AND {_VEC_UNIT_SQL}
       ORDER BY cosine DESC, vec_id ASC LIMIT 20
     ),
     denr AS (
@@ -854,7 +910,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp of the raw scores.
     """
     d = table(spark, sf_dir, "documents")
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir, unit=True)
 
     # -- lexical side: BM25 (same formulation as q_bm25) ----------------
     words = d.select(
@@ -934,6 +990,7 @@ def _proj_oracle() -> str:
              CAST(GREATEST(list_max(embedding), -list_min(embedding)) AS DOUBLE)
                AS max_abs
       FROM embeddings
+      WHERE {_VEC_OK_SQL}
     ),
     codes AS (
       SELECT e.vec_id,
@@ -967,7 +1024,7 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan literal — broadcast by construction. Output width {k} replaces
     64 floats with {k} longs for every downstream bucket/cluster pass.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     max_abs = F.greatest(F.array_max("embedding"), -F.array_min("embedding")).cast(
         "double"
     )
@@ -1049,7 +1106,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_pq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-staging frame for :func:`q_ann_pq` (construction runs the two
     batched Lloyd rounds; the returned frame is the ADC + rerank plan)."""
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir, unit=True)
     subs = e.select(
         "vec_id",
         F.explode(
@@ -1161,10 +1218,11 @@ def ann_pq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embedding_scaler",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
       SELECT t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
       FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+      WHERE {_VEC_OK_SQL}
     )
     -- variance numerator n*S2 - S*S computed EXACTLY in DECIMAL(38,0):
     -- subtracting two independently-rounded doubles could land a hair
@@ -1202,7 +1260,7 @@ def q_embedding_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; moments recombine in double with the same expression
     tree. 1e12 rescales the squared fixed-point sums.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     ex = e.select(F.posexplode("embedding").alias("dim", "v")).select(
         "dim", F.floor(F.col("v").cast("double") * 1_000_000).alias("iv")
     )
@@ -1249,6 +1307,7 @@ _COV_DIMS = 8
                  for j in range(i, _COV_DIMS + 1)
              )}
       FROM embeddings
+      WHERE {_VEC_OK_SQL}
     )
     SELECT i, j, cov FROM (
       {" UNION ALL ".join(
@@ -1276,7 +1335,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-scale: the eigen-solve on it is a driver/BLAS concern,
     not a data-plane one.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     d = range(1, _COV_DIMS + 1)
     x = {i: F.element_at("embedding", i).cast("double") for i in d}
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -1325,7 +1384,7 @@ _DRIFT_DIMS = 16
                  f"CAST(SUM(CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE) AS s{i}"
                  for i in range(1, _DRIFT_DIMS + 1)
              )}
-      FROM embeddings GROUP BY label
+      FROM embeddings WHERE {_VEC_OK_SQL} GROUP BY label
     ),
     pairs AS (
       SELECT a.label AS label_a, b.label AS label_b,
@@ -1357,7 +1416,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan with a date column as the cohort key is the
     production drift monitor.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     dims = range(1, _DRIFT_DIMS + 1)
     x = {i: F.element_at("embedding", i).cast("double") for i in dims}
     sums = e.groupBy("label").agg(
@@ -1418,6 +1477,7 @@ def _pca_cov_cell(i: int, j: int) -> str:
                  for j in range(i, 9)
              )}
       FROM embeddings
+      WHERE {_VEC_OK_SQL}
     ),
     cmat AS (
       SELECT n, [{", ".join(
@@ -1491,7 +1551,7 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     k = 8
-    e = table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     dims = range(1, k + 1)
     x = {i: F.element_at("embedding", i).cast("double") for i in dims}
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -1548,4 +1608,73 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 = lambda val: math.floor(val * 1e6 + 0.5) / 1e6
     return spark.createDataFrame(
         [(i + 1, r6(v[i]), r6(lam)) for i in range(k)], schema
+    )
+
+
+@query(
+    "q_vector_audit",
+    oracle=f"""
+    WITH cls AS (
+      SELECT vec_id,
+             CASE WHEN embedding IS NULL THEN 'null_vector'
+                  WHEN len(embedding) = 0 THEN 'empty'
+                  WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                    THEN 'null_element'
+                  WHEN NOT list_aggregate(list_transform(embedding,
+                         x -> isfinite(CAST(x AS DOUBLE))), 'bool_and')
+                    THEN 'nonfinite_element'
+                  WHEN len(embedding) <> {_DIM} THEN 'wrong_dim'
+                  WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])) = 0
+                    THEN 'zero_norm'
+                  ELSE 'ok' END AS status
+      FROM embeddings
+    )
+    SELECT status,
+           COUNT(*) AS n_vectors,
+           CAST(MIN(vec_id) AS BIGINT) AS sample_vec_id
+    FROM cls GROUP BY status
+    """,
+)
+def q_vector_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector validity audit: classify every embedding row against the
+    common.vec_ok contract (r11 ``badvec`` catalog) — the ingest-side
+    quarantine report that PAIRS with the geometric operators' filter.
+    The filter (vec_ok + zero-norm exclusion) makes corrupt vectors
+    vanish from similarity/ANN/PCA results; this audit is where they
+    reappear, counted by failure class, so a corrupt embedding job
+    surfaces as a monitored number instead of silently shrinking every
+    downstream result. At 100 TB this runs once per ingest batch and
+    its output gates promotion (the DQ-constraint pattern of
+    q_dq_constraint_audit applied to the vector column).
+
+    Classification order is part of the contract (a NULL-element vector
+    is 'null_element' even if also wrong-dim): NULL vector → empty →
+    NULL element → non-finite element → wrong dimension → zero norm →
+    ok. Both engines walk the same CASE ladder, and the sequential CASE
+    guarantees the norm is only computed on vectors already proven
+    clean (DuckDB's list_dot_product throws on NULL elements — the
+    badvec sweep find that shaped _VEC_UNIT_SQL). Map-only scan +
+    one tiny hash agg on status; sample_vec_id = MIN for determinism.
+    """
+    from ..common import finite
+
+    emb = F.col("embedding")
+    status = (
+        F.when(emb.isNull(), F.lit("null_vector"))
+        .when(F.size(emb) == 0, F.lit("empty"))
+        .when(F.exists(emb, lambda x: x.isNull()), F.lit("null_element"))
+        .when(~F.forall(emb, finite), F.lit("nonfinite_element"))
+        .when(F.size(emb) != _DIM, F.lit("wrong_dim"))
+        .when(_dot(emb, emb) == 0, F.lit("zero_norm"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").cast("bigint").alias("sample_vec_id"),
+        )
     )

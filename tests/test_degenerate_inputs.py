@@ -385,3 +385,76 @@ def test_cogroup_reconcile_skips_null_money_values(spark, tmp_path):
     assert out[10]["n_orders"] == 2  # presence still counted
     assert out[10]["total_bal"] == 6000.0
     assert out[20]["total_spend"] == 0.0  # all-NULL group sums to zero
+
+
+@pytest.fixture(scope="session")
+def badvec_catalog(spark):
+    """Degenerate VECTOR CONTENTS (r11): zero-norm / NaN-element /
+    +Inf-element / empty / NULL / wrong-length / NULL-element vectors
+    planted on vec_ids 0-6 of embeddings (all other rows and tables
+    full sf0.001) — delegated to the shared tools builder so the
+    fixture cannot drift from the sweep."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from degenerate_sweep import build
+
+    return build(spark, "badvec")
+
+
+#: r11 badvec finds, each now pinning the vector validity contract
+#: (common.vec_ok / o_vec_ok + the cosine consumers' zero-norm
+#: exclusion, similarity._emb / _VEC_OK_SQL / _VEC_UNIT_SQL):
+#: - The whole similarity/ANN/PCA family diverged on first sweep
+#:   (15/15 oracled queries): DuckDB's list_inner_product THROWS on a
+#:   NULL-element vector while Spark's zip_with silently propagates
+#:   NULL; a NaN/Inf element reaching an integer/decimal cast
+#:   fabricates a value on Spark (NaN→0) and throws on DuckDB; a
+#:   wrong-length vector is NULL-padded by zip_with but a hard error
+#:   in list_dot_product. Fixed engine-wide: geometric operators read
+#:   only contract-valid vectors, identically on both sides.
+#: - _VEC_UNIT_SQL needed CASE, not AND: SQL conjunctions don't
+#:   short-circuit, so the norm check threw before vec_ok could veto.
+#: - q_array_funcs REPORTS degenerate arrays instead (nsize for the
+#:   NULL array's dim — legacy size() fabricates -1; finite-gated
+#:   value outputs — det_round floors through BIGINT on Spark but
+#:   stays DOUBLE in DuckDB, so NaN fabricated 0 vs NaN).
+#: - q_vector_audit classifies every planted failure mode (see
+#:   test_vector_audit_detects_planted_badvec below).
+_BADVEC_VALUE_PINNED = [
+    "q_vector_norm",
+    "q_similarity_topk",
+    "q_ann_lsh",
+    "q_knn_graph",
+    "q_dedup_embedding",
+    "q_dedup_embedding_lsh",
+    "q_embedding_quantize",
+    "q_embedding_scaler",
+    "q_embedding_covariance",
+    "q_pca_power",
+    "q_array_funcs",
+    "q_vector_audit",
+]
+
+
+@pytest.mark.parametrize("name", _BADVEC_VALUE_PINNED)
+def test_badvec_value_parity_pinned(spark, badvec_catalog, name):
+    _value_parity(spark, badvec_catalog, name)
+
+
+def test_vector_audit_detects_planted_badvec(spark, badvec_catalog):
+    """q_vector_audit must actually CLASSIFY the planted dirt: one row
+    per failure class, sample_vec_id pointing at the planted vec_id,
+    and the clean remainder counted as ok."""
+    rows = {
+        r.status: r
+        for r in get_queries()["q_vector_audit"](spark, badvec_catalog).collect()
+    }
+    assert rows["zero_norm"].sample_vec_id == 0
+    assert rows["nonfinite_element"].n_vectors == 2  # NaN (1) and +Inf (2)
+    assert rows["nonfinite_element"].sample_vec_id == 1
+    assert rows["empty"].sample_vec_id == 3
+    assert rows["null_vector"].sample_vec_id == 4
+    assert rows["wrong_dim"].sample_vec_id == 5
+    assert rows["null_element"].sample_vec_id == 6
+    assert rows["ok"].n_vectors >= 400  # the clean bulk of the 500

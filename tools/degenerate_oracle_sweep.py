@@ -12,7 +12,8 @@ queries are skipped (their oracle reads bytes the query stages — a
 roundtrip compare is vacuous for value-level dirt detection); they are
 covered by the run-only sweep plus their unit properties.
 
-Usage: python tools/degenerate_oracle_sweep.py [empty one hostile ties]
+Usage: python tools/degenerate_oracle_sweep.py [empty one hostile ties ...]
+(no args = degenerate_sweep.DEFAULT_VARIANTS)
 Exit 1 on any mismatch/error. Catalogs are built (or reused) under
 .scratch/degcat/ by degenerate_sweep.build.
 """
@@ -29,7 +30,7 @@ sys.path.insert(
 
 import duckdb
 
-from degenerate_sweep import TABLES, build
+from degenerate_sweep import DEFAULT_VARIANTS, TABLES, build
 
 #: Skipped ONLY on the ``unicode`` catalog, and printed loudly: these
 #: two queries exist to showcase Spark's upper()/lower(), whose Unicode
@@ -62,10 +63,7 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.session import get_spark
     from dateng_data_lakes_apache_spark_spark.staging import STAGED_BUILDERS, clear_stage_memo
 
-    variants = sys.argv[1:] or [
-        "empty", "one", "hostile", "ties", "skew",
-        "nonfinite", "nullts", "unicode", "longtext",
-    ]
+    variants = sys.argv[1:] or DEFAULT_VARIANTS
     spark = get_spark(app_name="degenerate-oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = get_queries(), get_oracles()

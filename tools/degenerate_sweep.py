@@ -42,6 +42,20 @@ against each, reporting anything that raises:
                shingles, BPE, token counts, repetition/entropy,
                line dedup — had never seen a document whose shape,
                not content, is the attack)
+- ``badvec`` — full sf0.001 rows, but embeddings rows vec_id 0-6 get
+               degenerate VECTOR CONTENTS: an all-zeros vector (zero
+               norm → cosine division), a NaN element and a +Inf
+               element (poison dot products, LSH sign buckets and
+               centroid training), an empty array, a NULL array, a
+               wrong-length 3-element vector (zip_with pads with
+               NULL), and a NULL element inside an otherwise-normal
+               vector (r11; the only §2 column family no earlier
+               variant ever dirtied — a real 100 TB corpus WILL
+               contain zero and corrupt embeddings, and every
+               similarity/ANN/PCA operator is one norm-division away
+               from NaN poisoning). Other tables stay full sf0.001 so
+               IVF/PQ/kNN training still sees a realistic corpus with
+               the poison mixed in.
 - ``nullts`` — hostile's per-category shape but the dirt is NULL
                event-time: every TIMESTAMP column (events.ts,
                orders.o_orderdate, lineitem.l_shipdate) is NULLed in
@@ -58,7 +72,7 @@ staging, Python kernels, or parse/scan expressions. Round-7 state:
 on the oracle sibling, tools/degenerate_oracle_sweep.py); round 8 adds
 ``skew`` and the per-category hostile dirt.
 
-Usage: python tools/degenerate_sweep.py [empty one hostile ties skew nonfinite nullts unicode longtext]
+Usage: python tools/degenerate_sweep.py [empty one hostile ties skew nonfinite nullts unicode longtext badvec]
 """
 
 from __future__ import annotations
@@ -84,6 +98,15 @@ ROOT = os.path.join(SCRATCH, "degcat")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+#: Every variant both sweeps run by default. Single source of truth —
+#: the oracle sibling imports it, and tests/test_survey_inventory.py
+#: asserts SURVEY §5.3 documents exactly this list (ADVICE r9 caught a
+#: built-but-unlisted variant by eye; the guard makes that structural).
+DEFAULT_VARIANTS = [
+    "empty", "one", "hostile", "ties", "skew",
+    "nonfinite", "nullts", "unicode", "longtext", "badvec",
 ]
 
 #: Join/sort keys and event-time stay intact so plans exercise their
@@ -198,6 +221,46 @@ def build(spark, variant: str) -> str:
                     ).cast(f_.dataType)
                 cols.append(c.alias(f_.name))
             df = df.select(*cols)
+        elif variant == "badvec":
+            # Degenerate vector CONTENTS (r11): dirty only
+            # embeddings.embedding, on the 7 smallest vec_ids, keeping
+            # every other row and table intact — ANN index builders
+            # (IVF/PQ/kNN) must survive poison MIXED INTO a realistic
+            # training corpus, not a corpus that is all poison.
+            # transform()-based so the edits are dimension-agnostic.
+            if t == "embeddings":
+                e = F.col("embedding")
+                f0 = F.lit(0.0).cast("float")
+                fnan = F.lit(float("nan")).cast("float")
+                finf = F.lit(float("inf")).cast("float")
+                fnull = F.lit(None).cast("float")
+                vid = F.col("vec_id")
+                df = df.withColumn(
+                    "embedding",
+                    F.when(vid == 0, F.transform(e, lambda x: f0))
+                    .when(
+                        vid == 1,
+                        F.transform(
+                            e, lambda x, i: F.when(i == 0, fnan).otherwise(x)
+                        ),
+                    )
+                    .when(
+                        vid == 2,
+                        F.transform(
+                            e, lambda x, i: F.when(i == 0, finf).otherwise(x)
+                        ),
+                    )
+                    .when(vid == 3, F.array().cast("array<float>"))
+                    .when(vid == 4, F.lit(None).cast("array<float>"))
+                    .when(vid == 5, F.slice(e, 1, 3))
+                    .when(
+                        vid == 6,
+                        F.transform(
+                            e, lambda x, i: F.when(i == 0, fnull).otherwise(x)
+                        ),
+                    )
+                    .otherwise(e),
+                )
         elif variant == "nonfinite":
             cat = CAT.get(t)
             if cat is not None:
@@ -365,10 +428,7 @@ def main() -> None:
     from dateng_data_lakes_apache_spark_spark.session import get_spark
     from dateng_data_lakes_apache_spark_spark.staging import clear_stage_memo
 
-    variants = sys.argv[1:] or [
-        "empty", "one", "hostile", "ties", "skew",
-        "nonfinite", "nullts", "unicode", "longtext",
-    ]
+    variants = sys.argv[1:] or DEFAULT_VARIANTS
     spark = get_spark(app_name="degenerate-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs = get_queries()
