@@ -922,3 +922,159 @@ def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = d.select("doc_id").mapInPandas(stage, schema=stage_schema)
     return staged.mapInPandas(probe, schema=out_schema)
+
+
+def classify_payload(payload: bytes | None) -> tuple[str, str]:
+    """(container, status) — the QUARANTINE counterpart of the strict
+    decoders (VERDICT r10 item 4): never raises. Container is sniffed
+    from the magic prefix (tolerant of truncation past the magic);
+    status comes from handing the bytes to the SAME strict decoder the
+    happy-path queries use — 'ok' iff it parses, 'truncated' iff the
+    magic was recognized but the decoder threw. The dirty-ingest
+    pattern of q_csv_malformed_audit applied to binary columns: at
+    100 TB, corrupt media files are a monitored count per container,
+    never a job abort and never a silent zero-row decode.
+
+    Statuses: ok | truncated | bad_magic | empty | null.
+    """
+    if payload is None:
+        return ("unknown", "null")
+    b = bytes(payload)
+    if len(b) == 0:
+        return ("unknown", "empty")
+    decoder = None
+    if b[:4] == b"\x89PNG":
+        container, decoder = "png", decode_image
+    elif b[:4] == b"GIF8":
+        container, decoder = "gif", decode_image
+    elif b[:2] == b"BM":
+        container, decoder = "bmp", decode_image
+    elif b[:2] == b"\xff\xd8":
+        container, decoder = "jpeg", decode_image
+    elif b[:4] == b"RIFF" and len(b) >= 12 and b[8:12] == b"WEBP":
+        container, decoder = "webp", probe_webp
+    elif b[:4] == b"RIFF" and (len(b) < 12 or b[8:12] == b"WAVE"):
+        container, decoder = "wav", decode_wav
+    elif len(b) >= 8 and b[4:8] == b"ftyp":
+        container, decoder = "mp4", probe_mp4
+    else:
+        return ("unknown", "bad_magic")
+    try:
+        decoder(b)
+        return (container, "ok")
+    except (ValueError, struct.error, IndexError):
+        return (container, "truncated")
+
+
+_CORRUPT_AUDIT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("container", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+@query(
+    "q_multimodal_corrupt_audit",
+    # Staging rule oracle: payload class is a pure function of
+    # doc_id % 11, so SQL predicts exactly what the byte-level
+    # classifier must report — including the corrupt classes.
+    oracle="""
+    WITH cls AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 11 AS INT)
+               WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+               WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4' WHEN 5 THEN 'png'
+               WHEN 6 THEN 'wav' WHEN 7 THEN 'mp4'
+               ELSE 'unknown' END AS container,
+             CASE CAST(doc_id % 11 AS INT)
+               WHEN 5 THEN 'truncated' WHEN 6 THEN 'truncated'
+               WHEN 7 THEN 'truncated' WHEN 8 THEN 'bad_magic'
+               WHEN 9 THEN 'empty' WHEN 10 THEN 'null'
+               ELSE 'ok' END AS status
+      FROM documents
+    )
+    SELECT container, status,
+           COUNT(*) AS n_payloads,
+           CAST(MIN(doc_id) AS BIGINT) AS sample_doc_id
+    FROM cls GROUP BY container, status
+    """,
+)
+def q_multimodal_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-bytes audit over a mixed binary column (VERDICT r10 item
+    4): stage a table whose payloads round-robin over 5 VALID containers
+    (PNG/GIF/BMP/WAV/MP4) and 6 CORRUPT classes — PNG truncated
+    mid-IHDR (magic + chunk tag intact, dims cut), RIFF truncated
+    before any chunk, MP4 cut inside its first box (declared ftyp size
+    exceeds the payload), wrong-magic junk, zero-byte, and NULL — then
+    classify every payload from its actual bytes and aggregate counts
+    per (container, status).
+
+    The classifier never throws (classify_payload): strict decoders
+    stay strict for the happy-path queries, and THIS query is where
+    their rejections become data. Scale shape: both mapInPandas stages
+    are map-only over payload bytes (zero shuffle, Arrow-batched); the
+    final count is a tiny hash agg on (container, status).
+    sample_doc_id = MIN for determinism.
+    """
+    d = table(spark, sf_dir, "documents")
+
+    stage_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                k = i % 11
+                if k == 0:
+                    p = png_bytes(16, 16)
+                elif k == 1:
+                    p = gif_bytes(16, 16)
+                elif k == 2:
+                    p = bmp_bytes(16, 16)
+                elif k == 3:
+                    p = wav_bytes(8000, 100)
+                elif k == 4:
+                    p = mp4_bytes(600, 1800, 64, 48)
+                elif k == 5:
+                    p = png_bytes(16, 16)[:20]
+                elif k == 6:
+                    p = wav_bytes(8000, 100)[:16]
+                elif k == 7:
+                    p = mp4_bytes(600, 1800, 64, 48)[:10]
+                elif k == 8:
+                    p = b"XXJUNKXX" * 4
+                elif k == 9:
+                    p = b""
+                else:
+                    p = None
+                rows.append((i, p))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cls = pdf["payload"].map(classify_payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "container": cls.map(lambda c: c[0]),
+                    "status": cls.map(lambda c: c[1]),
+                }
+            )
+
+    staged = d.select("doc_id").mapInPandas(stage, schema=stage_schema)
+    return (
+        staged.mapInPandas(probe, schema=_CORRUPT_AUDIT_SCHEMA)
+        .groupBy("container", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.min("doc_id").cast("bigint").alias("sample_doc_id"),
+        )
+    )

@@ -64,7 +64,10 @@ def _staged_refs(oracle_sql: str) -> list[str]:
 def main() -> None:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     sf_dir = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
-    out_path = os.path.join(
+    # SPARK_GRAFT_PARITY_OUT names the artifact — the sf0.1 sweep
+    # (VERDICT r10 item 2) writes PARITY_sf01_r{N}.json beside the
+    # canonical sf0.01 PARITY_r{N}.json rather than overwriting it.
+    out_path = os.environ.get("SPARK_GRAFT_PARITY_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"PARITY_r{rnd:02d}.json"
     )
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_PARITY_REPEATS", "3")))

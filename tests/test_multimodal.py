@@ -120,3 +120,57 @@ def test_wav_roundtrip_and_strictness():
         decode_wav(b"RIFFxxxxNOPE" + bytes(40))
     with pytest.raises(ValueError):
         decode_wav(wav_bytes(8000, 100)[:20])  # fmt chunk truncated away
+
+
+def test_classify_payload_per_container_contract():
+    """r11 corrupt-bytes contract (VERDICT r10 item 4): every container's
+    corrupt shape classifies — never throws — and valid bytes still
+    classify ok through the same strict decoders."""
+    from dateng_data_lakes_apache_spark_spark.functions.multimodal import (
+        classify_payload,
+        mp4_bytes,
+        webp_bytes,
+    )
+
+    # valid payloads → ok, per container
+    assert classify_payload(png_bytes(16, 16)) == ("png", "ok")
+    assert classify_payload(gif_bytes(16, 16)) == ("gif", "ok")
+    assert classify_payload(bmp_bytes(16, 16)) == ("bmp", "ok")
+    assert classify_payload(wav_bytes(8000, 100)) == ("wav", "ok")
+    assert classify_payload(mp4_bytes(600, 1800, 64, 48)) == ("mp4", "ok")
+    assert classify_payload(webp_bytes(32, 16)) == ("webp", "ok")
+    # truncated-mid-header: container recognized from the magic, decoder
+    # rejection becomes a status instead of an exception
+    assert classify_payload(png_bytes(16, 16)[:20]) == ("png", "truncated")
+    assert classify_payload(gif_bytes(16, 16)[:8]) == ("gif", "truncated")
+    assert classify_payload(wav_bytes(8000, 100)[:16]) == ("wav", "truncated")
+    assert classify_payload(mp4_bytes(600, 1800, 64, 48)[:10]) == (
+        "mp4",
+        "truncated",
+    )
+    # wrong magic / empty / null
+    assert classify_payload(b"XXJUNKXX" * 4) == ("unknown", "bad_magic")
+    assert classify_payload(b"") == ("unknown", "empty")
+    assert classify_payload(None) == ("unknown", "null")
+
+
+def test_corrupt_audit_counts_planted_classes(spark):
+    """The registered audit must count every planted class on the real
+    catalog: 11-way doc_id rule → exactly the predicted per-class rows."""
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    from .conftest import SF_SMALL
+
+    rows = {
+        (r.container, r.status): r.n_payloads
+        for r in get_queries()["q_multimodal_corrupt_audit"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert rows[("png", "ok")] > 0 and rows[("png", "truncated")] > 0
+    assert rows[("wav", "ok")] > 0 and rows[("wav", "truncated")] > 0
+    assert rows[("mp4", "ok")] > 0 and rows[("mp4", "truncated")] > 0
+    assert rows[("unknown", "bad_magic")] > 0
+    assert rows[("unknown", "empty")] > 0
+    assert rows[("unknown", "null")] > 0
+    assert sum(rows.values()) == 500  # every sf0.001 document classified
