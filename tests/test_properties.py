@@ -2837,3 +2837,159 @@ def test_markov_stationary_matches_walk_reference(
         gn, gp = got[s]
         assert gn == n
         assert abs(gp - pv) < 1e-9
+
+
+# --- pathological TEXT SHAPE properties (r11, VERDICT r10 item 6) -----
+# The r10 longtext catalog's finds are value-pinned on 3 handcrafted
+# rows; these strategies fuzz the same class CONTINUOUSLY — mega-token,
+# high-repetition, whitespace-only, and duplicate-heavy corpora driven
+# through the REGISTERED dedup/shingle/line operators via tmp parquet
+# catalogs, checked against exact pure-Python references.
+
+
+@st.composite
+def pathological_corpus(draw):
+    """(doc_id, text) rows biased toward pathological shape: unbroken
+    mega-tokens, 2-word phrases repeated hundreds of times,
+    whitespace/control-char-only, empty, and small word soups with
+    multi-space runs; ~1/3 of docs duplicate an earlier doc's text so
+    the dedup operators always see real collisions."""
+    shape = st.one_of(
+        st.just(""),
+        st.sampled_from(["   ", " \n\t ", "\n\n", "\t\t\t "]),
+        st.builds(lambda n: "x" * n, st.integers(min_value=200, max_value=2000)),
+        st.builds(
+            lambda p, n: (p + " ") * n,
+            st.sampled_from(["spam ham", "a b c", "du pli cate"]),
+            st.integers(min_value=1, max_value=200),
+        ),
+        st.text(alphabet=" abcxy\n\t", min_size=0, max_size=60),
+    )
+    n = draw(st.integers(min_value=1, max_value=8))
+    texts = [draw(shape) for _ in range(n)]
+    for i in range(1, n):
+        if draw(st.booleans()) and draw(st.booleans()):
+            texts[i] = texts[draw(st.integers(min_value=0, max_value=i - 1))]
+    return list(enumerate(texts))
+
+
+def _write_docs(spark, tmp_path_factory, rows, label):
+    import uuid
+
+    sf = str(tmp_path_factory.mktemp(label) / uuid.uuid4().hex[:8])
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    return sf
+
+
+def _words(text):
+    return [w for w in text.split(" ") if w != ""]
+
+
+@given(rows=pathological_corpus())
+@settings(**_SETTINGS)
+def test_dedup_exact_pathological_shapes(spark, tmp_path_factory, rows):
+    """The REGISTERED q_dedup_exact on shape-hostile corpora must
+    reproduce the exact md5-group reference: one row per distinct text,
+    keeper = min doc_id, n_copies exact — whitespace-only variants that
+    differ by one byte stay distinct, byte-identical mega-docs
+    collapse."""
+    import hashlib
+    from collections import defaultdict
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = _write_docs(spark, tmp_path_factory, rows, "dedupexact")
+    got = {
+        r.text_md5: (r.keeper_doc_id, r.n_copies)
+        for r in get_queries()["q_dedup_exact"](spark, sf).collect()
+    }
+    ref = defaultdict(lambda: [1 << 62, 0])
+    for doc_id, text in rows:
+        h = hashlib.md5(text.encode("utf-8")).hexdigest()
+        ref[h][0] = min(ref[h][0], doc_id)
+        ref[h][1] += 1
+    assert got == {h: tuple(v) for h, v in ref.items()}
+
+
+def _segments(words, line=5):
+    import math
+
+    n_segs = max(math.ceil(len(words) / line), 1)
+    return [" ".join(words[k * line : k * line + line]) for k in range(n_segs)]
+
+
+@given(rows=pathological_corpus())
+@settings(**_SETTINGS)
+def test_dedup_lines_pathological_shapes(spark, tmp_path_factory, rows):
+    """The REGISTERED q_dedup_lines (C4-style cross-document segment
+    dedup + corpus rewrite) must match a pure-Python re-derivation
+    byte-exactly (clean_md5) on shape-hostile corpora — including the
+    degenerate shared-empty-segment case every whitespace-only doc
+    hits, and mega-token docs whose single word IS the segment."""
+    import hashlib
+
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = _write_docs(spark, tmp_path_factory, rows, "deduplines")
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.clean_md5)
+        for r in get_queries()["q_dedup_lines"](spark, sf).collect()
+    }
+    segs = [
+        (doc_id, idx, seg)
+        for doc_id, text in rows
+        for idx, seg in enumerate(_segments(_words(text)))
+    ]
+    first = {}
+    for doc_id, idx, seg in sorted(segs, key=lambda t: (t[2], t[0], t[1])):
+        first.setdefault(seg, (doc_id, idx))
+    ref = {}
+    for doc_id, text in rows:
+        mine = list(enumerate(_segments(_words(text))))
+        kept = [seg for idx, seg in mine if first[seg] == (doc_id, idx)]
+        ref[doc_id] = (
+            len(mine),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest(),
+        )
+    assert got == ref
+
+
+def _shingles(words, k=3):
+    if not words:
+        return set()
+    n = max(len(words) - (k - 1), 1)
+    return {" ".join(words[i : i + k]) for i in range(n)}
+
+
+@given(rows=pathological_corpus())
+@settings(**_SETTINGS)
+def test_ngram_jaccard_pathological_shapes(spark, tmp_path_factory, rows):
+    """The REGISTERED q_dedup_ngram_jaccard (inverted-index shingle
+    Jaccard) must agree with the brute-force set definition on
+    shape-hostile corpora: identical pair set at the 0.2 threshold and
+    per-pair values within half a round-4 ulp. High-repetition docs
+    collapse to tiny shingle sets (array_distinct); zero-word docs pair
+    with nothing (the r8 [''] hot-key contract)."""
+    from dateng_data_lakes_apache_spark_spark.registry import get_queries
+
+    sf = _write_docs(spark, tmp_path_factory, rows, "ngramjac")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in get_queries()["q_dedup_ngram_jaccard"](spark, sf).collect()
+    }
+    sh = {doc_id: _shingles(_words(text)) for doc_id, text in rows}
+    ref = {}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] and sh[b]:
+                inter = len(sh[a] & sh[b])
+                if inter:
+                    jac = inter / len(sh[a] | sh[b])
+                    if jac >= 0.2:
+                        ref[(a, b)] = jac
+    assert set(got) == set(ref)
+    for pair, jac in ref.items():
+        assert abs(got[pair] - jac) <= 5.001e-5
