@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import track
 from ..catalog import table
 from ..common import DEC, md5_hex4_duck, o_dsum, o_ts_str, spread, ts_str
 from ..registry import query
@@ -487,11 +488,21 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"med_{col}")
         )
 
-    med = disc_median(li, "v").withColumnRenamed("med_v", "med")
+    # Both per-group scalar tables are |groups| rows, but each one's
+    # BUILD is a full ranked-window pass over the data. Unpersisted, the
+    # med subtree re-ran THREE times (its own build, under mad's dev,
+    # under flagged's dev — plan audit r11: 4 lineitem scans, 3 window
+    # sorts) because broadcast exchanges never hit the reuse rule.
+    # track() pins each pass to exactly one run (guide §1.2 "don't
+    # recompute", §5 caching: reused AND expensive); the cached payload
+    # is metadata-scale, so this is 100 TB-safe. Measured 2.53 → ~1.4 s
+    # at sf0.1 (plans/r11/q_mad_outlier_{before,after}.txt: Window count
+    # 4 → 2, lineitem scans 4 → 2+cache).
+    med = track(disc_median(li, "v").withColumnRenamed("med_v", "med"))
     dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
         "d", F.abs(F.col("v") - F.col("med"))
     )
-    mad = disc_median(dev, "d").withColumnRenamed("med_d", "mad")
+    mad = track(disc_median(dev, "d").withColumnRenamed("med_d", "mad"))
     flagged = dev.join(F.broadcast(mad), "l_returnflag")
     return (
         flagged.groupBy("l_returnflag", "med", "mad")
@@ -1149,8 +1160,25 @@ def q_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-sum, one remainder-rank window over ≤7-row groups — all
     hash-partitioned on orderkey, no global order.
     """
+    # One hash-partitioning on l_orderkey serves EVERYTHING: the
+    # explicit repartition's HashPartitioning(l_orderkey) satisfies the
+    # (l_orderkey, l_linenumber) groupBy's clustering requirement AND
+    # both per-order window passes, and the order totals arrive by
+    # broadcast — so the whole allocation runs on ONE shuffle of the
+    # fact rows. The per-order aggregates that used to be join-backed
+    # subtrees (q_sum, leftover) are window sums over the SAME
+    # partitioning: q_sum = SUM(qty) OVER (PARTITION BY order), leftover
+    # = t_cents − SUM(base_cents) OVER (PARTITION BY order) — identical
+    # integers by definition. The old agg+join spelling re-derived the
+    # lineitem dedup once per consumer (plan audit r11: 6 lineitem
+    # scans, 12 exchanges → now 1 scan, 2 exchanges incl. the
+    # broadcast; plans/r11/q_penny_allocation_{before,after}.txt).
+    # Measured 2.32 → ~0.6 s at sf0.1; at 100 TB this is the difference
+    # between one fact shuffle and three.
     li = (
         table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_linenumber")  # dedup PK collisions in testdata
         .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
     )
@@ -1158,41 +1186,43 @@ def q_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t_cents"),
     )
-    tot = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "t_cents")
-        .agg(F.sum("qty").alias("q_sum"))
-    )
-    base = li.join(tot, "l_orderkey").select(
+    w_order = Window.partitionBy("l_orderkey")
+    joined = li.join(
+        F.broadcast(o), li.l_orderkey == o.o_orderkey
+    ).select("l_orderkey", "l_linenumber", "qty", "t_cents")
+    base = joined.select(
         "l_orderkey",
         "l_linenumber",
+        "t_cents",
+        F.sum("qty").over(w_order).alias("q_sum"),
+        "qty",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "t_cents",
         F.expr("(t_cents * qty) div q_sum").alias("base_cents"),
         ((F.col("t_cents") * F.col("qty")) % F.col("q_sum")).alias("rem"),
-        "t_cents",
     )
-    short = base.groupBy("l_orderkey", "t_cents").agg(
-        (F.col("t_cents") - F.sum("base_cents")).alias("leftover")
-    ).select("l_orderkey", "leftover")
-    w = Window.partitionBy("l_orderkey").orderBy(
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
         F.col("rem").desc(), F.col("l_linenumber")
     )
-    return (
-        base.join(short, "l_orderkey")
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            "base_cents",
-            "leftover",
-            F.row_number().over(w).alias("rk"),
-        )
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            (
-                F.col("base_cents")
-                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
-            ).cast("bigint").alias("alloc_cents"),
-        )
+    w_all = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "base_cents",
+        (F.col("t_cents") - F.sum("base_cents").over(w_all)).alias("leftover"),
+        F.row_number().over(w_rank).alias("rk"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base_cents")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("bigint").alias("alloc_cents"),
     )
 
 
@@ -2369,27 +2399,34 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..common import det_round
 
+    # Tie counts ride the SAME window spec as the rank: a RANGE frame of
+    # (currentRow, currentRow) counts exactly the ORDER-BY peers — the
+    # rows tied on the value — so each variable needs ONE sort instead
+    # of a rank sort plus a separate partitionBy(group, value) count
+    # window. Plan audit r11: the old spelling planned 4 Sort + 4 Window
+    # operators over the full table after the one exchange; this one
+    # plans 2 (plans/r11/q_spearman_corr_{before,after}.txt). Peer count
+    # == COUNT(*) OVER (PARTITION BY group, value) by definition, so rx/
+    # ry are bit-identical.
+    wq = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    wp = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
     rx = (
         F.rank().over(Window.partitionBy("l_returnflag").orderBy("l_quantity"))
-        + (
-            F.count(F.lit(1)).over(
-                Window.partitionBy("l_returnflag", "l_quantity")
-            )
-            - 1
-        )
-        / 2.0
+        + (F.count(F.lit(1)).over(wq) - 1) / 2.0
     )
     ry = (
         F.rank().over(
             Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
         )
-        + (
-            F.count(F.lit(1)).over(
-                Window.partitionBy("l_returnflag", "l_extendedprice")
-            )
-            - 1
-        )
-        / 2.0
+        + (F.count(F.lit(1)).over(wp) - 1) / 2.0
     )
     r = li.select("l_returnflag", rx.alias("rx"), ry.alias("ry"))
     n = F.count(F.lit(1)).cast("double")
@@ -2918,7 +2955,13 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..common import det_round
 
-    m = _monthly(spark, sf_dir)
+    # Both self-join sides consume the SAME ≤12-rows-per-year aggregate,
+    # but one side sits under a BroadcastExchange, which the exchange-
+    # reuse rule never dedups against the probe side — unpersisted, the
+    # full lineitem scan+agg ran twice (plan audit r11: 2 scans, 2 agg
+    # exchanges). track() pins the 84-row frame; the cache is calendar-
+    # bounded, so this is scale-safe (guide §2.4 / §5).
+    m = track(_monthly(spark, sf_dir))
     a, b = m.alias("a"), m.alias("b")
     pairs = a.join(
         F.broadcast(b),
@@ -2995,7 +3038,10 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..common import det_round
 
-    m = _monthly(spark, sf_dir)
+    # Same reuse rationale as q_kendall_tau: the broadcast side defeats
+    # exchange reuse, so without the persist the lineitem scan+agg runs
+    # once per self-join side. Calendar-bounded cache.
+    m = track(_monthly(spark, sf_dir))
     a, b = m.alias("a"), m.alias("b")
     slope = (F.col("b.rev") - F.col("a.rev")) / (F.col("b.mo") - F.col("a.mo"))
     pairs = a.join(
