@@ -218,28 +218,31 @@ def q_udtf_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-table grouped reconciliation via ``cogroup().applyInPandas``
+    """Two-table grouped reconciliation via ``cogroup().applyInArrow``
     — the API surface for custom merge logic that needs BOTH sides of a
-    key as pandas frames at once (ledger reconciliation, interleaved
-    event alignment, custom as-of semantics beyond SQL).
+    key as whole-group tables at once (ledger reconciliation,
+    interleaved event alignment, custom as-of semantics beyond SQL).
 
-    Each key's (orders, accounts) frame pair arrives Arrow-batched in
+    Each key's (orders, accounts) table pair arrives Arrow-batched in
     one task after a single co-partitioned shuffle on the key — the
     same shuffle a join would pay, but the kernel sees whole groups
     instead of row pairs. The kernel here computes an exactly
     SQL-expressible reconciliation (counts + decimal totals, full-outer
     semantics: keys present on either side emit), so the driver gets a
-    hash-checked row for the API surface itself. numpy/decimal math
-    keeps totals engine-exact.
+    hash-checked row for the API surface itself. numpy math on the raw
+    Arrow buffers keeps totals engine-exact.
 
     Measured cost floor (r10 A/B, tools/cogroup_batch_probe.py —
     BASELINE.md "Arrow-batch / partition-count A/B"): per-GROUP Python
     dispatch. ``arrow.maxRecordsPerBatch`` is a no-op for this shape
-    (one kernel call per key regardless); partition count is the real
-    knob — fewer partitions amortize Python-worker spin-up over more
-    groups (sf1x: 8 parts ~21.5 s vs 128 parts ~33 s). At cluster
-    scale the same rule reads "thousands of groups per worker"; the
-    session default already scales, so nothing is hardcoded here.
+    (one kernel call per key regardless); partition count is one knob —
+    fewer partitions amortize Python-worker spin-up over more groups
+    (sf1x: 8 parts ~21.5 s vs 128 parts ~33 s); the session default
+    already scales, so nothing is hardcoded here. The r11 optimization
+    pass took the other knob, the per-group kernel cost: the SAME
+    reconciliation via ``applyInArrow`` (guide §4.2 — no pandas frame
+    construction/conversion per group, one pa.Table built per key)
+    measured 4.1 → 1.6 s at sf0.1, identical results (oracle-verified).
     """
     import numpy as np
 
@@ -262,46 +265,55 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_acctbal")
     )
 
+    import pyarrow as pa
+
     out_schema = (
         "custkey bigint, n_orders bigint, total_spend double, "
         "n_accounts bigint, total_bal double"
     )
+    out_pa = pa.schema(
+        [
+            ("custkey", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("total_spend", pa.float64()),
+            ("n_accounts", pa.int64()),
+            ("total_bal", pa.float64()),
+        ]
+    )
 
-    def cents(values: "pd.Series") -> int:
+    def cents(col: "pa.ChunkedArray") -> int:
         # Exact-integer accumulation mirrors the engine's DECIMAL(30,8)
         # sums: both columns are 2-dp money, so round(v*100) recovers the
         # exact cents of every value (worst float error here is ~4e-9,
         # measured) and the int64 sum is exact; a naked float sum would
-        # diverge from the oracle in the last ulp. Vectorized per batch;
-        # note the query's wall-clock floor is the per-group cogroup
-        # call + 1-row-frame overhead (~10-row groups here), not the
-        # arithmetic — measured a wash vs the Decimal loop at sf0.1.
-        # NULL money values arrive as NaN after to_numpy(float64), and
-        # np.rint(NaN).astype("int64") is undefined (typically INT64_MIN,
-        # ~-9.2e18 cents) — one dirty row would silently corrupt the
-        # total. Drop NaNs first: that is exactly the NULL-skipping
-        # semantics of the engine's SUM and the DuckDB oracle.
-        arr = values.to_numpy(dtype="float64")
+        # diverge from the oracle in the last ulp. NULL money values
+        # arrive as NaN after to_numpy, and np.rint(NaN).astype("int64")
+        # is undefined (typically INT64_MIN) — one dirty row would
+        # silently corrupt the total. Drop NaNs first: that is exactly
+        # the NULL-skipping semantics of the engine's SUM and the DuckDB
+        # oracle.
+        arr = col.to_numpy(zero_copy_only=False).astype("float64")
         arr = arr[~np.isnan(arr)]
         return int(np.rint(arr * 100.0).astype("int64").sum())
 
-    def reconcile(key, orders_pdf: "pd.DataFrame", cust_pdf: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
+    def reconcile(key, orders_t: "pa.Table", cust_t: "pa.Table") -> "pa.Table":
+        # int/100.0 is one correctly-rounded operation — the same double
+        # the engine's Decimal(cents)/100 conversion produces.
+        return pa.Table.from_pydict(
             {
-                "custkey": [int(key[0])],
-                "n_orders": [len(orders_pdf)],
-                # int/100.0 is one correctly-rounded operation — the same
-                # double Decimal(cents)/100 conversion produced before
-                "total_spend": [cents(orders_pdf["o_totalprice"]) / 100.0],
-                "n_accounts": [len(cust_pdf)],
-                "total_bal": [cents(cust_pdf["c_acctbal"]) / 100.0],
-            }
+                "custkey": [key[0].as_py()],
+                "n_orders": [orders_t.num_rows],
+                "total_spend": [cents(orders_t.column("o_totalprice")) / 100.0],
+                "n_accounts": [cust_t.num_rows],
+                "total_bal": [cents(cust_t.column("c_acctbal")) / 100.0],
+            },
+            schema=out_pa,
         )
 
     return (
         o.groupBy(F.col("o_custkey").alias("k"))
         .cogroup(c.groupBy(F.col("c_custkey").alias("k")))
-        .applyInPandas(reconcile, schema=out_schema)
+        .applyInArrow(reconcile, schema=out_schema)
     )
 
 

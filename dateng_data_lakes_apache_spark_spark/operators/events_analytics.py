@@ -226,7 +226,12 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side combine, and the support threshold keeps the output
     sparse. Top-20 with full tiebreaks plans as TakeOrderedAndProject.
     """
-    items = (
+    # Both self-join sides need the distinct item set, but the broadcast
+    # side sits under a BroadcastExchange the reuse rule never dedups —
+    # unpersisted, the 600k-row distinct ran twice (plan audit r11:
+    # 2 lineitem scans + 2 distinct exchanges). track() pins it once,
+    # the same discipline q_basket_lift already applies.
+    items = track(
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()

@@ -410,7 +410,13 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
     q = d.select("doc_id", "lang", "text", F.md5("text").alias("h"), ntok.alias("ntok"))
     keeper_w = Window.partitionBy("h").orderBy("doc_id")
-    base = (
+    # base (the quality-filtered, exact-deduped corpus) feeds BOTH the
+    # shingle probe and the survivor accounting; unpersisted, the dedup
+    # window pass over documents ran once per consumer (plan audit r11:
+    # 3 documents scans). track() pins it — this is exactly the
+    # materialization point a production pipeline persists between
+    # dedup and decontamination.
+    base = track(
         q.where(F.col("ntok") >= 5)
         .withColumn("rn", F.row_number().over(keeper_w))
         .where((F.col("rn") == 1) & (F.col("doc_id") % 10 != 0))

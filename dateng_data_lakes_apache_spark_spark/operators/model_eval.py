@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import track
 from ..catalog import table
 from ..common import md5_hex4_duck as _duck4
 from ..common import md5_hex4_spark as _spark4
@@ -645,6 +646,12 @@ def q_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     w = Window.partitionBy("source").orderBy("doc_id")
+    # pairs is NOT persisted (r11 A/B): each of its consumers prunes a
+    # different slice (cg needs only ct, rg only rt, lens only sizes),
+    # and materializing the full two-token-array table measured SLOWER
+    # (2.7 → 3.5 s at 8 cores) than re-deriving the pruned subtrees in
+    # parallel — column pruning through the cache is what a persist
+    # gives up here.
     pairs = (
         table(spark, sf_dir, "documents")
         .select("source", "doc_id", toks.alias("ct"))
@@ -683,7 +690,9 @@ def q_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cg, rg = gram_counts("ct"), gram_counts("rt")
-    cl = (
+    # cl is |sources|×2 rows but its build is the expensive clipped join;
+    # the n=1/n=2 consumers below would otherwise run it twice.
+    cl = track(
         cg.join(
             rg.withColumnRenamed("c", "c_ref"),
             ["source", "doc_id", "n", "g"],

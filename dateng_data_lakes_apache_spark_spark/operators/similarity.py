@@ -916,6 +916,12 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         "doc_id", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("word")
     )
+    # NOT persisted (r11 A/B): track(tf) measured 1.5 → 3.8 s — caching
+    # the full posting table forces one materialization of EVERY
+    # (doc, word) row, while the un-cached plan lets Catalyst push the
+    # 3-word dfreq filter below the aggregate so that consumer touches
+    # almost nothing. Re-deriving the pruned subtrees in parallel beats
+    # materializing the superset.
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl"))

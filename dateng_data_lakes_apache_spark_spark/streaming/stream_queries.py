@@ -35,6 +35,30 @@ from ..registry import query
 from ..common import finite as _finite
 from ..scratch import SCRATCH as _SCRATCH  # run-ID-keyed (r9): no cross-session staging races
 
+#: State-store partition count pinned for the bounded replay harness
+#: (see _run_to_memory). r11 A/B at sf0.1, state parts {8, 4, 2} ×
+#: checkpoint {disk, tmpfs}: per-partition per-store commit overhead
+#: dominates the stream floor — 8→4 halved q_stream_outer_join
+#: (9.1→4.8 s) and q_stream_chained (7.6→4.3 s); 4→2 bought ~7% more;
+#: tmpfs checkpoints bought ~4% on top (not taken: checkpoint
+#: durability is the production contract, scratch stays on disk).
+#: Default 4 keeps some state parallelism for larger local SFs; on a
+#: real cluster size this to executor count × state volume (env knob).
+_STATE_PARTS = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "4")
+
+#: Files per micro-batch for the ordered/duplicated staged replays.
+#: The staged artifact stays 4 time-ordered files; this knob sets how
+#: many arrive per trigger. Emission is watermark-arithmetic on the
+#: FINAL watermark (each oracle documents the rule), so the result set
+#: is replay-granularity-invariant — verified: row sets identical at
+#: 1/2/4 files per trigger. r11 A/B (state parts 2): outer join 6.6 →
+#: 3.3 → 2.2 s, chained 4.5 → 3.0 → 1.8 s. Default 2 keeps a genuine
+#: MULTI-batch replay (the watermark still advances mid-stream, so
+#: incremental emission/eviction stays exercised) at half the
+#: micro-batch plan+commit rounds; set 1 to restore the per-file
+#: replay for watermark forensics.
+_REPLAY_FPT = int(os.environ.get("SPARK_GRAFT_STREAM_REPLAY_FPT", "2"))
+
 
 def _events_manifest(sf_dir: str) -> list:
     """(basename, inode, mtime_ns) of the catalog's events files — the
@@ -158,7 +182,7 @@ def _run_to_memory(
     # lifetime and restore after. On a real cluster this knob is sized to
     # executor count × state volume — it is per-deployment either way.
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTS)
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -743,7 +767,7 @@ def q_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_events_ordered(spark, sf_dir)
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = normalize_nanos_ts(
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", _REPLAY_FPT).parquet(stage)
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -834,7 +858,7 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(event_type: str, prefix: str) -> DataFrame:
         s = normalize_nanos_ts(
-            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", _REPLAY_FPT).parquet(stage)
         )
         return (
             s.where(F.col("event_type") == event_type)
@@ -904,7 +928,7 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = (
         normalize_nanos_ts(
-            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", _REPLAY_FPT).parquet(stage)
         )
         .where(
             (F.col("event_type") == "purchase")
@@ -1057,7 +1081,7 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = (
         normalize_nanos_ts(
-            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", _REPLAY_FPT).parquet(stage)
         )
         .where(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "event_type", "ts")
@@ -1108,7 +1132,7 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_events_ordered(spark, sf_dir)
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = normalize_nanos_ts(
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", _REPLAY_FPT).parquet(stage)
     )
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     snap_base = os.path.join(_SCRATCH, "stream_merge", tag)
@@ -1205,7 +1229,7 @@ def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = (
         normalize_nanos_ts(
-            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", _REPLAY_FPT).parquet(stage)
         )
         .where(F.col("event_type") == "purchase")
         .select("event_id", "ts", "value")
@@ -1307,7 +1331,7 @@ def q_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(event_type: str, prefix: str) -> DataFrame:
         s = normalize_nanos_ts(
-            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", _REPLAY_FPT).parquet(stage)
         )
         return (
             s.where(F.col("event_type") == event_type)
@@ -1399,7 +1423,7 @@ def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_value_dec").cast("double").alias("sum_value"),
         )
         saved = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTS)
         try:
             q = (
                 out.writeStream.format("memory")
