@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..common import davg, dsum, o_davg, o_dsum
+from ..common import davg, dsum, o_davg, o_dsum, spread
 from ..registry import query
 from ..staging import run_staged, staged_builder, staged_oracle
 
@@ -71,8 +71,13 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 groups regardless of scale → partial aggregation collapses the
     shuffle to ~6 rows per map task; the scan (with shipdate pushdown)
     dominates, which is exactly the profile you want at 100 TB.
+
+    spread() (r11): the local single-row-group file plans a one-task
+    scan, serializing the 8 decimal partial aggregations on one core —
+    measured 1.9 → 1.0 s at sf0.1 with the conditional round-robin
+    repartition. On a properly-filed lake the gate makes it a no-op.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..caching import local_checkpoint, release_superseded, track
 from ..catalog import table
-from ..common import det_round, o_det_round, o_vec_ok, vec_ok
+from ..common import det_round, o_det_round, o_vec_ok, spread, vec_ok
 from ..registry import query
 from ..staging import run_staged, staged_builder, staged_oracle
 
@@ -1340,8 +1340,13 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline applied to vectors. The 36-cell result is
     metadata-scale: the eigen-solve on it is a driver/BLAS concern,
     not a data-plane one.
+
+    spread() (r11): the 36 decimal product sums ran on the single-task
+    one-row-group scan — 2.3 → 1.5 s at sf0.1 with the conditional
+    repartition. Applied here, NOT in the shared _emb (the iterative
+    PCA frame measured slower with an extra per-round exchange).
     """
-    e = _emb(spark, sf_dir)
+    e = spread(_emb(spark, sf_dir), spark)
     d = range(1, _COV_DIMS + 1)
     x = {i: F.element_at("embedding", i).cast("double") for i in d}
     aggs = [F.count(F.lit(1)).alias("n")]

@@ -558,8 +558,12 @@ def q_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recombination is the same IEEE expression tree on both sides
     (native regr_slope/regr_r2 one-pass kernels accumulate in
     engine-specific order and are exactly what this formulation avoids).
+
+    spread() (r11): the 5 decimal power sums are the whole cost and ran
+    on the single-task one-row-group scan — 2.5 → 1.1 s at sf0.1 with
+    the conditional repartition (no-op on a properly-filed lake).
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = spread(table(spark, sf_dir, "lineitem"), spark)
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
