@@ -226,12 +226,14 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side combine, and the support threshold keeps the output
     sparse. Top-20 with full tiebreaks plans as TakeOrderedAndProject.
     """
-    # Both self-join sides need the distinct item set, but the broadcast
-    # side sits under a BroadcastExchange the reuse rule never dedups —
-    # unpersisted, the 600k-row distinct ran twice (plan audit r11:
-    # 2 lineitem scans + 2 distinct exchanges). track() pins it once,
-    # the same discipline q_basket_lift already applies.
-    items = track(
+    # NOT persisted (r11 A/B): the broadcast side does re-run the
+    # 600k-row distinct (broadcast subtrees defeat exchange reuse), but
+    # pinning it with track() measured SLOWER in the full bench
+    # (2.2 → 2.7-2.9 s at sf0.1): materializing the cache serializes
+    # two subtrees that otherwise compute concurrently, and the cache
+    # write on 600k rows costs more than the duplicate scan+distinct.
+    # q_basket_lift keeps its track() because FIVE consumers read it.
+    items = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()

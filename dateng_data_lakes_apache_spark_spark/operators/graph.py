@@ -425,6 +425,15 @@ def bfs_distances(
         new = nxt.join(dist.select("node"), "node", "left_anti").select(
             "node", F.lit(hop).cast("int").alias("dist")
         )
+        if hop == max_hops:
+            # Final hop (r11): nothing reads the hop-``max_hops`` frontier,
+            # so the eager checkpoint would be a pure blocking
+            # materialization job — return the lazy union instead (its
+            # lineage is ONE join off the previous checkpoint + cached
+            # edges, so the caller's single action pays no re-derivation).
+            # The previous round's blocks stay live until the session
+            # releases them (they now back the returned frame).
+            return dist.unionByName(new)
         prev = dist
         dist = local_checkpoint(dist.unionByName(new), eager=True)
         # eager checkpoint above materialized the union — the previous

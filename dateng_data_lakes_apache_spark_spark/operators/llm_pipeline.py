@@ -1532,14 +1532,11 @@ def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", "g.w1", "g.w2")
-    # grams anchors three consumers (bigram counts, context counts, the
-    # scoring probe); unpersisted, the tokenize + bigram explode ran
-    # once per consumer (plan audit r11: 3 of the 4 documents scans).
-    # track() pins the narrow (doc_id, w1, w2) frame: 1.5 → 1.25 s at
-    # sf0.1 (spread() was also A/B'd here and measured SLOWER — the
-    # explode output feeds straight into aggregations whose exchanges
-    # already parallelize the heavy side).
-    grams = track(grams)
+    # grams is NOT persisted (r11 interleaved A/B): its three consumers
+    # do re-run the tokenize + bigram explode, but track() measured
+    # 1.47 → 1.63 s at sf0.1/32 cores (and spread() 1.5 → 2.0) — the
+    # duplicated explodes overlap on idle cores while a cache adds a
+    # serial materialization job plus 300k-row serialization.
     big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     voc = (

@@ -25,7 +25,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import track
 from ..catalog import table
 from ..common import md5_hex4_duck as _duck4
 from ..common import md5_hex4_spark as _spark4
@@ -690,9 +689,12 @@ def q_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cg, rg = gram_counts("ct"), gram_counts("rt")
-    # cl is |sources|×2 rows but its build is the expensive clipped join;
-    # the n=1/n=2 consumers below would otherwise run it twice.
-    cl = track(
+    # cl is NOT persisted (r11 interleaved A/B): the n=1/n=2 consumers
+    # do re-run the clipped-join tree, but pinning it with track()
+    # measured 2.10 → 2.33 s at sf0.1/32 cores — the duplicated subtrees
+    # overlap on idle cores while the cache adds a serial
+    # materialization job. Same verdict as the `pairs` A/B below.
+    cl = (
         cg.join(
             rg.withColumnRenamed("c", "c_ref"),
             ["source", "doc_id", "n", "g"],

@@ -495,9 +495,14 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorts) because broadcast exchanges never hit the reuse rule.
     # track() pins each pass to exactly one run (guide §1.2 "don't
     # recompute", §5 caching: reused AND expensive); the cached payload
-    # is metadata-scale, so this is 100 TB-safe. Measured 2.53 → ~1.4 s
-    # at sf0.1 (plans/r11/q_mad_outlier_{before,after}.txt: Window count
-    # 4 → 2, lineitem scans 4 → 2+cache).
+    # is metadata-scale, so this is 100 TB-safe. Interleaved A/B at
+    # sf0.1: WALL-neutral locally (1.63 vs 1.71 s at 32 cores, 1.74 vs
+    # 1.77 at 8 — the 3-partition window passes overlapped on idle
+    # cores), kept for the 3×→1× CPU-work cut, which is what a busy
+    # cluster or narrower host actually pays
+    # (plans/r11/q_mad_outlier_{before,after}.txt: the med subtree
+    # appears once as an InMemoryRelation instead of three inlined
+    # window passes).
     med = track(disc_median(li, "v").withColumnRenamed("med_v", "med"))
     dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
         "d", F.abs(F.col("v") - F.col("med"))
@@ -2959,13 +2964,13 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..common import det_round
 
-    # Both self-join sides consume the SAME ≤12-rows-per-year aggregate,
-    # but one side sits under a BroadcastExchange, which the exchange-
-    # reuse rule never dedups against the probe side — unpersisted, the
-    # full lineitem scan+agg ran twice (plan audit r11: 2 scans, 2 agg
-    # exchanges). track() pins the 84-row frame; the cache is calendar-
-    # bounded, so this is scale-safe (guide §2.4 / §5).
-    m = track(_monthly(spark, sf_dir))
+    # NOT persisted (r11 interleaved A/B): the broadcast side does
+    # re-run the lineitem scan+agg (broadcast subtrees defeat exchange
+    # reuse), but pinning the 84-row monthly frame with track() measured
+    # equal-to-slower at BOTH 32 and 8 cores (1.00 vs 1.03 / 0.92 vs
+    # 0.98 medians) — the cache-materialization job costs as much as the
+    # duplicated scan, which otherwise overlaps on idle cores.
+    m = _monthly(spark, sf_dir)
     a, b = m.alias("a"), m.alias("b")
     pairs = a.join(
         F.broadcast(b),
@@ -3042,10 +3047,9 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..common import det_round
 
-    # Same reuse rationale as q_kendall_tau: the broadcast side defeats
-    # exchange reuse, so without the persist the lineitem scan+agg runs
-    # once per self-join side. Calendar-bounded cache.
-    m = track(_monthly(spark, sf_dir))
+    # NOT persisted — same interleaved A/B verdict as q_kendall_tau
+    # (track() measured 0.9 → 1.15 s at both 32 and 8 cores).
+    m = _monthly(spark, sf_dir)
     a, b = m.alias("a"), m.alias("b")
     slope = (F.col("b.rev") - F.col("a.rev")) / (F.col("b.mo") - F.col("a.mo"))
     pairs = a.join(
