@@ -88,6 +88,32 @@ def run_staged(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return staged
 
 
+def run_staged_index(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    builder: Callable[[SparkSession, str], DataFrame],
+) -> DataFrame:
+    """Session-memoized INTERNAL ingest index (VERDICT r11 item 2).
+
+    Same build-once / pin-to-parquet / re-read mechanics as
+    :func:`run_staged`, but for indexes that are an engine-internal
+    artifact (e.g. the vector-validity-filtered embeddings table), not a
+    staged ORACLE expectation — so the builder is passed explicitly and
+    never registered in :data:`STAGED_BUILDERS` (that registry is pinned
+     1:1 to ``staged_oracle`` queries by tests/test_staged_expectations).
+    The memo is the same `_STAGE_MEMO`, so bench repeats pay a fresh
+    build exactly like staged expectations do (``clear_stage_memo``).
+    """
+    key = (spark.sparkContext.applicationId, name, os.path.normpath(sf_dir))
+    got = _STAGE_MEMO.get(key)
+    if got is not None:
+        return got
+    staged = stage_expectation(builder(spark, sf_dir), name, sf_dir)
+    _STAGE_MEMO[key] = staged
+    return staged
+
+
 def clear_stage_memo() -> None:
     """Drop all memoized staged frames (bench repeats call this so every
     repeat pays the same build+stage cost as a fresh session)."""
