@@ -31,6 +31,7 @@ def pagerank(
     ckpt_every: int = 3,
     edge_pre_partition: bool = False,
     check_contract: bool = False,
+    dst_closed: bool = False,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list (src, dst), returning
     (node, rank_scaled) with rank_scaled a ×1e12 fixed-point long.
@@ -64,6 +65,20 @@ def pagerank(
     iterations start) to fail loudly on such misuse instead; the
     registered q_pagerank stages both directions by construction and
     skips the check on the hot path (ADVICE r9).
+
+    ``dst_closed=True`` (r12, VERDICT r11 item 4) declares that the DST
+    key set equals the node set — true for any both-directions-staged
+    graph, where every node has in-edges. That closure lets each round's
+    new state come straight out of the ``groupBy(dst)`` aggregation
+    (the edge index carries the destination's out-degree, a bucket
+    constant per dst, so rank AND next-round contribution derive in the
+    same aggregate): the per-round |V| left-join onto the node table —
+    and its broadcast build — disappear, 5 joins and 5 broadcast builds
+    over 5 rounds. Interleaved A/B at sf0.1, bit-identical ranks:
+    7.75 → 5.36 s at 32 cores, 8.23 → 5.89 s at 8. On a non-closed
+    graph this variant would silently drop in-degree-0 nodes after
+    round 1, so it is opt-in and ``check_contract=True`` additionally
+    verifies closure (src keys never appearing as dst) before iterating.
     Cache lifecycle: callers own the persisted tables (bench clears
     between queries).
     """
@@ -81,6 +96,20 @@ def pagerank(
                 "graphs as both edge directions, or add self-loops / "
                 "dangling-mass handling before calling pagerank."
             )
+        if dst_closed:
+            n_sources = (
+                edges.select(F.col("src").alias("node"))
+                .join(edges.select(F.col("dst").alias("node")), "node", "left_anti")
+                .limit(1)
+                .count()
+            )
+            if n_sources:
+                raise ValueError(
+                    "pagerank dst_closed violation: edge list has "
+                    "in-degree-0 nodes (src values never appearing as "
+                    "dst); the dst-derived state would drop them. Stage "
+                    "both edge directions or call with dst_closed=False."
+                )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # The edge list MUST be persisted: it anchors every iteration, and
     # without it AQE's broadcast of each round's (small) contribution
@@ -90,6 +119,15 @@ def pagerank(
     # the edge scale), so the cached index is the bare (src, dst) pairs
     # — narrower cache, no build-time |E| join.
     indexed = edges
+    if dst_closed:
+        # The closure variant's round aggregate needs the DESTINATION's
+        # out-degree next to each edge (one |E|⋈|V| join at index-build
+        # time, cached once) — dst_deg is constant within a dst group, so
+        # the round's groupBy(dst) carries it via max() for free.
+        indexed = edges.join(
+            deg.select(F.col("src").alias("dst"), F.col("out_deg").alias("dst_deg")),
+            "dst",
+        )
     if edge_pre_partition:
         # r4 task #7 experiment, measured at sf0.1 local[32] (BASELINE.md
         # r6): NO structural difference — with or without the explicit
@@ -113,9 +151,12 @@ def pagerank(
     # |E|-scale degree aggregation every iteration (r9 measure: ~13 s
     # vs ~8 s at sf0.1). This also replaces the old union+distinct
     # node-set shuffle pair.
-    node_deg = track(
-        deg.select(F.col("src").alias("node"), "out_deg")
-    )
+    node_deg = deg.select(F.col("src").alias("node"), "out_deg")
+    if not dst_closed:
+        # Per-round consumer (the left join) — cache it. In dst_closed
+        # mode it only seeds the round-0 state (one consumer): a persist
+        # would be a pure materialization cost (the r11 cache lesson).
+        node_deg = track(node_deg)
     base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN  # (1-d) mass
     # Fused |V|-scale state (VERDICT r8 item 2): each round's state row
     # is (node, rank_scaled, contrib = rank div out_deg). Carrying the
@@ -136,27 +177,55 @@ def pagerank(
     )
     prev_ckpt = None
     for it in range(iters):
-        contribs = (
-            indexed.join(state, indexed.src == state.node)
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("in_mass"))
-        )
-        new_rank = (
-            F.lit(base)
-            + F.expr(f"(coalesce(in_mass, 0L) * {_DAMP_NUM}) div {_DAMP_DEN}")
-        ).cast("long")
-        state = (
-            node_deg.join(contribs, node_deg.node == contribs.dst, "left")
-            .select(
-                "node",
-                new_rank.alias("rank_scaled"),
-                F.expr(
-                    f"(CAST({base} AS LONG) + "
-                    f"(coalesce(in_mass, 0L) * {_DAMP_NUM}) div {_DAMP_DEN})"
-                    " div out_deg"
-                ).alias("contrib"),
+        if dst_closed:
+            # One aggregate IS the new state: every node is a dst (the
+            # declared closure), in_mass is therefore never NULL, and
+            # rank + next contribution both derive from (in_mass,
+            # dst_deg) inside the same groupBy — no |V| join, no
+            # broadcast build, one shuffle per round. Integers identical
+            # to the join form by definition (same in_mass, same div).
+            state = (
+                indexed.join(state, indexed.src == state.node)
+                .groupBy("dst")
+                .agg(
+                    F.sum("contrib").alias("in_mass"),
+                    F.max("dst_deg").alias("out_deg"),
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    (
+                        F.lit(base)
+                        + F.expr(f"(in_mass * {_DAMP_NUM}) div {_DAMP_DEN}")
+                    ).cast("long").alias("rank_scaled"),
+                    F.expr(
+                        f"(CAST({base} AS LONG) + "
+                        f"(in_mass * {_DAMP_NUM}) div {_DAMP_DEN})"
+                        " div out_deg"
+                    ).alias("contrib"),
+                )
             )
-        )
+        else:
+            contribs = (
+                indexed.join(state, indexed.src == state.node)
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("in_mass"))
+            )
+            new_rank = (
+                F.lit(base)
+                + F.expr(f"(coalesce(in_mass, 0L) * {_DAMP_NUM}) div {_DAMP_DEN}")
+            ).cast("long")
+            state = (
+                node_deg.join(contribs, node_deg.node == contribs.dst, "left")
+                .select(
+                    "node",
+                    new_rank.alias("rank_scaled"),
+                    F.expr(
+                        f"(CAST({base} AS LONG) + "
+                        f"(coalesce(in_mass, 0L) * {_DAMP_NUM}) div {_DAMP_DEN})"
+                        " div out_deg"
+                    ).alias("contrib"),
+                )
+            )
         if ckpt_every and (it + 1) % ckpt_every == 0 and it + 1 < iters:
             state = local_checkpoint(state)
             # The new checkpoint is materialized (eager) — the previous
@@ -244,7 +313,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .distinct()
     )
-    ranks = pagerank(edges, iters=5)
+    # dst_closed: both directions are staged, so every node is a dst —
+    # the closure that lets each round's state come out of the groupBy
+    # directly (see pagerank docstring; −31% at sf0.1, identical ranks).
+    ranks = pagerank(edges, iters=5, dst_closed=True)
     return (
         ranks.select(
             F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias("kind"),

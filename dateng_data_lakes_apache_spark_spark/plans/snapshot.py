@@ -145,6 +145,10 @@ def normalized_plan(df: DataFrame) -> str:
     text = re.sub(r"\bcachedPlan=\S+", "cachedPlan=_", text)
     # scratch staging uses per-run uuids in some writers
     text = re.sub(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "_uuid_", text)
+    # the run-ID scratch root (scratch.SCRATCH, "run-<pid>-<hex>") shows
+    # up in any plan that scans a staged ingest index (r12:
+    # idx_embeddings_valid) — per-process by design, never structural
+    text = re.sub(r"run-\d+-[0-9a-f]+", "run-_", text)
     # drop fully volatile lines (free-memory sizes etc. if present)
     lines = [ln.rstrip() for ln in text.splitlines()]
     return "\n".join(lines).rstrip() + "\n"

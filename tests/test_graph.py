@@ -93,3 +93,30 @@ def test_bfs_hop_bound_cuts_frontier(spark):
     )
     got = {r.node: r.dist for r in bfs_distances(fwd, source=0, max_hops=2).collect()}
     assert got == {0: 0, 1: 1, 2: 2}  # nodes 3..6 beyond the bound
+
+
+def test_pagerank_dst_closed_matches_general_path(spark):
+    """The r12 dst_closed variant (state derived from the groupBy(dst)
+    aggregate, no per-round node join) must be bit-identical to the
+    general path on symmetric graphs — asymmetric star + a chain."""
+    for pairs in ([(0, i) for i in range(1, 6)], [(1, 2), (2, 3), (3, 4)]):
+        e = _edges(spark, pairs)
+        general = {r.node: r.rank_scaled for r in pagerank(e).collect()}
+        closed = {r.node: r.rank_scaled for r in pagerank(e, dst_closed=True).collect()}
+        assert closed == general
+
+
+def test_pagerank_dst_closed_contract_fails_loudly(spark):
+    """dst_closed on a graph with an in-degree-0 node must raise under
+    check_contract (the dst-derived state would silently drop it)."""
+    import pytest
+
+    # 3 -> 1 gives node 3 out-degree 1 but in-degree 0; 1<->2 keeps the
+    # sink contract satisfied so only the closure check can catch it.
+    directed = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="dst_closed"):
+        pagerank(directed, check_contract=True, dst_closed=True)
+    # the general path accepts the same graph (every node has out-deg >= 1)
+    assert pagerank(directed, check_contract=True).count() == 3
