@@ -226,24 +226,25 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side combine, and the support threshold keeps the output
     sparse. Top-20 with full tiebreaks plans as TakeOrderedAndProject.
     """
-    # NOT persisted (r11 A/B): the broadcast side does re-run the
-    # 600k-row distinct (broadcast subtrees defeat exchange reuse), but
-    # pinning it with track() measured SLOWER in the full bench
-    # (2.2 → 2.7-2.9 s at sf0.1): materializing the cache serializes
-    # two subtrees that otherwise compute concurrently, and the cache
-    # write on 600k rows costs more than the duplicate scan+distinct.
-    # q_basket_lift keeps its track() because FIVE consumers read it.
+    # r12: pair generation via the shared per-basket HOF pass — no
+    # self-join, so the r11 "persist vs parallel recompute" dilemma this
+    # comment used to document is gone (one consumer chain, one distinct
+    # pass, one groupBy(o) exchange; see graph.basket_pair_counts).
+    from .graph import basket_pair_counts
+
     items = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    a, b = items.alias("a"), items.alias("b")
     return (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
+        basket_pair_counts(items)
+        .where(F.col("n_pair") >= 2)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("n_pair").alias("support"),
+        )
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(20)
     )

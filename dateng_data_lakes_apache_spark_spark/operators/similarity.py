@@ -1181,6 +1181,14 @@ def ann_pq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 128-row table: the checkpoint stops each round's plan from
         # re-deriving the previous round (measured 9 s -> ~2 s build);
         # the superseded round's blocks release immediately (ADVICE r4).
+        # r12 re-A/B (VERDICT r11 item 5, lineage-cut variants,
+        # interleaved order-controlled at 32 AND 8 cores): lazy ckpt
+        # (eager=False) measured EQUAL in steady state (3.40 vs 3.42 s,
+        # then 3.98 vs 4.20 with order reversed — drift band); replacing
+        # round-2's ckpt with track() measured worse (3.84), track-both
+        # worse still (4.07). The cold-session spike both shapes show is
+        # SESSION warmup (first heavyweight query pays codegen/broadcast
+        # machinery), not the checkpoints. Eager stays.
         prev_cents = cents
         cents = local_checkpoint(cents, eager=True)
         release_superseded(prev_cents)
