@@ -517,6 +517,15 @@ def bfs_distances(
     degree index: without it AQE's broadcast build re-derives the whole
     distinct-edge chain per round, which OOM'd the driver at sf0.1);
     rounds localCheckpoint so the plan stays O(1).
+
+    SINGLE-ACTION CONTRACT (ADVICE r11): the returned frame is a LAZY
+    union at the final hop — its last frontier join/anti-join re-executes
+    on every action the caller runs, and the last two rounds' checkpoint
+    blocks stay pinned until the session releases caches. Run exactly one
+    materializing action (the registered q_graph_bfs writes once) or
+    persist/collect the result yourself before running several; calling
+    ``release_caches`` before that action would strand the lazy tail
+    without its lineage-free checkpoint backing.
     """
     edges = track(edges.select("src", "dst"))
     dist = edges.sparkSession.createDataFrame(

@@ -1196,8 +1196,15 @@ def q_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t_cents"),
     )
     w_order = Window.partitionBy("l_orderkey")
+    # No forced broadcast (ADVICE r11, medium): orders is SF-proportional,
+    # so a pinned F.broadcast would hit Spark's 8 GB broadcast cap at the
+    # 100 TB scale this comment serves — the same rule graph.py's r4
+    # advisory pinned for growing inputs. AQE still broadcasts the 2-column
+    # projection at every local SF (plan verified: BroadcastHashJoin
+    # unchanged at sf0.1/sf0.01); on a real lake it degrades gracefully to
+    # a shuffle join of the projection instead of failing outright.
     joined = li.join(
-        F.broadcast(o), li.l_orderkey == o.o_orderkey
+        o, li.l_orderkey == o.o_orderkey
     ).select("l_orderkey", "l_linenumber", "qty", "t_cents")
     base = joined.select(
         "l_orderkey",

@@ -734,10 +734,15 @@ def q_er_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_type", tail.alias("tail")
     )
-    # spread() the PROBE side (r11): the broadcast join runs every
-    # blocked pair's Levenshtein inside the probe task, and the local
-    # single-row-group part scan plans exactly one — 1.4 → ~0.9 s at
-    # sf0.1 with the conditional repartition (no-op on a real lake).
+    # spread() the PROBE side (r11): WHEN the planner picks a broadcast
+    # hash join (it does here — BroadcastHashJoin in the committed
+    # plans/r11/q_er_blocked_join_after.txt; nothing forces it), every
+    # blocked pair's Levenshtein runs inside the probe-side task, and the
+    # local single-row-group part scan plans exactly one — 1.4 → ~0.9 s
+    # at sf0.1 with the conditional repartition (no-op on a real lake).
+    # The benefit is conditional on that plan (ADVICE r11): under a
+    # sort-merge plan the repartition is an extra exchange the join's own
+    # shuffle immediately supersedes — gated, so still bounded-cost.
     a, b = spread(p, spark).alias("a"), p.alias("b")
     dist = F.levenshtein(F.col("a.tail"), F.col("b.tail"))
     return (

@@ -134,8 +134,17 @@ PRIORITY_ORDER: tuple[str, ...] = (
     #       extension families (q_geo_radius_join, q_table_diff,
     #       q_clamped_balance, q_lpm_route_join, q_eval_confusion,
     #       q_geo_cluster) — highest-signal first.
-    "q_join_dpp",
-    "q_dynamic_overwrite",
+    #   r12 (current): q_join_dpp + q_dynamic_overwrite earned driver
+    #       green in CORRECTNESS_r11 and retire. Per the r12+ plan the
+    #       slots go to q_partitioned_pruned + q_snapshot_read — the
+    #       planned "q_snapshot_asof" never existed (planning typo; no
+    #       such registration), so its slot goes to the snapshot-family
+    #       query the plan intended: q_snapshot_read, never
+    #       driver-checked and exactly the staged/partitioned-write
+    #       semantics class rule (b) ranks first. Both are green in the
+    #       local parity replica (PARITY_r12.json at this HEAD).
+    "q_partitioned_pruned",
+    "q_snapshot_read",
 )
 
 _LOADED = False
