@@ -33,8 +33,11 @@ def test_three_query_session_releases_all_caches(spark, sf_dir):
     spark.catalog.clearCache()
     assert _storage_empty(spark)
     with cached_indexes():
-        # Three index-building queries: LSH band table, funnel stage
-        # tables, pagerank edge index — each persists through track().
+        # Three index-building queries: funnel stage tables and the
+        # pagerank edge index persist through track(); minhash persists
+        # nothing since r12 (exchange reuse — see
+        # test_minhash_builder_registers_no_cache) but still exercises
+        # the scope exit with its staged artifact in play.
         QS["q_dedup_minhash"](spark, sf_dir).count()
         QS["q_funnel"](spark, sf_dir).count()
         QS["q_pagerank"](spark, sf_dir).count()
@@ -46,12 +49,23 @@ def test_three_query_session_releases_all_caches(spark, sf_dir):
 
 def test_release_is_idempotent_and_counts(spark, sf_dir):
     release_caches()
-    # The BUILDER frame (registered q_dedup_minhash memoizes its staged
-    # artifact, so a repeat call builds no cache to release).
-    STAGED_BUILDERS["q_dedup_minhash"](spark, sf_dir).count()
+    # q_basket_lift track()s its items frame (five consumers read it).
+    QS["q_basket_lift"](spark, sf_dir).count()
     n = release_caches()
     assert n >= 1
     assert release_caches() == 0  # second drain releases nothing
+    assert _storage_empty(spark)
+
+
+def test_minhash_builder_registers_no_cache(spark, sf_dir):
+    """r12 design pin: the minhash pipeline has NO persist — its pair
+    self-join reads the identical subtree on both sides, so exchange
+    reuse computes it once and a track() would only add a blocking
+    cache-materialization job (the r11 driver-variance surface)."""
+    release_caches()
+    clear_stage_memo()
+    STAGED_BUILDERS["q_dedup_minhash"](spark, sf_dir).count()
+    assert release_caches() == 0
     assert _storage_empty(spark)
 
 
